@@ -1,0 +1,198 @@
+"""Typed configuration tree for the swarm engine.
+
+The reference scatters configuration across compile-time #defines forked per
+robot (AgentFirmware_Bot1/AgentFirmware_Bot1.ino:11-60 vs
+AgentFirmware_Bot2/AgentFirmware_Bot2.ino:20-50), module-level constants on the
+server (server_nodes/dual_bot_mapper.py:56-103), and argparse flags
+(dual_bot_mapper.py:714-719). Here everything is one frozen dataclass tree;
+per-agent variation (wall side, speed, start pose) is expressed as *batched
+arrays* in `AgentParams`, not forked source files.
+
+All defaults are the reference's values, cited to /root/reference file:line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Occupancy grid geometry. Ref: server_nodes/dual_bot_mapper.py:86-94."""
+
+    size: int = 200                # 200x200 cells
+    resolution: float = 0.05       # 5 cm / cell
+    origin_x: float = -5.0         # world X of cell (0, 0)
+    origin_y: float = -5.0
+    # Cell states (tri-state parity view). Ref: dual_bot_mapper.py:92-94.
+    unknown: int = -1
+    free: int = 0
+    occupied: int = 100
+    # Log-odds internal view (TPU-native path; the reference is tri-state only).
+    logodds_hit: float = 0.85
+    logodds_miss: float = -0.4
+    logodds_clamp: float = 10.0
+
+    @property
+    def extent(self) -> float:
+        return self.size * self.resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """4-way ultrasonic model.
+
+    Trust window: dual_bot_mapper.py:57-58. Noise model:
+    simulation_tools/generate_fake_dual_session.py:100-108. Sensor mount
+    angles (front/left/back/right): generate_fake_dual_session.py:59-64 and
+    dual_bot_mapper.py:61-66. Firmware timeout sentinel 4.0 m:
+    AgentFirmware_Bot1/AgentFirmware_Bot1.ino:239.
+    """
+
+    max_range: float = 1.20
+    min_range: float = 0.05
+    noise_sigma: float = 0.035          # metres
+    spurious_prob: float = 0.06
+    spurious_lo: float = 0.02
+    spurious_hi: float = 2.5
+    floor: float = 0.01                 # max(0.01, reading)
+    timeout_sentinel: float = 4.0       # no-echo reading
+    # Relative mount angles, radians: front, left, back, right.
+    angles: Tuple[float, float, float, float] = (
+        0.0, math.pi / 2, math.pi, -math.pi / 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class NavConfig:
+    """Navigation FSM parameters. Ref: AgentFirmware_Bot1.ino:46-60, 372-373,
+    90-94, 74-79, 202-203, 426-434, 347-349."""
+
+    obstacle_threshold_m: float = 0.30
+    safe_distance_m: float = 0.50
+    motor_speed: int = 205
+    turn_speed: int = 215
+    wall_target_cm: float = 25.0
+    wall_too_close_cm: float = 15.0
+    wall_too_far_cm: float = 50.0
+    wall_lost_cm: float = 80.0
+    front_block_cm: float = 30.0
+    front_clear_cm: float = 35.0
+    corner_round_ms: float = 600.0
+    target_timeout_s: float = 10.0
+    target_reached_radius_m: float = 0.30
+    zone_margin_m: float = 0.20
+    zone_lookahead_m: float = 0.30
+    zone_avoid_turn_deg: float = 30.0
+    min_travel_distance_m: float = 1.6   # v1 firmware mission gate (:202)
+    return_home_min_travel_m: float = 2.5   # Bot1 return injection (:426)
+    return_home_x_window_m: float = 0.35
+    # The 15-degree turn command physically produces ~22 degrees on the real
+    # robot; the firmware bakes this in (AgentFirmware_Bot1.ino:347-349).
+    turn_15_applied_deg: float = 22.0
+    turn_bite_deg: float = 15.0
+    # Landmark detector thresholds — firmware uses cm (AgentFirmware_Bot1.ino
+    # :152-169), the sim generator uses 0.30 m / max-range
+    # (generate_fake_dual_session.py:113-129). Both supported.
+    lm_close_cm: float = 40.0
+    lm_open_cm: float = 80.0
+    lm_sim_close_m: float = 0.30
+    # Differential-drive motion mapping (sim dynamics for the PWM commands the
+    # firmware issues; the real robot's L298N + LEDC stack,
+    # AgentFirmware_Bot1/motor_control.cpp:21-68, is modelled, not ported).
+    pwm_to_mps: float = 0.0012          # 205 PWM -> ~0.25 m/s
+    steer_pwm_delta: int = 50           # P-control band delta (ino:469-472)
+    diff_pwm_to_rad_s: float = 0.008    # yaw rate per PWM of wheel differential
+    drive_tick_s: float = 0.3           # FOLLOW drive burst (ino:477)
+    settle_tick_s: float = 0.1          # post-drive settle (ino:479)
+    corner_burst_s: float = 0.6         # CORNER_ROUND burst (ino:373)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Loop closure + pose graph. Ref: dual_bot_mapper.py:96-99."""
+
+    closure_radius_m: float = 0.60
+    min_poses_between: int = 30
+    closure_correction: float = 0.5
+    landmark_capacity: int = 4096       # ring buffer (ref list is unbounded)
+    # Pose-graph Gauss-Newton (north-star upgrade beyond the reference).
+    gn_iterations: int = 10
+    gn_damping: float = 1e-3
+    # Correlative scan matching (replaces map_merger.py ICP, :45-62).
+    scanmatch_window_cells: int = 16    # +/- search window in cells
+    scanmatch_angles: int = 16          # rotation hypotheses
+    scanmatch_angle_range: float = 0.35  # +/- radians
+
+
+@dataclasses.dataclass(frozen=True)
+class CoordConfig:
+    """Heartbeat / zones / frontiers. Ref: dual_bot_mapper.py:82-84, 101-103."""
+
+    heartbeat_timeout_s: float = 5.0
+    zone_interval_s: float = 2.0
+    target_interval_s: float = 3.0
+    frontier_min_cluster: int = 3
+    frontier_separation_m: float = 1.0
+    max_frontiers: int = 64             # fixed-capacity centroid list
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Odometry drift + channel imperfection models.
+
+    Ref: generate_fake_dual_session.py:395-453 (drift), :460-473 (encoder,
+    yaw quantisation, duplicates), :505 (bot-2 timestamp jitter).
+    """
+
+    trans_scale_bias: float = 0.002     # +/- 0.2 % per-agent scale error
+    trans_noise_sigma: float = 0.003
+    yaw_bias_per_m: float = 0.008       # rad per metre, sign per agent
+    yaw_noise_sigma: float = 0.002
+    yaw_noise_sigma_turning: float = 0.005
+    encoder_m_per_tick: float = 0.0107
+    yaw_quantize_deg: float = 15.0
+    duplicate_prob: float = 0.05
+    dt_lo: float = 0.45
+    dt_hi: float = 0.65
+    time_jitter_s: float = 0.08
+
+
+@dataclasses.dataclass(frozen=True)
+class EkfConfig:
+    """6-state EKF noise. Ref: AgentFirmware_Bot1/ekf.cpp:11-12."""
+
+    q_diag: Tuple[float, ...] = (0.01, 0.01, 0.01, 0.1, 0.1, 0.001)
+    r_odom_diag: Tuple[float, float] = (0.05, 0.05)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Engine-level knobs: batching, buffers, dtype policy."""
+
+    max_packets_per_frame: int = 20     # ref: dual_bot_mapper.py:816
+    pose_capacity: int = 8192           # ring buffer for pose nodes
+    path_capacity: int = 8192           # per-agent path ring buffer
+    cloud_capacity: int = 2048          # per-agent per-sensor point cloud
+    dtype: str = "float32"
+    parity_mode: bool = True            # tri-state last-write-wins raster
+    use_pallas: bool = False            # Pallas raster kernel (TPU only)
+
+
+@dataclasses.dataclass(frozen=True)
+class SwarmConfig:
+    """Top-level config tree."""
+
+    n_agents: int = 2
+    grid: GridConfig = dataclasses.field(default_factory=GridConfig)
+    sensors: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    nav: NavConfig = dataclasses.field(default_factory=NavConfig)
+    slam: SlamConfig = dataclasses.field(default_factory=SlamConfig)
+    coord: CoordConfig = dataclasses.field(default_factory=CoordConfig)
+    noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
+    ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+
+    def replace(self, **kw) -> "SwarmConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,104 @@
+"""World geometry: wall segments and batched exact ray casting.
+
+The reference casts one ray against one segment at a time in Python
+(simulation_tools/generate_fake_dual_session.py:67-90). Here a single fused
+computation intersects *every* ray of *every* agent against *every* wall
+segment at once — the [R, S] intersection tensor is pure VPU work that XLA
+fuses into the surrounding sensing step. Semantics match the reference
+exactly: parallel rays rejected at |denom| < 1e-10, hits accepted for
+t > 1e-3 and u in [0, 1], missing rays reported as 99.0 m
+(generate_fake_dual_session.py:83-90).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Default bedroom: 6 m x 4 m rectangular hall, x in [-0.5, 5.5],
+# y in [-2, 2]. Ref: generate_fake_dual_session.py:41-54.
+BEDROOM_WALLS = np.array(
+    [
+        [-0.5, -2.0, 5.5, -2.0],   # bottom
+        [5.5, -2.0, 5.5, 2.0],     # right
+        [5.5, 2.0, -0.5, 2.0],     # top
+        [-0.5, 2.0, -0.5, -2.0],   # left
+    ],
+    dtype=np.float32,
+)
+
+RAY_MISS = 99.0        # sentinel for "no wall within 50 m" (ref :90)
+RAY_MAX_VALID = 50.0
+
+
+def make_rect_room(x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    """Axis-aligned rectangular room as 4 wall segments [4, 4]."""
+    return np.array(
+        [
+            [x0, y0, x1, y0],
+            [x1, y0, x1, y1],
+            [x1, y1, x0, y1],
+            [x0, y1, x0, y0],
+        ],
+        dtype=np.float32,
+    )
+
+
+def make_multi_room(n_rooms: int, room_w: float = 6.0, room_h: float = 4.0,
+                    gap: float = 2.0, per_row: int = 32) -> np.ndarray:
+    """Tile n_rooms copies of the bedroom on a grid — the world for large
+    swarms (64 / 1024 agents). Each room hosts a sub-swarm; segments stay a
+    single flat [S, 4] array so ray casting stays one batched op."""
+    rooms = []
+    for i in range(n_rooms):
+        r, c = divmod(i, per_row)
+        ox = c * (room_w + gap)
+        oy = r * (room_h + gap)
+        rooms.append(make_rect_room(ox - 0.5, oy - 2.0,
+                                    ox + room_w - 0.5, oy + room_h - 2.0))
+    return np.concatenate(rooms, axis=0)
+
+
+def ray_segment_t(ox, oy, dx, dy, walls):
+    """Parametric hit distances of rays against every wall segment.
+
+    ox, oy, dx, dy: [...] ray origins and unit directions (broadcastable).
+    walls: [S, 4] segments as (x1, y1, x2, y2).
+    Returns t: [..., S] with +inf where the ray misses that segment.
+
+    Matches generate_fake_dual_session.py:67-80: rejects |denom| < 1e-10,
+    requires t > 0.001 and 0 <= u <= 1.
+    """
+    sx1, sy1 = walls[:, 0], walls[:, 1]
+    dsx = walls[:, 2] - sx1
+    dsy = walls[:, 3] - sy1
+
+    ox = ox[..., None]
+    oy = oy[..., None]
+    dx = dx[..., None]
+    dy = dy[..., None]
+
+    denom = dx * dsy - dy * dsx
+    rx = sx1 - ox
+    ry = sy1 - oy
+    # Guard the division; invalid lanes are masked out below.
+    safe = jnp.where(jnp.abs(denom) < 1e-10, 1.0, denom)
+    t = (rx * dsy - ry * dsx) / safe
+    u = (rx * dy - ry * dx) / safe
+
+    valid = (jnp.abs(denom) >= 1e-10) & (t > 1e-3) & (u >= 0.0) & (u <= 1.0)
+    return jnp.where(valid, t, jnp.inf)
+
+
+def cast_rays(origins, angles, walls):
+    """Distance to the nearest wall for each ray.
+
+    origins: [..., 2] world positions; angles: [...] world headings.
+    Returns [...] distances, RAY_MISS (99.0) where nothing is hit within
+    50 m (ref cast_ray, generate_fake_dual_session.py:83-90).
+    """
+    dx = jnp.cos(angles)
+    dy = jnp.sin(angles)
+    t = ray_segment_t(origins[..., 0], origins[..., 1], dx, dy, walls)
+    d = jnp.min(t, axis=-1)
+    return jnp.where(d < RAY_MAX_VALID, d, RAY_MISS)
