@@ -1,0 +1,111 @@
+"""Frontier detection + clustering as convolutions and label propagation.
+
+Reference: `OccupancyGrid.get_frontiers` scans all 40k cells in Python and
+`cluster_frontiers` BFS-flood-fills clusters (dual_bot_mapper.py:181-231).
+Here the frontier mask is four shifted compares (one fused VPU pass) and
+clustering is iterative min-label propagation under `lax.while_loop` —
+converging to exactly the same 4-connected components. Cluster ordering
+matches the reference's discovery order (row-major first cell), because the
+component root is the minimum flat index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from swarm_tpu.config import CoordConfig, GridConfig
+from swarm_tpu.ops.raster import grid_to_world
+
+BIG = jnp.int32(2 ** 30)
+
+
+def frontier_mask(grid, cfg: GridConfig = GridConfig()):
+    """FREE cells 4-adjacent to an UNKNOWN cell, interior only
+    (the reference scans y, x in 1..size-2, dual_bot_mapper.py:187-188)."""
+    free = grid == cfg.free
+    unk = grid == cfg.unknown
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    near_unknown = (shift(unk, 0, -1) | shift(unk, 0, 1) |
+                    shift(unk, -1, 0) | shift(unk, 1, 0))
+    mask = free & near_unknown
+    # zero out the border ring
+    mask = mask.at[0, :].set(False).at[-1, :].set(False)
+    mask = mask.at[:, 0].set(False).at[:, -1].set(False)
+    return mask
+
+
+def label_components(mask):
+    """4-connected component labels by min-propagation.
+
+    Returns int32 [S, S]: for masked cells the component id (the minimum
+    flat row-major index in the component), BIG elsewhere."""
+    s = mask.shape[0]
+    flat_ids = jnp.arange(s * s, dtype=jnp.int32).reshape(s, s)
+    init = jnp.where(mask, flat_ids, BIG)
+
+    def shift_min(lbl):
+        padded = jnp.pad(lbl, 1, constant_values=BIG)
+        n = jnp.minimum(
+            jnp.minimum(padded[:-2, 1:-1], padded[2:, 1:-1]),
+            jnp.minimum(padded[1:-1, :-2], padded[1:-1, 2:]))
+        return jnp.where(mask, jnp.minimum(lbl, n), BIG)
+
+    def cond(carry):
+        lbl, changed = carry
+        return changed
+
+    def body(carry):
+        lbl, _ = carry
+        new = shift_min(lbl)
+        # Two hops per iteration halves the convergence length.
+        new = shift_min(new)
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(True)))
+    return lbl
+
+
+def frontier_clusters(grid, cfg: GridConfig = GridConfig(),
+                      coord: CoordConfig = CoordConfig()):
+    """Full frontier pipeline: mask -> components -> filtered centroids.
+
+    Returns (centroids_world [K, 2] float32, sizes [K] int32, count int32)
+    with clusters of size >= frontier_min_cluster, ordered by discovery
+    (reference BFS order), padded with zeros beyond `count`."""
+    s = grid.shape[0]
+    k_max = coord.max_frontiers
+    mask = frontier_mask(grid, cfg)
+    lbl = label_components(mask)
+
+    flat_lbl = jnp.where(mask, lbl, BIG).reshape(-1)
+    safe_lbl = jnp.where(flat_lbl == BIG, 0, flat_lbl)
+    ones = jnp.where(flat_lbl == BIG, 0, 1)
+    gx = jnp.tile(jnp.arange(s, dtype=jnp.float32), (s,))         # x = col
+    gy = jnp.repeat(jnp.arange(s, dtype=jnp.float32), s)          # y = row
+    gx = jnp.where(flat_lbl == BIG, 0.0, gx)
+    gy = jnp.where(flat_lbl == BIG, 0.0, gy)
+
+    n = s * s
+    sizes = jnp.zeros((n,), jnp.int32).at[safe_lbl].add(ones)
+    sum_x = jnp.zeros((n,), jnp.float32).at[safe_lbl].add(gx)
+    sum_y = jnp.zeros((n,), jnp.float32).at[safe_lbl].add(gy)
+
+    # roots, ordered by flat id = reference discovery order
+    flat_ids = jnp.arange(n, dtype=jnp.int32)
+    is_root = (sizes >= coord.frontier_min_cluster)
+    root_order = jnp.where(is_root, flat_ids, BIG)
+    topk = jnp.sort(root_order)[:k_max]
+    found = topk != BIG
+    topk_safe = jnp.where(found, topk, 0)
+
+    csize = jnp.where(found, sizes[topk_safe], 0)
+    cx = sum_x[topk_safe] / jnp.maximum(csize, 1)
+    cy = sum_y[topk_safe] / jnp.maximum(csize, 1)
+    wx, wy = grid_to_world(cx, cy, cfg)
+    centroids = jnp.stack([jnp.where(found, wx, 0.0),
+                           jnp.where(found, wy, 0.0)], axis=-1)
+    return centroids, csize, jnp.sum(found.astype(jnp.int32))

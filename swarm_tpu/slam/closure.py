@@ -1,0 +1,136 @@
+"""Landmark-based loop closure — the reference's `PoseGraphSLAM`
+(server_nodes/dual_bot_mapper.py:261-338) as fixed-capacity, masked array
+operations.
+
+Reference semantics reproduced exactly:
+  * every packet appends a pose node; packets whose landmark_type != NONE
+    are matched against ALL previously stored landmarks in insertion order
+    and the FIRST hit wins (dual_bot_mapper.py:292-326);
+  * a hit requires same landmark type, >= MIN_POSES_BETWEEN node-index gap
+    from the matched landmark, >= MIN_POSES_BETWEEN since this agent's last
+    closure, and < CLOSURE_RADIUS spatial distance;
+  * the correction is 0.5x the error (damped), accumulated per agent and
+    applied to all subsequent incoming odometry (dual_bot_mapper.py:854-857,
+    908-919);
+  * the landmark is stored AFTER matching, so a node never matches itself.
+
+TPU-first: the unbounded Python lists become ring buffers of static
+capacity; "first match in insertion order" is an argmin over the masked
+slot index — one vectorised pass instead of a data-dependent loop. The
+whole `add_pose` is pure and scan-able over a packet stream.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from swarm_tpu.config import SlamConfig
+
+
+class ClosureState(NamedTuple):
+    # Landmark store (ring buffer, insertion-ordered while not wrapped).
+    lm_x: jnp.ndarray        # [L]
+    lm_y: jnp.ndarray        # [L]
+    lm_type: jnp.ndarray     # [L] int32, 0 = empty slot
+    lm_node: jnp.ndarray     # [L] int32 node index, -1 = empty
+    lm_count: jnp.ndarray    # [] int32 (total ever stored)
+    # Pose counter + per-agent closure guards.
+    n_nodes: jnp.ndarray             # [] int32
+    last_closure_node: jnp.ndarray   # [N] int32
+    drift_dx: jnp.ndarray            # [N] cumulative correction
+    drift_dy: jnp.ndarray            # [N]
+    # Closure edge log (ring buffer) for slam_closures.csv parity
+    # (dual_bot_mapper.py:1034-1038) and for the pose-graph optimiser.
+    cl_lm_node: jnp.ndarray   # [C] int32
+    cl_node: jnp.ndarray      # [C] int32
+    cl_dx: jnp.ndarray        # [C]
+    cl_dy: jnp.ndarray        # [C]
+    cl_agent: jnp.ndarray     # [C] int32
+    cl_count: jnp.ndarray     # [] int32
+
+
+def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
+                 closure_capacity: int = 1024) -> ClosureState:
+    L, C = cfg.landmark_capacity, closure_capacity
+    zf = jnp.zeros
+    return ClosureState(
+        lm_x=zf((L,), jnp.float32), lm_y=zf((L,), jnp.float32),
+        lm_type=zf((L,), jnp.int32), lm_node=jnp.full((L,), -1, jnp.int32),
+        lm_count=jnp.zeros((), jnp.int32),
+        n_nodes=jnp.zeros((), jnp.int32),
+        # ref: last_closure_idx starts at -MIN_POSES_BETWEEN (:271)
+        last_closure_node=jnp.full((n_agents,), -cfg.min_poses_between, jnp.int32),
+        drift_dx=zf((n_agents,), jnp.float32), drift_dy=zf((n_agents,), jnp.float32),
+        cl_lm_node=jnp.full((C,), -1, jnp.int32), cl_node=jnp.full((C,), -1, jnp.int32),
+        cl_dx=zf((C,), jnp.float32), cl_dy=zf((C,), jnp.float32),
+        cl_agent=jnp.full((C,), -1, jnp.int32), cl_count=jnp.zeros((), jnp.int32))
+
+
+def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
+                     cfg: SlamConfig = SlamConfig(), valid=True):
+    """Add one pose (already drift-corrected) and run the closure check.
+
+    agent: int32 0-based agent index. valid: packet mask (padding rows
+    leave the state untouched). Returns (new_state, closed, cdx, cdy).
+    """
+    valid = jnp.asarray(valid)
+    idx = state.n_nodes
+    L = state.lm_x.shape[0]
+    slots = jnp.arange(L, dtype=jnp.int32)
+
+    has_lm = (lm_type != 0) & valid
+
+    # --- batched first-match closure test (ref :292-326) --------------------
+    occupied = slots < jnp.minimum(state.lm_count, L)
+    same_type = state.lm_type == lm_type
+    far_in_seq = (idx - state.lm_node) >= cfg.min_poses_between
+    agent_ok = (idx - state.last_closure_node[agent]) >= cfg.min_poses_between
+    d2 = (x - state.lm_x) ** 2 + (y - state.lm_y) ** 2
+    near = d2 < cfg.closure_radius_m ** 2
+    match = occupied & same_type & far_in_seq & near & agent_ok & has_lm
+
+    any_match = jnp.any(match)
+    first = jnp.argmin(jnp.where(match, slots, L))   # first in insertion order
+    mx = state.lm_x[first]
+    my = state.lm_y[first]
+    cdx = jnp.where(any_match, (mx - x) * cfg.closure_correction, 0.0)
+    cdy = jnp.where(any_match, (my - y) * cfg.closure_correction, 0.0)
+
+    # --- state updates (all masked) -----------------------------------------
+    last_cl = state.last_closure_node.at[agent].set(
+        jnp.where(any_match, idx, state.last_closure_node[agent]))
+    drift_dx = state.drift_dx.at[agent].add(jnp.where(any_match, cdx, 0.0))
+    drift_dy = state.drift_dy.at[agent].add(jnp.where(any_match, cdy, 0.0))
+
+    # closure log append
+    C = state.cl_lm_node.shape[0]
+    cslot = jnp.mod(state.cl_count, C)
+    def put(buf, val):
+        return buf.at[cslot].set(jnp.where(any_match, val, buf[cslot]))
+    cl_lm_node = put(state.cl_lm_node, state.lm_node[first])
+    cl_node = put(state.cl_node, idx)
+    cl_dx = put(state.cl_dx, cdx)
+    cl_dy = put(state.cl_dy, cdy)
+    cl_agent = put(state.cl_agent, agent.astype(jnp.int32)
+                   if hasattr(agent, "astype") else jnp.int32(agent))
+    cl_count = state.cl_count + jnp.where(any_match, 1, 0)
+
+    # landmark append AFTER matching (ref :288)
+    lslot = jnp.mod(state.lm_count, L)
+    lm_x = state.lm_x.at[lslot].set(jnp.where(has_lm, x, state.lm_x[lslot]))
+    lm_y = state.lm_y.at[lslot].set(jnp.where(has_lm, y, state.lm_y[lslot]))
+    lm_t = state.lm_type.at[lslot].set(
+        jnp.where(has_lm, lm_type, state.lm_type[lslot]))
+    lm_n = state.lm_node.at[lslot].set(
+        jnp.where(has_lm, idx, state.lm_node[lslot]))
+    lm_count = state.lm_count + jnp.where(has_lm, 1, 0)
+
+    new = ClosureState(
+        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_count=lm_count,
+        n_nodes=idx + jnp.where(valid, 1, 0),
+        last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
+        cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
+        cl_agent=cl_agent, cl_count=cl_count)
+    return new, any_match, cdx, cdy

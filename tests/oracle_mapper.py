@@ -191,3 +191,28 @@ def oracle_ekf_update(x, P, v_meas, w_meas, r_diag):
     x = x + K @ y
     P = (np.eye(6) - K @ H) @ P
     return x, P
+
+
+class OracleServer:
+    """Full sequential ingest: offsets + drift correction + grid + closure
+    (dual_bot_mapper.py main loop RX block, :814-919)."""
+
+    def __init__(self, n_agents=2, offsets=None):
+        self.grid = OracleGrid()
+        self.slam = OracleSlam()
+        self.drift = {a: (0.0, 0.0) for a in range(n_agents)}
+        self.offsets = offsets or [0.0] * n_agents
+        self.log = []          # corrected (rx, ry) per packet
+        self.closure_events = []
+
+    def ingest(self, t, agent, x, y, yaw, dists4, lm_type):
+        rx = x + self.offsets[agent] + self.drift[agent][0]
+        ry = y + self.drift[agent][1]
+        self.grid.ingest_packet(rx, ry, yaw, dists4)
+        closed, cdx, cdy = self.slam.add_pose(rx, ry, yaw, agent, lm_type)
+        if closed:
+            self.drift[agent] = (self.drift[agent][0] + cdx,
+                                 self.drift[agent][1] + cdy)
+            self.closure_events.append((len(self.log), cdx, cdy))
+        self.log.append((rx, ry))
+        return closed
