@@ -1,0 +1,84 @@
+"""Headline benchmark: grid-cell updates/sec of the fused swarm engine.
+
+Runs the full closed-loop step (sense -> nav FSM -> EKF -> odometry drift ->
+occupancy raster -> loop closure -> zones -> heartbeat) for a 1024-agent
+swarm in a 512-room world on one chip and reports sustained occupancy-grid
+cell updates per second.
+
+Baseline: the reference server's derived ceiling is ~5.8e4 cell-updates/s
+(<= 600 pkt/s x 4 rays x <= 24 cells — dual_bot_mapper.py:816, 57, 87;
+BASELINE.md). `vs_baseline` is the speedup over that ceiling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CELL_UPDATES_PER_S = 5.8e4
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=50, help="steps per chunk")
+    ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from __graft_entry__ import _cfg_and_world
+    from swarm_tpu.engine.sim import sim_init, sim_rollout
+
+    cfg, walls, params = _cfg_and_world(args.agents, frontiers=False,
+                                        parity=False)
+    walls = jnp.asarray(walls)
+    state = sim_init(cfg, params)
+
+    @jax.jit
+    def chunk(s):
+        final, ms = sim_rollout(s, args.steps, cfg, walls, params)
+        return final, jnp.sum(ms.writes)   # int32; chunks stay < 2^31 writes
+
+    # warmup / compile
+    state, w = chunk(state)
+    jax.block_until_ready(w)
+
+    t0 = time.perf_counter()
+    total_writes = 0
+    for _ in range(args.chunks):
+        state, w = chunk(state)
+        total_writes += int(w)
+    jax.block_until_ready(state.t)
+    dt = time.perf_counter() - t0
+
+    steps = args.steps * args.chunks
+    value = total_writes / dt
+    print(json.dumps({
+        "metric": "grid_cell_updates_per_s",
+        "value": value,
+        "unit": "cells/s",
+        "vs_baseline": value / BASELINE_CELL_UPDATES_PER_S,
+        "detail": {
+            "agents": args.agents,
+            "steps": steps,
+            "elapsed_s": round(dt, 3),
+            "steps_per_s": round(steps / dt, 2),
+            "agent_steps_per_s": round(steps * args.agents / dt, 1),
+            "writes_per_step": round(total_writes / max(steps, 1), 1),
+            "grid": cfg.grid.size,
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

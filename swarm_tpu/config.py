@@ -178,6 +178,7 @@ class EngineConfig:
     dtype: str = "float32"
     parity_mode: bool = True            # tri-state last-write-wins raster
     use_pallas: bool = False            # Pallas raster kernel (TPU only)
+    compute_frontiers: bool = True      # frontier detection at the 3 s cadence
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,419 @@
+"""The fused closed-loop swarm simulation: ONE jitted step for everything.
+
+This is the TPU-native replacement for the reference's entire distributed
+system — N robots' firmware loops (AgentFirmware_Bot1.ino:689-712: read IMU,
+EKF predict, navigate) plus the central mapping server
+(dual_bot_mapper.py:796-1002) — as a single pure function over batched
+state. The UDP/ESP-NOW hops become array dataflow; packet-level
+imperfections (loss via the alive mask, per-agent drift, sensor noise)
+remain explicit, seedable models.
+
+Per tick (one `navigate()` cycle, ~0.4 s of robot time:
+drive 300 ms + settle 100 ms, ino:477-479):
+
+  1. sense     — 4-way ultrasonic cast from the TRUE pose + noise
+                 (generate_fake_dual_session.py:93-108 semantics: sensors see
+                 truth, telemetry reports the drifted estimate)
+  2. landmark  — geometric signature (ino:152-169 / sim :113-129)
+  3. telemetry — per-agent QuasarPacket fields (est pose, encoder, v2v)
+  4. server    — drift-corrected ingest: batched ray raster into the
+                 occupancy grid, loop closures, territory AABBs, heartbeat,
+                 frontier/target cadences (dual_bot_mapper.py:814-996)
+  5. navigate  — the 6-state FSM step -> motion command (ino:393-607)
+  6. physics   — apply command to the true pose with wall-collision clamp
+  7. odometry  — drifted dead-reckoning integrate + EKF predict/update
+
+Every stage is batched over [N] agents; the raster is one [N*4]-ray scatter;
+closures run either as an exact sequential scan (parity mode) or one
+batched match (throughput mode). `sim_rollout` wraps the step in `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from swarm_tpu.config import SwarmConfig
+from swarm_tpu.coord.assign import greedy_assign
+from swarm_tpu.coord.heartbeat import heartbeat_update
+from swarm_tpu.coord.zones import ZoneState, zone_init, zone_observe_batch, zones_for_agents
+from swarm_tpu.models import nav as navm
+from swarm_tpu.models.ekf import EkfState, ekf_init, ekf_predict, ekf_update
+from swarm_tpu.models.landmarks import detect_landmark_sim
+from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, odom_init, quantize_yaw_deg
+from swarm_tpu.models.sensors import sense_4way
+from swarm_tpu.ops.frontier import frontier_clusters
+from swarm_tpu.ops.raster import RayBatch, logodds_raster, parity_raster, tri_state_view
+from swarm_tpu.slam.closure import (
+    ClosureState, closure_add_pose, closure_add_poses_batch, closure_init)
+from swarm_tpu.utils.angles import wrap_pi
+
+
+class AgentParams(NamedTuple):
+    """Per-agent static parameters as batched arrays — the TPU-native
+    replacement for the reference's forked firmware directories
+    (AgentFirmware_Bot1/ vs AgentFirmware_Bot2/, SURVEY §2 row 14)."""
+    wall_side: jnp.ndarray       # [N] +1 left-follower (Bot1) / -1 right (Bot2)
+    motor_pwm: jnp.ndarray       # [N] MOTOR_SPEED (205 / 190)
+    return_style: jnp.ndarray    # [N] navm.RETURN_STYLE_*
+    home_x: jnp.ndarray          # [N] start x (0 for Bot1, separation for Bot2)
+    home_y: jnp.ndarray
+    yaw0: jnp.ndarray            # [N] start yaw (0 / pi, Bot2.ino:192)
+    trans_scale: jnp.ndarray     # [N] odometry scale bias (0.998 / 1.002)
+    yaw_bias_per_m: jnp.ndarray  # [N] signed yaw drift (-0.008 / +0.008)
+    x_offset: jnp.ndarray        # [N] server-side separation offset (:851-852)
+
+
+def make_agent_params(n: int, separation: float = 5.0,
+                      spacing: float = 0.6,
+                      cfg: SwarmConfig = SwarmConfig()) -> AgentParams:
+    """Alternating Bot1/Bot2 personalities. For n == 2 this reproduces the
+    reference's dual-bot setup exactly (Bot1 at origin facing +x following
+    the left wall; Bot2 at `separation`, yaw pi, right wall). Larger swarms
+    stagger starts along y by `spacing` within the same personality split."""
+    i = jnp.arange(n)
+    is_b2 = (i % 2) == 1
+    row = (i // 2).astype(jnp.float32)
+    return AgentParams(
+        wall_side=jnp.where(is_b2, -1, 1).astype(jnp.int32),
+        motor_pwm=jnp.where(is_b2, 190, 205).astype(jnp.int32),
+        return_style=jnp.where(is_b2, navm.RETURN_STYLE_GOHOME,
+                               navm.RETURN_STYLE_STRAIGHT).astype(jnp.int32),
+        home_x=jnp.where(is_b2, 0.0, 0.0).astype(jnp.float32),
+        home_y=(row * spacing).astype(jnp.float32),
+        yaw0=jnp.where(is_b2, jnp.pi, 0.0).astype(jnp.float32),
+        trans_scale=jnp.where(is_b2, 1.002, 0.998).astype(jnp.float32),
+        yaw_bias_per_m=jnp.where(is_b2, 0.008, -0.008).astype(jnp.float32),
+        x_offset=jnp.where(is_b2, separation, 0.0).astype(jnp.float32))
+
+
+class FaultSchedule(NamedTuple):
+    """Deterministic agent-kill windows (SURVEY §5 failure injection: the
+    scripted stuck-bot fault, generate_fake_dual_session.py:331-350, and the
+    heartbeat-failover test path, dual_bot_mapper.py:804-812)."""
+    agent: jnp.ndarray   # [F] int32 (-1 = unused slot)
+    t_start: jnp.ndarray  # [F] seconds
+    t_end: jnp.ndarray    # [F]
+
+
+def no_faults(capacity: int = 4) -> FaultSchedule:
+    return FaultSchedule(agent=jnp.full((capacity,), -1, jnp.int32),
+                         t_start=jnp.zeros((capacity,), jnp.float32),
+                         t_end=jnp.zeros((capacity,), jnp.float32))
+
+
+def alive_mask(faults: FaultSchedule, n: int, t) -> jnp.ndarray:
+    hit = (faults.agent[None, :] == jnp.arange(n)[:, None]) & \
+        (t >= faults.t_start[None, :]) & (t < faults.t_end[None, :])
+    return ~jnp.any(hit, axis=1)
+
+
+class MapState(NamedTuple):
+    """Server-side mapping + coordination state (dual_bot_mapper.py:755-789)."""
+    grid: jnp.ndarray             # [S, S] int8 tri-state (parity mode)
+    logodds: jnp.ndarray          # [S, S] float32 (throughput mode)
+    closure: ClosureState
+    zone: ZoneState
+    last_packet_t: jnp.ndarray    # [N]
+    pkt_counts: jnp.ndarray       # [N] int32
+    zone_boxes: jnp.ndarray       # [N, 4]
+    zone_active: jnp.ndarray      # [N] bool
+    frontier_centroids: jnp.ndarray  # [K, 2]
+    n_frontiers: jnp.ndarray      # [] int32
+    total_writes: jnp.ndarray     # [] int32
+
+
+class SimState(NamedTuple):
+    """Complete swarm-world state — one pytree, checkpointable as-is."""
+    t: jnp.ndarray                # [] seconds
+    step: jnp.ndarray             # [] int32
+    key: jnp.ndarray              # PRNG key
+    pose_true: jnp.ndarray        # [N, 3] ground truth (x, y, yaw)
+    odom: OdomState               # drifted estimate ([N] leaves)
+    ekf: EkfState                 # [N, 6] / [N, 6, 6]
+    nav: navm.NavState            # [N] leaves
+    total_dist: jnp.ndarray       # [N] true metres travelled
+    srv: MapState
+
+
+class StepMetrics(NamedTuple):
+    """Per-step observability (SURVEY §5 metrics: the jitted step returns a
+    metrics pytree instead of printing)."""
+    writes: jnp.ndarray        # [] grid cell writes this step
+    closures: jnp.ndarray      # [] closures fired this step
+    online: jnp.ndarray        # [] agents online
+    n_frontiers: jnp.ndarray   # [] frontier clusters known
+    pose_err: jnp.ndarray      # [] mean |est+corr - true| position error
+    mission_done: jnp.ndarray  # [] agents finished
+
+
+def sim_init(cfg: SwarmConfig, params: AgentParams,
+             key: Optional[jnp.ndarray] = None) -> SimState:
+    n = cfg.n_agents
+    s = cfg.grid.size
+    if key is None:
+        key = jax.random.PRNGKey(42)   # ref seed (generate_fake_dual_session.py:319)
+    x0 = params.home_x
+    y0 = params.home_y
+    pose_true = jnp.stack([x0, y0, params.yaw0], axis=-1)
+    ekf0 = jax.vmap(lambda x, y, yaw: ekf_init(
+        jnp.array([x, y, yaw, 0.0, 0.0, 0.0])))(x0, y0, params.yaw0)
+    srv = MapState(
+        grid=jnp.full((s, s), cfg.grid.unknown, jnp.int8),
+        logodds=jnp.zeros((s, s), jnp.float32),
+        closure=closure_init(n, cfg.slam),
+        zone=zone_init(n),
+        last_packet_t=jnp.zeros((n,), jnp.float32),
+        pkt_counts=jnp.zeros((n,), jnp.int32),
+        zone_boxes=jnp.tile(jnp.array([999.0, 999.0, -999.0, -999.0],
+                                      jnp.float32), (n, 1)),
+        zone_active=jnp.zeros((n,), bool),
+        frontier_centroids=jnp.zeros((cfg.coord.max_frontiers, 2), jnp.float32),
+        n_frontiers=jnp.zeros((), jnp.int32),
+        total_writes=jnp.zeros((), jnp.int32))
+    return SimState(
+        t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
+        pose_true=pose_true,
+        odom=odom_init(x0, y0, params.yaw0),
+        ekf=ekf0,
+        nav=navm.nav_init(n),
+        total_dist=jnp.zeros((n,)),
+        srv=srv)
+
+
+def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
+                    alive, t, step, cfg: SwarmConfig, params: AgentParams,
+                    enable_targets: bool):
+    """One step's N packets into the mapping server, fully batched.
+
+    Reproduces dual_bot_mapper.py:814-996 semantics with the step-cadence
+    versions of the 2 s / 3 s wall-clock timers (zone every
+    round(2/dt) steps etc. — equivalent at the fixed tick rate)."""
+    n = cfg.n_agents
+    sens = cfg.sensors
+
+    # separation offset + accumulated SLAM drift correction (:851-857)
+    rx = est_x + params.x_offset + srv.closure.drift_dx
+    ry = est_y + srv.closure.drift_dy
+    ryaw = est_yaw
+
+    last_packet_t = jnp.where(alive, t, srv.last_packet_t)
+    pkt_counts = srv.pkt_counts + alive.astype(jnp.int32)
+
+    # 4-ray world projection with the trust filter (:881-904)
+    angles = ryaw[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
+    hit_valid = (dist4 > sens.min_range) & (dist4 <= sens.max_range)
+    rng = jnp.where(hit_valid, dist4, sens.max_range)
+    hx = rx[:, None] + rng * jnp.cos(angles)
+    hy = ry[:, None] + rng * jnp.sin(angles)
+    rays = RayBatch(
+        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
+        hx=hx.reshape(-1), hy=hy.reshape(-1),
+        hit_valid=hit_valid.reshape(-1),
+        active=jnp.repeat(alive, 4))
+    if cfg.engine.parity_mode:
+        grid, writes = parity_raster(srv.grid, rays, cfg.grid)
+        logodds = srv.logodds
+        tri = grid
+    else:
+        logodds, writes = logodds_raster(srv.logodds, rays, cfg.grid)
+        grid = srv.grid
+        tri = tri_state_view(logodds, cfg.grid)
+
+    # territory AABBs fold the path point + valid hits (:930-940 running form)
+    agents = jnp.arange(n, dtype=jnp.int32)
+    zone = zone_observe_batch(
+        srv.zone,
+        jnp.concatenate([agents, jnp.repeat(agents, 4)]),
+        jnp.concatenate([rx, hx.reshape(-1)]),
+        jnp.concatenate([ry, hy.reshape(-1)]),
+        jnp.concatenate([alive, (hit_valid & alive[:, None]).reshape(-1)]))
+
+    # loop closure (:907-919)
+    if cfg.engine.parity_mode:
+        def one(cl, pkt):
+            px, py, pa, plm, pv = pkt
+            cl, closed, _, _ = closure_add_pose(cl, px, py, pa, plm,
+                                                cfg.slam, valid=pv)
+            return cl, closed
+        closure, closed = jax.lax.scan(
+            one, srv.closure, (rx, ry, agents, lm_types, alive))
+    else:
+        closure, closed, _, _ = closure_add_poses_batch(
+            srv.closure, rx, ry, agents, lm_types, cfg.slam, valid=alive)
+
+    online = heartbeat_update(last_packet_t, t, cfg.coord.heartbeat_timeout_s)
+    agent_xy = jnp.stack([rx, ry], axis=-1)
+
+    # zone snapshot cadence (2 s, :921-945)
+    dt = cfg.nav.drive_tick_s + cfg.nav.settle_tick_s
+    zone_every = max(1, round(cfg.coord.zone_interval_s / dt))
+    do_zone = (step % zone_every) == 0
+    boxes, active = zones_for_agents(zone, agent_xy, online)
+    zone_boxes = jnp.where(do_zone, boxes, srv.zone_boxes)
+    zone_active = jnp.where(do_zone, active, srv.zone_active)
+
+    # frontier cadence (3 s, :947-996)
+    target_every = max(1, round(cfg.coord.target_interval_s / dt))
+    do_target = (step % target_every) == 0
+
+    def recompute(_):
+        cents, _, cnt = frontier_clusters(tri, cfg.grid, cfg.coord)
+        if enable_targets:
+            tg, has = greedy_assign(agent_xy, online, cents, cnt, cfg.coord)
+        else:
+            tg = jnp.zeros((n, 2), jnp.float32)
+            has = jnp.zeros((n,), bool)
+        return cents, cnt, tg, has
+
+    def keep(_):
+        return (srv.frontier_centroids, srv.n_frontiers,
+                jnp.zeros((n, 2), jnp.float32), jnp.zeros((n,), bool))
+
+    if cfg.engine.compute_frontiers:
+        cents, n_fr, new_targets, new_has_target = jax.lax.cond(
+            do_target, recompute, keep, None)
+    else:
+        cents, n_fr, new_targets, new_has_target = keep(None)
+
+    new_srv = MapState(
+        grid=grid, logodds=logodds, closure=closure, zone=zone,
+        last_packet_t=last_packet_t, pkt_counts=pkt_counts,
+        zone_boxes=zone_boxes, zone_active=zone_active,
+        frontier_centroids=cents, n_frontiers=n_fr,
+        total_writes=srv.total_writes + writes.astype(jnp.int32))
+    return new_srv, closed, online, new_targets, new_has_target, (rx, ry)
+
+
+def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
+             faults: Optional[FaultSchedule] = None,
+             enable_targets: bool = False):
+    """Advance the whole swarm world by one tick. Pure; jit over (cfg, walls
+    static by closure). Returns (new_state, StepMetrics)."""
+    n = cfg.n_agents
+    navc = cfg.nav
+    dt = navc.drive_tick_s + navc.settle_tick_s
+    if faults is None:
+        faults = no_faults()
+    alive = alive_mask(faults, n, state.t)
+
+    # Per-agent counter-based RNG streams: fold the step key by GLOBAL agent
+    # id, so results are identical under any agent sharding (SURVEY §7
+    # "hard parts" — RNG strategy for bit-comparability).
+    key, k_step = jax.random.split(state.key)
+    agent_ids = jnp.arange(n, dtype=jnp.uint32)
+    k_agents = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(agent_ids)
+    k_sense = jax.vmap(lambda k: jax.random.fold_in(k, 0))(k_agents)
+    k_drift = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_agents)
+
+    # 1. sense from TRUE pose (noise model: generate_fake_dual_session.py:100-108)
+    dist4 = jax.vmap(lambda k, p: sense_4way(k, p, walls, cfg.sensors))(
+        k_sense, state.pose_true)
+
+    # 2. landmark signature (sim thresholds, :113-129)
+    lm = detect_landmark_sim(dist4[:, 0], dist4[:, 1], dist4[:, 3],
+                             navc.lm_sim_close_m, cfg.sensors.max_range)
+    lm = jnp.where(alive, lm, 0)
+
+    # 3. telemetry fields from the DRIFTED estimate (pre-motion, ino:284-313)
+    odom, encoder_total = encoder_emit(state.odom, cfg.noise)
+    yaw_q = jnp.radians(quantize_yaw_deg(odom.yaw_est,
+                                         cfg.noise.yaw_quantize_deg))
+
+    # 4. server ingest (batched packets)
+    srv, closed, online, new_targets, new_has, _ = _ingest_batched(
+        state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
+        state.t, state.step, cfg, params, enable_targets)
+
+    # TARG delivery (ino:126-139, enabled behind the flag)
+    nav = state.nav
+    if enable_targets:
+        # targets arrive in server frame; agents navigate in odometry frame
+        tgt_local = new_targets - jnp.stack(
+            [params.x_offset + srv.closure.drift_dx,
+             srv.closure.drift_dy], axis=-1)
+        nav = navm.assign_target(nav, tgt_local, new_has & alive)
+
+    # 5. navigate (est pose drives the FSM, the firmware convention)
+    est_pose = jnp.stack([odom.x_est, odom.y_est, odom.yaw_est], axis=-1)
+    zone_local = srv.zone_boxes - jnp.stack(
+        [params.x_offset, jnp.zeros((n,)),
+         params.x_offset, jnp.zeros((n,))], axis=-1)
+    nav, cmd = navm.nav_step(nav, navm.NavParams(
+        wall_side=params.wall_side, motor_pwm=params.motor_pwm,
+        return_style=params.return_style,
+        home_x=params.home_x, home_y=params.home_y),
+        dist4, est_pose, state.total_dist, zone_local,
+        srv.zone_active, dt, navc)
+
+    drive = jnp.where(alive, cmd.drive_m, 0.0)
+    turn = jnp.where(alive, cmd.turn_cmd_rad, 0.0)
+    steer = jnp.where(alive, cmd.steer_rad, 0.0)
+
+    # 6. physics: turn, then drive along the new true heading with a
+    #    wall-collision clamp (the sim world's walls are solid)
+    yaw_true = wrap_pi(state.pose_true[:, 2] + turn + steer)
+    from swarm_tpu.geom.world import cast_rays
+    clear = cast_rays(state.pose_true[:, :2], yaw_true, walls)
+    drive = jnp.minimum(drive, jnp.maximum(clear - 0.08, 0.0))
+    x_true = state.pose_true[:, 0] + drive * jnp.cos(yaw_true)
+    y_true = state.pose_true[:, 1] + drive * jnp.sin(yaw_true)
+    pose_true = jnp.stack([x_true, y_true, yaw_true], axis=-1)
+    total_dist = state.total_dist + drive
+
+    # 7. odometry drift integrate (est pose; yaw changes only via turns —
+    #    the firmware's commanded-yaw convention, ino:704-707)
+    odom = jax.vmap(
+        lambda k, o, d, r, ts, yb: drift_integrate(k, o, d, r, ts, yb,
+                                                   cfg.noise))(
+        k_drift, odom, drive, turn, params.trans_scale, params.yaw_bias_per_m)
+
+    #    EKF predict/update alongside (ekf.cpp:26-92), vmapped
+    t_new = state.t + dt
+    omega = (turn + steer) / dt
+    v = drive / dt
+    ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
+        state.ekf, omega, jnp.full((n,), t_new))
+    ekf = jax.vmap(lambda s, vv, w: ekf_update(s, vv, w, cfg.ekf))(
+        ekf, v, omega)
+
+    new_state = SimState(
+        t=t_new, step=state.step + 1, key=key,
+        pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
+        total_dist=total_dist, srv=srv)
+
+    corr_x = odom.x_est + params.x_offset + srv.closure.drift_dx
+    corr_y = odom.y_est + srv.closure.drift_dy
+    true_x = pose_true[:, 0] + params.x_offset
+    err = jnp.sqrt((corr_x - true_x) ** 2 + (corr_y - pose_true[:, 1]) ** 2)
+    metrics = StepMetrics(
+        writes=srv.total_writes - state.srv.total_writes,
+        closures=jnp.sum(closed.astype(jnp.int32)),
+        online=jnp.sum(online.astype(jnp.int32)),
+        n_frontiers=srv.n_frontiers,
+        pose_err=jnp.mean(jnp.where(alive, err, 0.0)),
+        mission_done=jnp.sum(nav.mission_complete.astype(jnp.int32)))
+    return new_state, metrics
+
+
+def sim_rollout(state: SimState, n_steps: int, cfg: SwarmConfig, walls,
+                params: AgentParams, faults: Optional[FaultSchedule] = None,
+                enable_targets: bool = False):
+    """n_steps of the fused step under lax.scan.
+    Returns (final state, stacked StepMetrics)."""
+    def body(s, _):
+        return sim_step(s, cfg, walls, params, faults, enable_targets)
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def make_sim_step(cfg: SwarmConfig, walls, params: AgentParams,
+                  faults: Optional[FaultSchedule] = None,
+                  enable_targets: bool = False, donate: bool = True):
+    """A jitted single-argument step closure — the deployable engine."""
+    f = functools.partial(sim_step, cfg=cfg, walls=jnp.asarray(walls),
+                          params=params, faults=faults,
+                          enable_targets=enable_targets)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())

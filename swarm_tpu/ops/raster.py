@@ -106,19 +106,31 @@ def parity_raster(grid, rays: RayBatch, cfg: GridConfig = GridConfig(),
     return new_flat.reshape(cfg.size, cfg.size).astype(grid.dtype), writes
 
 
+def logodds_delta(rays: RayBatch, cfg: GridConfig = GridConfig(),
+                  k_max: int = 32, dtype=jnp.float32):
+    """Unclamped log-odds evidence of one ray batch, scatter-added into a
+    fresh [size, size] grid. Additive and order-independent, so shards can
+    compute local deltas and `psum` them over the mesh — the TPU-native
+    replacement for funnelling all packets to one server socket
+    (dual_bot_mapper.py:814-824). Returns (delta, writes)."""
+    flat, free, occ = _traced_cells(rays, cfg, k_max)
+    delta = jnp.where(occ, cfg.logodds_hit,
+                      jnp.where(free, cfg.logodds_miss, 0.0)).astype(dtype)
+    flat_r = jnp.where((free | occ), flat, 0).reshape(-1)
+    out = jnp.zeros((cfg.size * cfg.size,), dtype).at[flat_r].add(
+        delta.reshape(-1), mode="drop")
+    writes = jnp.sum(free) + jnp.sum(occ)
+    return out.reshape(cfg.size, cfg.size), writes
+
+
 def logodds_raster(logodds, rays: RayBatch, cfg: GridConfig = GridConfig(),
                    k_max: int = 32):
     """Order-independent log-odds evidence accumulation (TPU-native path).
 
     logodds: [size, size] float32. Returns (new_logodds, writes)."""
-    flat, free, occ = _traced_cells(rays, cfg, k_max)
-    delta = jnp.where(occ, cfg.logodds_hit,
-                      jnp.where(free, cfg.logodds_miss, 0.0)).astype(logodds.dtype)
-    flat_r = jnp.where((free | occ), flat, 0).reshape(-1)
-    upd = logodds.reshape(-1).at[flat_r].add(delta.reshape(-1), mode="drop")
-    upd = jnp.clip(upd, -cfg.logodds_clamp, cfg.logodds_clamp)
-    writes = jnp.sum(free) + jnp.sum(occ)
-    return upd.reshape(cfg.size, cfg.size), writes
+    delta, writes = logodds_delta(rays, cfg, k_max, logodds.dtype)
+    upd = jnp.clip(logodds + delta, -cfg.logodds_clamp, cfg.logodds_clamp)
+    return upd, writes
 
 
 def tri_state_view(logodds, cfg: GridConfig = GridConfig(),

@@ -1,0 +1,268 @@
+"""The fused swarm step sharded over a TPU mesh with `shard_map`.
+
+Parallel decomposition (SURVEY §2 "Parallelism strategies"):
+
+  * Agent state (pose, odometry, EKF, nav FSM) shards over the `agents`
+    mesh axis — robots are independent programs, so the per-agent physics,
+    sensing, estimation and navigation run with ZERO communication.
+  * The occupancy grid is logically shared. Each shard rasters only its own
+    agents' rays into a local log-odds delta (`logodds_delta`) and one
+    `psum` over ICI merges the evidence — exact because log-odds updates
+    are additive and order-independent.
+  * The small coordination state (loop-closure buffers, territory AABBs,
+    heartbeats — all O(N) scalars) is replicated; shards `all_gather` the
+    step's telemetry (a few floats per agent — the QuasarPacket fields,
+    dual_bot_mapper.py:41-42) and every device computes the identical
+    server update, so no second collective round-trip is needed.
+
+Requires throughput mode (`cfg.engine.parity_mode = False`): the tri-state
+parity raster is packet-order-dependent and inherently sequential; the
+log-odds view is the scalable path (tri-state view = threshold of it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from swarm_tpu.config import SwarmConfig
+from swarm_tpu.coord.heartbeat import heartbeat_update
+from swarm_tpu.coord.zones import ZoneState, zone_observe_batch, zones_for_agents
+from swarm_tpu.engine.sim import (
+    AgentParams, FaultSchedule, MapState, SimState, StepMetrics, no_faults)
+from swarm_tpu.models import nav as navm
+from swarm_tpu.models.ekf import EkfState, ekf_predict, ekf_update
+from swarm_tpu.models.landmarks import detect_landmark_sim
+from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, quantize_yaw_deg
+from swarm_tpu.models.sensors import sense_4way
+from swarm_tpu.geom.world import cast_rays
+from swarm_tpu.ops.frontier import frontier_clusters
+from swarm_tpu.ops.raster import RayBatch, logodds_delta, tri_state_view
+from swarm_tpu.slam.closure import ClosureState, closure_add_poses_batch
+from swarm_tpu.utils.angles import wrap_pi
+
+
+def state_specs(axis: str = "agents") -> SimState:
+    """PartitionSpec pytree for SimState: agent-batched leaves shard over
+    `axis`, server/scalar state is replicated."""
+    ag, rep = P(axis), P()
+    return SimState(
+        t=rep, step=rep, key=rep,
+        pose_true=ag,
+        odom=OdomState(*([ag] * 6)),
+        ekf=EkfState(*([ag] * 3)),
+        nav=navm.NavState(*([ag] * 8)),
+        total_dist=ag,
+        srv=MapState(
+            grid=rep, logodds=rep,
+            closure=ClosureState(*([rep] * 15)),
+            zone=ZoneState(*([rep] * 5)),
+            last_packet_t=rep, pkt_counts=rep,
+            zone_boxes=rep, zone_active=rep,
+            frontier_centroids=rep, n_frontiers=rep, total_writes=rep))
+
+
+def shard_state(state: SimState, mesh) -> SimState:
+    """Place a host SimState onto the mesh with the engine's shardings."""
+    specs = state_specs(mesh.axis_names[0])
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
+                       params: AgentParams, faults: FaultSchedule,
+                       enable_targets: bool, axis: str):
+    """shard_map body: agent leaves arrive as [N/D] local rows, server state
+    replicated. Mirrors engine.sim.sim_step stage-for-stage."""
+    n = cfg.n_agents
+    navc = cfg.nav
+    sens = cfg.sensors
+    dt = navc.drive_tick_s + navc.settle_tick_s
+    srv = state.srv
+
+    n_loc = state.pose_true.shape[0]
+    shard = jax.lax.axis_index(axis)
+    ridx = shard * n_loc + jnp.arange(n_loc, dtype=jnp.int32)  # global ids
+
+    # per-agent params for this shard (params are replicated closures)
+    p = jax.tree.map(lambda a: a[ridx], params)
+
+    hit = (faults.agent[None, :] == ridx[:, None]) & \
+        (state.t >= faults.t_start[None, :]) & (state.t < faults.t_end[None, :])
+    alive = ~jnp.any(hit, axis=1)
+
+    # Per-agent counter-based RNG streams folded by GLOBAL agent id — bit
+    # identical to engine.sim.sim_step under any mesh size.
+    key, k_step = jax.random.split(state.key)
+    k_agents = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
+        ridx.astype(jnp.uint32))
+    k_sense = jax.vmap(lambda k: jax.random.fold_in(k, 0))(k_agents)
+    k_drift = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_agents)
+
+    # 1-2. sense + landmark (local)
+    dist4 = jax.vmap(lambda k, pp: sense_4way(k, pp, walls, sens))(
+        k_sense, state.pose_true)
+    lm = detect_landmark_sim(dist4[:, 0], dist4[:, 1], dist4[:, 3],
+                             navc.lm_sim_close_m, sens.max_range)
+    lm = jnp.where(alive, lm, 0)
+
+    # 3. telemetry (local)
+    odom, _ = encoder_emit(state.odom, cfg.noise)
+    yaw_q = jnp.radians(quantize_yaw_deg(odom.yaw_est,
+                                         cfg.noise.yaw_quantize_deg))
+
+    # 4. server ingest — local raster + psum, gathered coordination
+    rx = odom.x_est + p.x_offset + srv.closure.drift_dx[ridx]
+    ry = odom.y_est + srv.closure.drift_dy[ridx]
+    angles = yaw_q[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
+    hit_valid = (dist4 > sens.min_range) & (dist4 <= sens.max_range)
+    rng = jnp.where(hit_valid, dist4, sens.max_range)
+    hx = rx[:, None] + rng * jnp.cos(angles)
+    hy = ry[:, None] + rng * jnp.sin(angles)
+    rays = RayBatch(
+        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
+        hx=hx.reshape(-1), hy=hy.reshape(-1),
+        hit_valid=hit_valid.reshape(-1), active=jnp.repeat(alive, 4))
+    delta, writes_loc = logodds_delta(rays, cfg.grid)
+    delta = jax.lax.psum(delta, axis)                    # ICI map merge
+    writes = jax.lax.psum(writes_loc, axis)
+    logodds = jnp.clip(srv.logodds + delta,
+                       -cfg.grid.logodds_clamp, cfg.grid.logodds_clamp)
+
+    # gather this step's packets (a few floats per agent over ICI)
+    def g(a):
+        return jax.lax.all_gather(a, axis, tiled=True)
+    rx_a, ry_a, lm_a, alive_a = g(rx), g(ry), g(lm), g(alive)
+    hx_a, hy_a, hv_a = g(hx), g(hy), g(hit_valid)
+
+    agents_all = jnp.arange(n, dtype=jnp.int32)
+    closure, closed_a, _, _ = closure_add_poses_batch(
+        srv.closure, rx_a, ry_a, agents_all, lm_a, cfg.slam, valid=alive_a)
+
+    zone = zone_observe_batch(
+        srv.zone,
+        jnp.concatenate([agents_all, jnp.repeat(agents_all, 4)]),
+        jnp.concatenate([rx_a, hx_a.reshape(-1)]),
+        jnp.concatenate([ry_a, hy_a.reshape(-1)]),
+        jnp.concatenate([alive_a, (hv_a & alive_a[:, None]).reshape(-1)]))
+
+    last_packet_t = jnp.where(alive_a, state.t, srv.last_packet_t)
+    pkt_counts = srv.pkt_counts + alive_a.astype(jnp.int32)
+    online = heartbeat_update(last_packet_t, state.t,
+                              cfg.coord.heartbeat_timeout_s)
+    agent_xy = jnp.stack([rx_a, ry_a], axis=-1)
+
+    zone_every = max(1, round(cfg.coord.zone_interval_s / dt))
+    do_zone = (state.step % zone_every) == 0
+    boxes, active = zones_for_agents(zone, agent_xy, online)
+    zone_boxes = jnp.where(do_zone, boxes, srv.zone_boxes)
+    zone_active = jnp.where(do_zone, active, srv.zone_active)
+
+    if cfg.engine.compute_frontiers:
+        target_every = max(1, round(cfg.coord.target_interval_s / dt))
+        do_target = (state.step % target_every) == 0
+        tri = tri_state_view(logodds, cfg.grid)
+        cents, n_fr = jax.lax.cond(
+            do_target,
+            lambda _: frontier_clusters(tri, cfg.grid, cfg.coord)[::2],
+            lambda _: (srv.frontier_centroids, srv.n_frontiers), None)
+    else:
+        cents, n_fr = srv.frontier_centroids, srv.n_frontiers
+
+    new_srv = MapState(
+        grid=srv.grid, logodds=logodds, closure=closure, zone=zone,
+        last_packet_t=last_packet_t, pkt_counts=pkt_counts,
+        zone_boxes=zone_boxes, zone_active=zone_active,
+        frontier_centroids=cents, n_frontiers=n_fr,
+        total_writes=srv.total_writes + writes.astype(jnp.int32))
+
+    # 5. navigate (local; zone boxes back into the agent's odometry frame)
+    est_pose = jnp.stack([odom.x_est, odom.y_est, odom.yaw_est], axis=-1)
+    zb = zone_boxes[ridx]
+    zone_local = zb - jnp.stack(
+        [p.x_offset, jnp.zeros((n_loc,)), p.x_offset,
+         jnp.zeros((n_loc,))], axis=-1)
+    nav, cmd = navm.nav_step(
+        state.nav,
+        navm.NavParams(wall_side=p.wall_side, motor_pwm=p.motor_pwm,
+                       return_style=p.return_style,
+                       home_x=p.home_x, home_y=p.home_y),
+        dist4, est_pose, state.total_dist, zone_local,
+        zone_active[ridx], dt, navc)
+
+    drive = jnp.where(alive, cmd.drive_m, 0.0)
+    turn = jnp.where(alive, cmd.turn_cmd_rad, 0.0)
+    steer = jnp.where(alive, cmd.steer_rad, 0.0)
+
+    # 6. physics (local)
+    yaw_true = wrap_pi(state.pose_true[:, 2] + turn + steer)
+    clear = cast_rays(state.pose_true[:, :2], yaw_true, walls)
+    drive = jnp.minimum(drive, jnp.maximum(clear - 0.08, 0.0))
+    x_true = state.pose_true[:, 0] + drive * jnp.cos(yaw_true)
+    y_true = state.pose_true[:, 1] + drive * jnp.sin(yaw_true)
+    pose_true = jnp.stack([x_true, y_true, yaw_true], axis=-1)
+    total_dist = state.total_dist + drive
+
+    # 7. odometry + EKF (local)
+    odom = jax.vmap(
+        lambda k, o, d, r, ts, yb: drift_integrate(k, o, d, r, ts, yb,
+                                                   cfg.noise))(
+        k_drift, odom, drive, turn, p.trans_scale, p.yaw_bias_per_m)
+    t_new = state.t + dt
+    omega = (turn + steer) / dt
+    v = drive / dt
+    ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
+        state.ekf, omega, jnp.full((n_loc,), t_new))
+    ekf = jax.vmap(lambda s, vv, w: ekf_update(s, vv, w, cfg.ekf))(
+        ekf, v, omega)
+
+    new_state = SimState(
+        t=t_new, step=state.step + 1, key=key,
+        pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
+        total_dist=total_dist, srv=new_srv)
+
+    err = jnp.sqrt((rx - p.x_offset - x_true) ** 2 + (ry - y_true) ** 2)
+    metrics = StepMetrics(
+        writes=writes.astype(jnp.int32),
+        closures=jnp.sum(closed_a.astype(jnp.int32)),
+        online=jnp.sum(online.astype(jnp.int32)),
+        n_frontiers=n_fr,
+        pose_err=jax.lax.psum(jnp.sum(jnp.where(alive, err, 0.0)), axis) / n,
+        mission_done=jax.lax.psum(
+            jnp.sum(nav.mission_complete.astype(jnp.int32)), axis))
+    return new_state, metrics
+
+
+def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
+                          faults: Optional[FaultSchedule] = None,
+                          enable_targets: bool = False, donate: bool = True):
+    """Build the jitted multi-chip step. `cfg.n_agents` must be divisible by
+    the mesh size and `cfg.engine.parity_mode` must be False."""
+    if cfg.engine.parity_mode:
+        raise ValueError("sharded step requires throughput mode "
+                         "(cfg.engine.parity_mode=False)")
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    if cfg.n_agents % d != 0:
+        raise ValueError(f"n_agents={cfg.n_agents} not divisible by "
+                         f"mesh size {d}")
+    if faults is None:
+        faults = no_faults()
+    walls = jnp.asarray(walls)
+
+    body = functools.partial(
+        _sharded_step_body, cfg=cfg, walls=walls, params=params,
+        faults=faults, enable_targets=enable_targets, axis=axis)
+    specs = state_specs(axis)
+    mspec = StepMetrics(*([P()] * 6))
+    # check_vma off: coordination outputs are replicated by construction
+    # (derived from all_gather/psum results), which the static VMA check
+    # cannot see through.
+    f = shard_map(body, mesh=mesh, in_specs=(specs,),
+                  out_specs=(specs, mspec), check_vma=False)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())

@@ -134,3 +134,84 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
         cl_agent=cl_agent, cl_count=cl_count)
     return new, any_match, cdx, cdy
+
+
+def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
+                            cfg: SlamConfig = SlamConfig(), valid=None):
+    """Throughput-mode closure: one step's worth of packets (one per agent,
+    distinct agents) matched against the landmark store SIMULTANEOUSLY.
+
+    Same guards as the reference check (dual_bot_mapper.py:292-326), with one
+    documented divergence from the sequential scan: packets in the same batch
+    match only against landmarks stored BEFORE the batch, never against each
+    other — at the reference's >= 30-pose index gap this cannot change
+    results, because same-batch landmarks are 0..N-1 indices apart.
+
+    xs, ys: [M]; agents: [M] int32 (must be distinct); lm_types: [M] int32.
+    Returns (new_state, closed [M] bool, cdx [M], cdy [M]).
+    """
+    xs = jnp.asarray(xs)
+    M = xs.shape[0]
+    if valid is None:
+        valid = jnp.ones((M,), bool)
+    base = state.n_nodes
+    vi = valid.astype(jnp.int32)
+    # node index of each packet = base + number of valid packets before it
+    idxs = base + jnp.cumsum(vi) - vi
+
+    has_lm = (lm_types != 0) & valid
+    L = state.lm_x.shape[0]
+    slots = jnp.arange(L, dtype=jnp.int32)
+    occupied = slots < jnp.minimum(state.lm_count, L)
+
+    same_type = state.lm_type[None, :] == lm_types[:, None]          # [M, L]
+    far_in_seq = (idxs[:, None] - state.lm_node[None, :]) >= cfg.min_poses_between
+    agent_ok = (idxs - state.last_closure_node[agents]) >= cfg.min_poses_between
+    d2 = (xs[:, None] - state.lm_x[None, :]) ** 2 + \
+         (ys[:, None] - state.lm_y[None, :]) ** 2
+    near = d2 < cfg.closure_radius_m ** 2
+    match = occupied[None, :] & same_type & far_in_seq & near & \
+        (agent_ok & has_lm)[:, None]                                  # [M, L]
+
+    closed = jnp.any(match, axis=1)                                   # [M]
+    first = jnp.argmin(jnp.where(match, slots[None, :], L), axis=1)   # [M]
+    mx = state.lm_x[first]
+    my = state.lm_y[first]
+    cdx = jnp.where(closed, (mx - xs) * cfg.closure_correction, 0.0)
+    cdy = jnp.where(closed, (my - ys) * cfg.closure_correction, 0.0)
+
+    safe_agents = jnp.where(valid, agents, 0)
+    last_cl = state.last_closure_node.at[safe_agents].set(
+        jnp.where(closed, idxs, state.last_closure_node[safe_agents]))
+    drift_dx = state.drift_dx.at[safe_agents].add(cdx)
+    drift_dy = state.drift_dy.at[safe_agents].add(cdy)
+
+    # --- closure log append (packet order within the batch) -----------------
+    C = state.cl_lm_node.shape[0]
+    ci = closed.astype(jnp.int32)
+    cpos = state.cl_count + jnp.cumsum(ci) - ci
+    cslot = jnp.where(closed, jnp.mod(cpos, C), C)   # C = out of bounds, drop
+    cl_lm_node = state.cl_lm_node.at[cslot].set(state.lm_node[first], mode="drop")
+    cl_node = state.cl_node.at[cslot].set(idxs, mode="drop")
+    cl_dx = state.cl_dx.at[cslot].set(cdx, mode="drop")
+    cl_dy = state.cl_dy.at[cslot].set(cdy, mode="drop")
+    cl_agent = state.cl_agent.at[cslot].set(agents.astype(jnp.int32), mode="drop")
+    cl_count = state.cl_count + jnp.sum(ci)
+
+    # --- landmark appends AFTER matching, packet order ----------------------
+    hi = has_lm.astype(jnp.int32)
+    lpos = state.lm_count + jnp.cumsum(hi) - hi
+    lslot = jnp.where(has_lm, jnp.mod(lpos, L), L)
+    lm_x = state.lm_x.at[lslot].set(xs, mode="drop")
+    lm_y = state.lm_y.at[lslot].set(ys, mode="drop")
+    lm_t = state.lm_type.at[lslot].set(lm_types, mode="drop")
+    lm_n = state.lm_node.at[lslot].set(idxs, mode="drop")
+    lm_count = state.lm_count + jnp.sum(hi)
+
+    new = ClosureState(
+        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_count=lm_count,
+        n_nodes=base + jnp.sum(vi),
+        last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
+        cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
+        cl_agent=cl_agent, cl_count=cl_count)
+    return new, closed, cdx, cdy
