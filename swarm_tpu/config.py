@@ -103,7 +103,12 @@ class NavConfig:
     # AgentFirmware_Bot1/motor_control.cpp:21-68, is modelled, not ported).
     pwm_to_mps: float = 0.0012          # 205 PWM -> ~0.25 m/s
     steer_pwm_delta: int = 50           # P-control band delta (ino:469-472)
-    diff_pwm_to_rad_s: float = 0.008    # yaw rate per PWM of wheel differential
+    # Yaw rate per PWM of wheel differential: +/-50 PWM for a 300 ms burst
+    # arcs the displacement ~0.2 rad (≈12 mm lateral per burst — the same
+    # correction rate as the scenario generator's wiggle controller,
+    # generate_fake_dual_session.py:289). The arc is a displacement-heading
+    # bias only; persistent heading changes only via turn().
+    diff_pwm_to_rad_s: float = 0.0067
     drive_tick_s: float = 0.3           # FOLLOW drive burst (ino:477)
     settle_tick_s: float = 0.1          # post-drive settle (ino:479)
     corner_burst_s: float = 0.6         # CORNER_ROUND burst (ino:373)

@@ -140,14 +140,28 @@ class SimState(NamedTuple):
 
 
 class StepMetrics(NamedTuple):
-    """Per-step observability (SURVEY §5 metrics: the jitted step returns a
-    metrics pytree instead of printing)."""
+    """Per-step observability + telemetry (SURVEY §5 metrics: the jitted
+    step returns a metrics pytree instead of printing; the per-agent fields
+    are the QuasarPacket v2 columns, so a rollout's stacked metrics convert
+    straight into a reference-schema session log via proto.csvio)."""
     writes: jnp.ndarray        # [] grid cell writes this step
     closures: jnp.ndarray      # [] closures fired this step
     online: jnp.ndarray        # [] agents online
     n_frontiers: jnp.ndarray   # [] frontier clusters known
     pose_err: jnp.ndarray      # [] mean |est+corr - true| position error
     mission_done: jnp.ndarray  # [] agents finished
+    # --- telemetry (per agent, server frame) -------------------------------
+    t: jnp.ndarray             # [] packet timestamp
+    srv_x: jnp.ndarray         # [N] drift-corrected + offset pose (rx)
+    srv_y: jnp.ndarray         # [N]
+    yaw_q: jnp.ndarray         # [N] quantised reported yaw (radians)
+    encoder: jnp.ndarray       # [N] int32 totals
+    v2v: jnp.ndarray           # [N] int32 cm to nearest other live agent
+    dist_m: jnp.ndarray        # [N, 4] reported ranges (metres)
+    landmark: jnp.ndarray      # [N] int32
+    hits: jnp.ndarray          # [N, 4, 2] world hit points
+    hit_valid: jnp.ndarray     # [N, 4] trust-filter mask
+    alive: jnp.ndarray         # [N] packet-sent mask
 
 
 def sim_init(cfg: SwarmConfig, params: AgentParams,
@@ -285,7 +299,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
         total_writes=srv.total_writes + writes.astype(jnp.int32))
-    return new_srv, closed, online, new_targets, new_has_target, (rx, ry)
+    return new_srv, closed, online, new_targets, new_has_target, \
+        (rx, ry, hx, hy, hit_valid)
 
 
 def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
@@ -324,9 +339,10 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                                          cfg.noise.yaw_quantize_deg))
 
     # 4. server ingest (batched packets)
-    srv, closed, online, new_targets, new_has, _ = _ingest_batched(
+    srv, closed, online, new_targets, new_has, proj = _ingest_batched(
         state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
         state.t, state.step, cfg, params, enable_targets)
+    rx_t, ry_t, hx_t, hy_t, hv_t = proj
 
     # TARG delivery (ino:126-139, enabled behind the flag)
     nav = state.nav
@@ -353,14 +369,19 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     turn = jnp.where(alive, cmd.turn_cmd_rad, 0.0)
     steer = jnp.where(alive, cmd.steer_rad, 0.0)
 
-    # 6. physics: turn, then drive along the new true heading with a
-    #    wall-collision clamp (the sim world's walls are solid)
-    yaw_true = wrap_pi(state.pose_true[:, 2] + turn + steer)
+    # 6. physics: discrete turns rotate the heading; P-control steering is a
+    #    displacement ARC during the burst (the firmware's symmetric wheel
+    #    differential straightens out by burst end, so the persistent
+    #    heading changes only via turn() — the same convention that makes
+    #    commanded-yaw odometry viable, ino:704-707). Wall-collision clamp:
+    #    the sim world's walls are solid.
+    yaw_true = wrap_pi(state.pose_true[:, 2] + turn)
+    move_dir = yaw_true + steer
     from swarm_tpu.geom.world import cast_rays
-    clear = cast_rays(state.pose_true[:, :2], yaw_true, walls)
+    clear = cast_rays(state.pose_true[:, :2], move_dir, walls)
     drive = jnp.minimum(drive, jnp.maximum(clear - 0.08, 0.0))
-    x_true = state.pose_true[:, 0] + drive * jnp.cos(yaw_true)
-    y_true = state.pose_true[:, 1] + drive * jnp.sin(yaw_true)
+    x_true = state.pose_true[:, 0] + drive * jnp.cos(move_dir)
+    y_true = state.pose_true[:, 1] + drive * jnp.sin(move_dir)
     pose_true = jnp.stack([x_true, y_true, yaw_true], axis=-1)
     total_dist = state.total_dist + drive
 
@@ -371,9 +392,10 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                                                    cfg.noise))(
         k_drift, odom, drive, turn, params.trans_scale, params.yaw_bias_per_m)
 
-    #    EKF predict/update alongside (ekf.cpp:26-92), vmapped
+    #    EKF predict/update alongside (ekf.cpp:26-92), vmapped; the gyro
+    #    sees net rotation = the turns (the steering arc integrates to ~0)
     t_new = state.t + dt
-    omega = (turn + steer) / dt
+    omega = turn / dt
     v = drive / dt
     ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
         state.ekf, omega, jnp.full((n,), t_new))
@@ -389,13 +411,30 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     corr_y = odom.y_est + srv.closure.drift_dy
     true_x = pose_true[:, 0] + params.x_offset
     err = jnp.sqrt((corr_x - true_x) ** 2 + (corr_y - pose_true[:, 1]) ** 2)
+
+    # v2v: true distance to the nearest other LIVE agent, cm (the ESP-NOW
+    # link model; generate_fake_dual_session.py:466)
+    txy = state.pose_true[:, :2] + jnp.stack(
+        [params.x_offset, jnp.zeros((n,))], axis=-1)
+    d2 = jnp.sum((txy[:, None, :] - txy[None, :, :]) ** 2, -1)
+    d2 = jnp.where(jnp.eye(n, dtype=bool) | ~alive[None, :], jnp.inf, d2)
+    v2v = jnp.where(jnp.any(jnp.isfinite(d2), 1),
+                    jnp.sqrt(jnp.min(d2, 1)) * 100.0, 0.0).astype(jnp.int32)
+
     metrics = StepMetrics(
         writes=srv.total_writes - state.srv.total_writes,
         closures=jnp.sum(closed.astype(jnp.int32)),
         online=jnp.sum(online.astype(jnp.int32)),
         n_frontiers=srv.n_frontiers,
         pose_err=jnp.mean(jnp.where(alive, err, 0.0)),
-        mission_done=jnp.sum(nav.mission_complete.astype(jnp.int32)))
+        mission_done=jnp.sum(nav.mission_complete.astype(jnp.int32)),
+        t=state.t,
+        srv_x=rx_t, srv_y=ry_t, yaw_q=yaw_q,
+        encoder=encoder_total, v2v=v2v,
+        dist_m=dist4, landmark=lm,
+        hits=jnp.stack([hx_t, hy_t], axis=-1),
+        hit_valid=hv_t & alive[:, None],
+        alive=alive)
     return new_state, metrics
 
 

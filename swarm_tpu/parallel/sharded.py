@@ -112,7 +112,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     lm = jnp.where(alive, lm, 0)
 
     # 3. telemetry (local)
-    odom, _ = encoder_emit(state.odom, cfg.noise)
+    odom, enc_tot = encoder_emit(state.odom, cfg.noise)
     yaw_q = jnp.radians(quantize_yaw_deg(odom.yaw_est,
                                          cfg.noise.yaw_quantize_deg))
 
@@ -199,12 +199,14 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     turn = jnp.where(alive, cmd.turn_cmd_rad, 0.0)
     steer = jnp.where(alive, cmd.steer_rad, 0.0)
 
-    # 6. physics (local)
-    yaw_true = wrap_pi(state.pose_true[:, 2] + turn + steer)
-    clear = cast_rays(state.pose_true[:, :2], yaw_true, walls)
+    # 6. physics (local; steering = displacement arc, heading changes only
+    #    via turns — see engine.sim.sim_step stage 6)
+    yaw_true = wrap_pi(state.pose_true[:, 2] + turn)
+    move_dir = yaw_true + steer
+    clear = cast_rays(state.pose_true[:, :2], move_dir, walls)
     drive = jnp.minimum(drive, jnp.maximum(clear - 0.08, 0.0))
-    x_true = state.pose_true[:, 0] + drive * jnp.cos(yaw_true)
-    y_true = state.pose_true[:, 1] + drive * jnp.sin(yaw_true)
+    x_true = state.pose_true[:, 0] + drive * jnp.cos(move_dir)
+    y_true = state.pose_true[:, 1] + drive * jnp.sin(move_dir)
     pose_true = jnp.stack([x_true, y_true, yaw_true], axis=-1)
     total_dist = state.total_dist + drive
 
@@ -214,7 +216,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                                    cfg.noise))(
         k_drift, odom, drive, turn, p.trans_scale, p.yaw_bias_per_m)
     t_new = state.t + dt
-    omega = (turn + steer) / dt
+    omega = turn / dt
     v = drive / dt
     ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
         state.ekf, omega, jnp.full((n_loc,), t_new))
@@ -227,6 +229,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         total_dist=total_dist, srv=new_srv)
 
     err = jnp.sqrt((rx - p.x_offset - x_true) ** 2 + (ry - y_true) ** 2)
+
+    # v2v over gathered TRUE positions (pre-motion, matching sim_step)
+    txy_a = jnp.stack([g(state.pose_true[:, 0] + p.x_offset),
+                       g(state.pose_true[:, 1])], axis=-1)
+    d2v = jnp.sum((txy_a[:, None, :] - txy_a[None, :, :]) ** 2, -1)
+    d2v = jnp.where(jnp.eye(n, dtype=bool) | ~alive_a[None, :], jnp.inf, d2v)
+    v2v = jnp.where(jnp.any(jnp.isfinite(d2v), 1),
+                    jnp.sqrt(jnp.min(d2v, 1)) * 100.0, 0.0).astype(jnp.int32)
+
     metrics = StepMetrics(
         writes=writes.astype(jnp.int32),
         closures=jnp.sum(closed_a.astype(jnp.int32)),
@@ -234,7 +245,14 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         n_frontiers=n_fr,
         pose_err=jax.lax.psum(jnp.sum(jnp.where(alive, err, 0.0)), axis) / n,
         mission_done=jax.lax.psum(
-            jnp.sum(nav.mission_complete.astype(jnp.int32)), axis))
+            jnp.sum(nav.mission_complete.astype(jnp.int32)), axis),
+        t=state.t,
+        srv_x=rx_a, srv_y=ry_a, yaw_q=g(yaw_q),
+        encoder=g(enc_tot), v2v=v2v,
+        dist_m=g(dist4), landmark=lm_a,
+        hits=jnp.stack([hx_a, hy_a], axis=-1),
+        hit_valid=hv_a & alive_a[:, None],
+        alive=alive_a)
     return new_state, metrics
 
 
@@ -259,7 +277,7 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis)
     specs = state_specs(axis)
-    mspec = StepMetrics(*([P()] * 6))
+    mspec = StepMetrics(*([P()] * len(StepMetrics._fields)))
     # check_vma off: coordination outputs are replicated by construction
     # (derived from all_gather/psum results), which the static VMA check
     # cannot see through.
