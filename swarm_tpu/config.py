@@ -127,7 +127,7 @@ class SlamConfig:
     gn_damping: float = 1e-3
     # Correlative scan matching (replaces map_merger.py ICP, :45-62).
     scanmatch_window_cells: int = 16    # +/- search window in cells
-    scanmatch_angles: int = 16          # rotation hypotheses
+    scanmatch_angles: int = 17          # rotation hypotheses (odd => 0 incl.)
     scanmatch_angle_range: float = 0.35  # +/- radians
 
 
