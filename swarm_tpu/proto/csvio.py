@@ -108,6 +108,67 @@ def write_session(out_dir: str, t, agent, x, y, yaw_rad, encoder, v2v,
     return out_dir
 
 
+class SessionWriter:
+    """Streaming per-packet session logger — the live server's
+    flushed-append CSV behavior (dual_bot_mapper.py:866-905: telemetry row
+    + valid hit rows per packet, flushed immediately so a crash loses
+    nothing)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.dir = out_dir
+        self._ft = open(os.path.join(out_dir, "telemetry.csv"), "w",
+                        newline="")
+        self._fp = open(os.path.join(out_dir, "pointcloud.csv"), "w",
+                        newline="")
+        self._wt = csv.writer(self._ft)
+        self._wp = csv.writer(self._fp)
+        self._wt.writerow(TELEMETRY_COLUMNS)
+        self._wp.writerow(POINTCLOUD_COLUMNS)
+        self._pts = {}
+
+    def telemetry(self, t, agent, x, y, yaw_rad, encoder, v2v, dist4_m,
+                  landmark):
+        self._wt.writerow([
+            f"{t:.3f}", int(agent), f"{x:.4f}", f"{y:.4f}",
+            f"{math.degrees(yaw_rad):.2f}", int(encoder), int(v2v),
+            f"{dist4_m[0] * 100:.1f}", f"{dist4_m[1] * 100:.1f}",
+            f"{dist4_m[2] * 100:.1f}", f"{dist4_m[3] * 100:.1f}",
+            int(landmark)])
+        self._ft.flush()
+
+    def points(self, t, agent, hits_xy, hit_valid):
+        for s, name in enumerate(SENSOR_NAMES):
+            if hit_valid[s]:
+                wx, wy = float(hits_xy[s][0]), float(hits_xy[s][1])
+                self._wp.writerow([f"{t:.3f}", int(agent), name,
+                                   f"{wx:.4f}", f"{wy:.4f}"])
+                self._pts.setdefault(int(agent), []).append((wx, wy))
+        self._fp.flush()
+
+    def close(self, closures=None):
+        self._ft.close()
+        self._fp.close()
+        all_pts = [p for pts in self._pts.values() for p in pts]
+        np.savetxt(os.path.join(self.dir, "pointcloud_merged.csv"),
+                   np.asarray(all_pts, np.float32).reshape(-1, 2),
+                   delimiter=",", header="x,y", comments="", fmt="%.4f")
+        for bot, pts in sorted(self._pts.items()):
+            np.savetxt(os.path.join(self.dir, f"pointcloud_bot{bot}.csv"),
+                       np.asarray(pts, np.float32).reshape(-1, 2),
+                       delimiter=",", header="x,y", comments="", fmt="%.4f")
+        with open(os.path.join(self.dir, "slam_closures.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(CLOSURE_COLUMNS)
+            if closures is not None:
+                ni, nj, dx, dy = closures
+                for i in range(len(ni)):
+                    w.writerow([int(ni[i]), int(nj[i]),
+                                f"{float(dx[i]):.4f}",
+                                f"{float(dy[i]):.4f}"])
+
+
 def load_session(session_dir: str):
     """Load telemetry.csv (+ pointcloud.csv if present) the way
     playback_dual_session.load_session does (:58-105): rows time-sorted.

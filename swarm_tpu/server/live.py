@@ -1,0 +1,284 @@
+"""Live UDP mapping server — the reference's `dual_bot_mapper.py` main loop
+(:713-1048) with the per-packet Python math replaced by the jitted batched
+engine.
+
+Architecture: the socket drains up to `max_packets_per_frame` datagrams per
+frame (ref :816), parses them with the proto codecs, pads them into a
+fixed-shape [B] packet batch, and ONE jitted `lax.scan` (engine.replay
+.ingest_packet) applies the whole frame — raster, closures, zones,
+heartbeat — on device. Frame-rate work on the host is parsing + two small
+device transfers. ZONE/TARG packets go back over UDP on the reference's
+cadences; session CSVs stream via proto.csvio.SessionWriter.
+
+Generalises the reference's hardcoded 2 bots (ports 8888/8889,
+MULTI_AGENT_SETUP_GUIDE.md:25-31) to N agents with a bot-address registry
+learned from incoming packet source addresses.
+"""
+
+from __future__ import annotations
+
+import functools
+import socket
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from swarm_tpu.config import SwarmConfig
+from swarm_tpu.proto.csvio import SessionWriter
+from swarm_tpu.proto.packets import (QuasarPacketV1, QuasarPacketV2,
+                                     TargetPacket, ZonePacket, parse_packet)
+
+
+class LiveServer:
+    """Bind, ingest, coordinate. Drop-in for dual_bot_mapper.py's loop."""
+
+    def __init__(self, cfg: SwarmConfig = SwarmConfig(), port: int = 8888,
+                 separation: float = 5.0, log_dir: Optional[str] = None,
+                 enable_targets: bool = False,
+                 bot_tx_port_base: int = 8888):
+        import jax
+        import jax.numpy as jnp
+        from swarm_tpu.engine.replay import ingest_packet, server_init
+
+        self.cfg = cfg
+        self.enable_targets = enable_targets
+        self.n = cfg.n_agents
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # Burst headroom: the reference drains only 20 pkts/frame (:816);
+        # a deep kernel buffer absorbs bot bursts between frames.
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 4 * 1024 * 1024)
+        except OSError:
+            pass
+        self.sock.bind(("0.0.0.0", port))
+        self.sock.setblocking(False)
+        self.port = port
+        # agent -> (ip, port); learned from RX, overridable. The reference
+        # sends to fixed per-bot ports 8888/8889 (:758-759).
+        self.bot_addrs: Dict[int, Tuple[str, int]] = {}
+        self.bot_tx_port_base = bot_tx_port_base
+        self.t0 = time.time()
+        self.state = server_init(cfg, t0=0.0)
+        self.offsets = jnp.asarray(
+            [0.0 if a % 2 == 0 else separation for a in range(self.n)],
+            jnp.float32)
+        self.writer = SessionWriter(log_dir) if log_dir else None
+        self.online_prev = np.zeros(self.n, bool)
+        self.pkt_total = 0
+
+        b = cfg.engine.max_packets_per_frame
+
+        def frame_fn(state, batch):
+            def step(st, pkt):
+                return ingest_packet(st, pkt, cfg, self.offsets,
+                                     enable_targets=enable_targets,
+                                     compute_frontiers=True)
+            return jax.lax.scan(step, state, batch)
+
+        # No donation: freshly-initialised states can alias identical
+        # zero-constant buffers across leaves, which donation rejects.
+        self._frame = jax.jit(frame_fn)
+        self._batch_size = b
+        self._jnp = jnp
+        # Warm the compile NOW (an all-padding frame) so the first real
+        # traffic burst doesn't sit behind a multi-second XLA compile.
+        self.ingest([])
+
+    def now(self) -> float:
+        return time.time() - self.t0
+
+    # -- RX ------------------------------------------------------------------
+
+    def drain_socket(self):
+        """<= max_packets_per_frame datagrams -> parsed telemetry list."""
+        out = []
+        for _ in range(self._batch_size):
+            try:
+                data, addr = self.sock.recvfrom(2048)
+            except BlockingIOError:
+                break
+            pkt = parse_packet(data)
+            if isinstance(pkt, (QuasarPacketV2, QuasarPacketV1)):
+                agent0 = pkt.agent - 1
+                if 0 <= agent0 < self.n:
+                    self.bot_addrs.setdefault(
+                        agent0, (addr[0], self.bot_tx_port_base + agent0))
+                    out.append((agent0, pkt))
+        return out
+
+    def ingest(self, pkts) -> None:
+        """Apply one frame's packets through the jitted scan."""
+        from swarm_tpu.engine.replay import PacketStream
+
+        jnp = self._jnp
+        b = self._batch_size
+        now = self.now()
+        n_real = min(len(pkts), b)
+
+        def col(f, default, dtype):
+            vals = [f(p) for _, p in pkts[:n_real]]
+            vals += [default] * (b - n_real)
+            return jnp.asarray(np.asarray(vals, dtype))
+
+        agents = [a for a, _ in pkts[:n_real]] + [0] * (b - n_real)
+        lm = [getattr(p, "landmark", 0) for _, p in pkts[:n_real]]
+        lm += [0] * (b - n_real)
+        batch = PacketStream(
+            t=jnp.full((b,), np.float32(now)),
+            agent=jnp.asarray(np.asarray(agents, np.int32)),
+            x=col(lambda p: p.x, 0.0, np.float32),
+            y=col(lambda p: p.y, 0.0, np.float32),
+            yaw=col(lambda p: p.yaw, 0.0, np.float32),
+            encoder=col(lambda p: p.encoder, 0, np.int32),
+            v2v=col(lambda p: p.v2v, 0, np.int32),
+            dist=col(lambda p: [p.front, p.left, p.back, p.right],
+                     [0.0] * 4, np.float32),
+            landmark=jnp.asarray(np.asarray(lm, np.int32)),
+            valid=jnp.asarray(np.arange(b) < n_real))
+        self.state, outs = self._frame(self.state, batch)
+        self.pkt_total += n_real
+
+        if self.writer and n_real:
+            rx = np.asarray(outs.rx)[:n_real]
+            ry = np.asarray(outs.ry)[:n_real]
+            yaw = np.asarray(outs.yaw)[:n_real]
+            hits = np.asarray(outs.hits)[:n_real]
+            hv = np.asarray(outs.hit_valid)[:n_real]
+            for i, (a, p) in enumerate(pkts[:n_real]):
+                self.writer.telemetry(now, a + 1, rx[i], ry[i], yaw[i],
+                                      p.encoder, p.v2v,
+                                      [p.front, p.left, p.back, p.right],
+                                      getattr(p, "landmark", 0))
+                self.writer.points(now, a + 1, hits[i], hv[i])
+
+    # -- TX ------------------------------------------------------------------
+
+    def send_zones(self) -> int:
+        """Latest zone snapshot -> ZONE packets (lift sentinel for inactive),
+        ref :921-945."""
+        boxes = np.asarray(self.state.zone_boxes)
+        active = np.asarray(self.state.zone_active)
+        sent = 0
+        for a, addr in self.bot_addrs.items():
+            z = (ZonePacket(*boxes[a]) if active[a]
+                 else ZonePacket(*ZonePacket.LIFT))
+            try:
+                self.sock.sendto(z.pack(), addr)
+                sent += 1
+            except OSError as e:        # ref logs and continues (:687)
+                print(f"[ZONE] send to bot {a + 1} failed: {e}")
+        return sent
+
+    def send_targets(self) -> int:
+        """TARG packets for agents with assignments (the reference's
+        commented-out path, :959-996, behind enable_targets)."""
+        if not self.enable_targets:
+            return 0
+        tg = np.asarray(self.state.targets)
+        has = np.asarray(self.state.has_target)
+        sent = 0
+        for a, addr in self.bot_addrs.items():
+            if has[a]:
+                try:
+                    self.sock.sendto(TargetPacket(*tg[a]).pack(), addr)
+                    sent += 1
+                except OSError as e:
+                    print(f"[TARGET] send to bot {a + 1} failed: {e}")
+        return sent
+
+    # -- loop ----------------------------------------------------------------
+
+    def heartbeat_transitions(self):
+        """Print OFFLINE/ONLINE transitions (ref :804-812)."""
+        from swarm_tpu.coord.heartbeat import heartbeat_update
+
+        online = np.asarray(heartbeat_update(
+            self.state.last_packet_t, self.now(),
+            self.cfg.coord.heartbeat_timeout_s))
+        for a in range(self.n):
+            if self.online_prev[a] and not online[a]:
+                print(f"[HEARTBEAT] Bot {a + 1} OFFLINE "
+                      f"(no packets for "
+                      f"{self.cfg.coord.heartbeat_timeout_s:.0f}s)")
+            elif not self.online_prev[a] and online[a]:
+                print(f"[HEARTBEAT] Bot {a + 1} ONLINE")
+        self.online_prev = online
+        return online
+
+    def run(self, duration_s: Optional[float] = None, fps: float = 30.0,
+            render_png: Optional[str] = None, render_every_s: float = 5.0):
+        """The main loop. Ctrl-C or duration ends it; closes logs."""
+        frame_dt = 1.0 / fps
+        last_render = 0.0
+        try:
+            while duration_s is None or self.now() < duration_s:
+                start = time.time()
+                pkts = self.drain_socket()
+                if pkts:
+                    self.ingest(pkts)
+                self.heartbeat_transitions()
+                if render_png and self.now() - last_render > render_every_s:
+                    self.render(render_png)
+                    last_render = self.now()
+                lag = frame_dt - (time.time() - start)
+                if lag > 0:
+                    time.sleep(lag)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.close()
+
+    def render(self, path: str) -> str:
+        from swarm_tpu.render import render_map, save_png
+
+        img = render_map(self.state.grid, self.cfg.grid, scale=4,
+                         zones=self.state.zone_boxes,
+                         zones_active=self.state.zone_active,
+                         frontiers=self.state.frontier_centroids,
+                         n_frontiers=self.state.n_frontiers)
+        return save_png(img, path)
+
+    def close(self):
+        if self.writer:
+            cl = self.state.closure
+            n_cl = int(cl.cl_count)
+            self.writer.close(closures=(
+                np.asarray(cl.cl_lm_node)[:n_cl],
+                np.asarray(cl.cl_node)[:n_cl],
+                np.asarray(cl.cl_dx)[:n_cl],
+                np.asarray(cl.cl_dy)[:n_cl]))
+            self.writer = None
+        self.sock.close()
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Live UDP swarm mapping server "
+                    "(dual_bot_mapper.py equivalent)")
+    ap.add_argument("--port", type=int, default=8888)
+    ap.add_argument("--agents", type=int, default=2)
+    ap.add_argument("--separation", type=float, default=5.0)
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--duration", type=float, default=None)
+    ap.add_argument("--enable-targets", action="store_true")
+    ap.add_argument("--render-png", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = SwarmConfig(n_agents=args.agents)
+    srv = LiveServer(cfg, port=args.port, separation=args.separation,
+                     log_dir=args.log_dir, enable_targets=args.enable_targets)
+    print(f"[SERVER] listening on 0.0.0.0:{args.port} "
+          f"({args.agents} agents, separation {args.separation})")
+    srv.run(duration_s=args.duration, render_png=args.render_png)
+
+
+if __name__ == "__main__":
+    main()
