@@ -1,0 +1,136 @@
+"""ctypes bindings for the native C++ oracle library.
+
+Builds `liboracle.so` from src/oracle.cpp on first use (g++ -O2, no
+dependencies) and exposes numpy-friendly wrappers. The oracle is the
+scalar CPU reference the batched TPU kernels are bit-compared against
+(SURVEY.md "Native-component note").
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "oracle.cpp")
+_SO = os.path.join(_DIR, "liboracle.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> str:
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+
+        lib.ekf_oracle_init.argtypes = [f32p, f32p]
+        lib.ekf_oracle_predict.argtypes = [f32p, f32p, ctypes.c_float,
+                                           ctypes.c_float, f32p]
+        lib.ekf_oracle_update.argtypes = [f32p, f32p, ctypes.c_float,
+                                          ctypes.c_float, f32p]
+        lib.bresenham_oracle.restype = ctypes.c_int
+        lib.bresenham_oracle.argtypes = [ctypes.c_int] * 4 + [i32p,
+                                                              ctypes.c_int]
+        lib.update_ray_oracle.restype = ctypes.c_int
+        lib.update_ray_oracle.argtypes = [i8p, ctypes.c_int] + \
+            [ctypes.c_float] * 7 + [ctypes.c_int]
+        lib.closure_check_oracle.restype = ctypes.c_int
+        lib.closure_check_oracle.argtypes = [
+            f32p, f32p, i32p, i32p, ctypes.c_int, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, f32p, f32p]
+        _lib = lib
+        return _lib
+
+
+def _fp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class EkfOracle:
+    """Scalar float32 EKF mirroring AgentFirmware_Bot1/ekf.cpp."""
+
+    def __init__(self, q_diag, r_diag):
+        self.lib = get_lib()
+        self.x = np.zeros(6, np.float32)
+        self.P = np.zeros((6, 6), np.float32)
+        self.q = np.asarray(q_diag, np.float32)
+        self.r = np.asarray(r_diag, np.float32)
+        self.lib.ekf_oracle_init(_fp(self.x), _fp(self.P))
+        self.last_t = 0.0
+
+    def predict(self, omega, t):
+        dt = t - self.last_t
+        self.lib.ekf_oracle_predict(_fp(self.x), _fp(self.P),
+                                    ctypes.c_float(omega),
+                                    ctypes.c_float(dt), _fp(self.q))
+        if dt > 0:
+            self.last_t = t
+
+    def update(self, v, omega):
+        self.lib.ekf_oracle_update(_fp(self.x), _fp(self.P),
+                                   ctypes.c_float(v), ctypes.c_float(omega),
+                                   _fp(self.r))
+
+
+def bresenham(x0, y0, x1, y1, max_n: int = 4096) -> np.ndarray:
+    """[(x, y)] cells, reference order."""
+    lib = get_lib()
+    out = np.empty((max_n, 2), np.int32)
+    n = lib.bresenham_oracle(
+        int(x0), int(y0), int(x1), int(y1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_n)
+    return out[:n]
+
+
+def update_ray(grid: np.ndarray, res, ox, oy, rx, ry, wx, wy,
+               hit: bool) -> int:
+    """In-place reference update_ray on an int8 [S, S] grid; returns
+    writes."""
+    lib = get_lib()
+    assert grid.dtype == np.int8 and grid.flags.c_contiguous
+    return lib.update_ray_oracle(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        grid.shape[0], ctypes.c_float(res), ctypes.c_float(ox),
+        ctypes.c_float(oy), ctypes.c_float(rx), ctypes.c_float(ry),
+        ctypes.c_float(wx), ctypes.c_float(wy), int(hit))
+
+
+def closure_check(lm_x, lm_y, lm_type, lm_node, x, y, lm, node_idx,
+                  last_closure_node, min_gap=30, radius=0.6, damping=0.5):
+    """Returns (slot or -1, dx, dy)."""
+    lib = get_lib()
+    lm_x = np.ascontiguousarray(lm_x, np.float32)
+    lm_y = np.ascontiguousarray(lm_y, np.float32)
+    lm_type = np.ascontiguousarray(lm_type, np.int32)
+    lm_node = np.ascontiguousarray(lm_node, np.int32)
+    dx = ctypes.c_float()
+    dy = ctypes.c_float()
+    slot = lib.closure_check_oracle(
+        _fp(lm_x), _fp(lm_y),
+        lm_type.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lm_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(lm_x), ctypes.c_float(x), ctypes.c_float(y), int(lm),
+        int(node_idx), int(last_closure_node), int(min_gap),
+        ctypes.c_float(radius), ctypes.c_float(damping),
+        ctypes.byref(dx), ctypes.byref(dy))
+    return slot, dx.value, dy.value
