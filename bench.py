@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    ap.add_argument("--scan-rays", type=int, default=0,
+                    help="servo-scan beams per agent per step "
+                         "(181 = the esp32 servo firmware variant)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -40,6 +43,10 @@ def main():
 
     cfg, walls, params = _cfg_and_world(args.agents, frontiers=False,
                                         parity=False)
+    if args.scan_rays:
+        cfg = cfg.replace(engine=cfg.engine.__class__(
+            parity_mode=False, compute_frontiers=False,
+            scan_rays=args.scan_rays))
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 

@@ -1,0 +1,97 @@
+"""Session playback — the reference's PyGame replay viewer
+(simulation_tools/playback_dual_session.py) as a headless frame renderer:
+load a session directory, advance a simulated clock, and emit PNG frames
+(or one animated GIF) of the accumulating point clouds + paths, same
+time-ordered drain semantics (:203-219).
+
+  python -m swarm_tpu.cli.playback --session DIR --out DIR/frames \
+      --frame-dt 5.0 [--gif DIR/playback.gif]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def playback(session_dir: str, out_dir: str, frame_dt: float = 5.0,
+             scale: int = 4, gif: str = None, max_points: int = 3000):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from swarm_tpu.config import GridConfig
+    from swarm_tpu.proto.csvio import load_session
+    from swarm_tpu.render import RenderTheme, render_map, save_png
+
+    sess = load_session(session_dir)
+    cfg = GridConfig()
+    os.makedirs(out_dir, exist_ok=True)
+
+    pts = sess["points"]
+    t_tele = sess["t"]
+    t_end = float(t_tele[-1])
+    frames = []
+    empty = jnp.full((cfg.size, cfg.size), -1, jnp.int8)
+
+    k = 0
+    t_cursor = float(t_tele[0])
+    while t_cursor <= t_end + frame_dt:
+        tele_mask = t_tele <= t_cursor
+        paths = np.stack([sess["x"][tele_mask], sess["y"][tele_mask]], -1)
+        pa = sess["agent"][tele_mask] - 1
+        kwargs = {}
+        if pts is not None:
+            pmask = pts["t"] <= t_cursor
+            idx = np.nonzero(pmask)[0][-max_points:]   # ref draws last 3000
+            kwargs = dict(
+                points_xy=np.stack([pts["x"][idx], pts["y"][idx]], -1),
+                points_agent=pts["agent"][idx] - 1)
+        # latest pose per agent
+        poses = []
+        for a in np.unique(pa):
+            sel = np.nonzero(pa == a)[0]
+            i = sel[-1]
+            poses.append([paths[i, 0], paths[i, 1],
+                          np.radians(sess["yaw_deg"][tele_mask][i])])
+        img = render_map(empty, cfg, scale=scale,
+                         paths_xy=jnp.asarray(paths),
+                         paths_agent=jnp.asarray(pa),
+                         poses=jnp.asarray(np.asarray(poses, np.float32))
+                         if poses else None,
+                         **{kk: jnp.asarray(vv) for kk, vv in kwargs.items()})
+        frame_path = os.path.join(out_dir, f"frame_{k:04d}.png")
+        save_png(img, frame_path)
+        frames.append(frame_path)
+        k += 1
+        t_cursor += frame_dt
+
+    if gif:
+        from PIL import Image
+
+        imgs = [Image.open(f) for f in frames]
+        imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                     duration=200, loop=0)
+    return frames
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--session", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--frame-dt", type=float, default=5.0,
+                    help="simulated seconds per frame")
+    ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--gif", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    frames = playback(args.session, args.out, args.frame_dt, args.scale,
+                      args.gif)
+    print(f"[PLAYBACK] wrote {len(frames)} frames to {args.out}"
+          + (f" + {args.gif}" if args.gif else ""))
+
+
+if __name__ == "__main__":
+    main()

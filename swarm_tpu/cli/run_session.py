@@ -82,12 +82,22 @@ def run_closed_loop(args):
 
     key = jax.random.PRNGKey(args.seed)
     st = sim_init(cfg, params, key)
+    if args.resume:
+        from swarm_tpu.engine.checkpoint import load_pytree
+        st = load_pytree(args.resume, st)
+        print(f"[RESUME] from {args.resume} at t={float(st.t):.1f}s "
+              f"step={int(st.step)}")
     t0 = time.time()
     final, ms = jax.jit(lambda s: sim_rollout(
         s, args.steps, cfg, jnp.asarray(walls), params,
         enable_targets=args.enable_targets))(st)
     jax.block_until_ready(final.t)
     elapsed = time.time() - t0
+
+    if args.checkpoint:
+        from swarm_tpu.engine.checkpoint import save_pytree
+        save_pytree(args.checkpoint, final)
+        print(f"[CHECKPOINT] saved {args.checkpoint}")
 
     rows = _flatten_rollout_telemetry(ms, cfg.n_agents)
     write_session(args.out, rows["t"], rows["agent"], rows["x"], rows["y"],
@@ -191,6 +201,10 @@ def main(argv=None):
                     help="enable the commented-out frontier TARG path "
                          "(dual_bot_mapper.py:959-996)")
     ap.add_argument("--no-frontiers", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="save final SimState to this .npz")
+    ap.add_argument("--resume", default=None,
+                    help="load initial SimState from this .npz")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 

@@ -184,6 +184,10 @@ class EngineConfig:
     parity_mode: bool = True            # tri-state last-write-wins raster
     use_pallas: bool = False            # Pallas raster kernel (TPU only)
     compute_frontiers: bool = True      # frontier detection at the 3 s cadence
+    # Servo-scan variant (esp32_firmware/src/main.cpp): if > 0, each agent
+    # additionally sweeps this many beams (-90..+90 deg) per step and the
+    # sweep rasters into the grid — the 181-ray LaserScan path.
+    scan_rays: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

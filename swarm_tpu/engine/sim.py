@@ -200,7 +200,7 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
 
 def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     alive, t, step, cfg: SwarmConfig, params: AgentParams,
-                    enable_targets: bool):
+                    enable_targets: bool, scan_dist=None):
     """One step's N packets into the mapping server, fully batched.
 
     Reproduces dual_bot_mapper.py:814-996 semantics with the step-cadence
@@ -228,6 +228,23 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         hx=hx.reshape(-1), hy=hy.reshape(-1),
         hit_valid=hit_valid.reshape(-1),
         active=jnp.repeat(alive, 4))
+    if scan_dist is not None:
+        # servo-sweep beams projected from the reported pose, the way the
+        # bridge maps LaserScan against /agent_N/odom (udp_bridge.py:123-138)
+        from swarm_tpu.models.scan import scan_angles
+        r_scan = scan_dist.shape[-1]
+        sa = ryaw[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
+        sv = (scan_dist > sens.min_range) & (scan_dist <= sens.max_range)
+        sr = jnp.where(sv, scan_dist, sens.max_range)
+        shx = rx[:, None] + sr * jnp.cos(sa)
+        shy = ry[:, None] + sr * jnp.sin(sa)
+        rays = RayBatch(
+            ox=jnp.concatenate([rays.ox, jnp.repeat(rx, r_scan)]),
+            oy=jnp.concatenate([rays.oy, jnp.repeat(ry, r_scan)]),
+            hx=jnp.concatenate([rays.hx, shx.reshape(-1)]),
+            hy=jnp.concatenate([rays.hy, shy.reshape(-1)]),
+            hit_valid=jnp.concatenate([rays.hit_valid, sv.reshape(-1)]),
+            active=jnp.concatenate([rays.active, jnp.repeat(alive, r_scan)]))
     if cfg.engine.parity_mode:
         grid, writes = parity_raster(srv.grid, rays, cfg.grid)
         logodds = srv.logodds
@@ -327,6 +344,13 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     # 1. sense from TRUE pose (noise model: generate_fake_dual_session.py:100-108)
     dist4 = jax.vmap(lambda k, p: sense_4way(k, p, walls, cfg.sensors))(
         k_sense, state.pose_true)
+    scan_dist = None
+    if cfg.engine.scan_rays > 0:
+        from swarm_tpu.models.scan import sense_scan
+        k_scan = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_agents)
+        scan_dist = jax.vmap(
+            lambda k, p: sense_scan(k, p, walls, cfg.engine.scan_rays,
+                                    cfg.sensors))(k_scan, state.pose_true)
 
     # 2. landmark signature (sim thresholds, :113-129)
     lm = detect_landmark_sim(dist4[:, 0], dist4[:, 1], dist4[:, 3],
@@ -341,7 +365,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     # 4. server ingest (batched packets)
     srv, closed, online, new_targets, new_has, proj = _ingest_batched(
         state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
-        state.t, state.step, cfg, params, enable_targets)
+        state.t, state.step, cfg, params, enable_targets,
+        scan_dist=scan_dist)
     rx_t, ry_t, hx_t, hy_t, hv_t = proj
 
     # TARG delivery (ino:126-139, enabled behind the flag)

@@ -128,6 +128,25 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
         hx=hx.reshape(-1), hy=hy.reshape(-1),
         hit_valid=hit_valid.reshape(-1), active=jnp.repeat(alive, 4))
+    if cfg.engine.scan_rays > 0:
+        from swarm_tpu.models.scan import scan_angles, sense_scan
+        k_scan = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_agents)
+        scan_dist = jax.vmap(
+            lambda k, pp: sense_scan(k, pp, walls, cfg.engine.scan_rays,
+                                     sens))(k_scan, state.pose_true)
+        r_scan = cfg.engine.scan_rays
+        sa = yaw_q[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
+        sv = (scan_dist > sens.min_range) & (scan_dist <= sens.max_range)
+        sr = jnp.where(sv, scan_dist, sens.max_range)
+        shx = rx[:, None] + sr * jnp.cos(sa)
+        shy = ry[:, None] + sr * jnp.sin(sa)
+        rays = RayBatch(
+            ox=jnp.concatenate([rays.ox, jnp.repeat(rx, r_scan)]),
+            oy=jnp.concatenate([rays.oy, jnp.repeat(ry, r_scan)]),
+            hx=jnp.concatenate([rays.hx, shx.reshape(-1)]),
+            hy=jnp.concatenate([rays.hy, shy.reshape(-1)]),
+            hit_valid=jnp.concatenate([rays.hit_valid, sv.reshape(-1)]),
+            active=jnp.concatenate([rays.active, jnp.repeat(alive, r_scan)]))
     delta, writes_loc = logodds_delta(rays, cfg.grid)
     delta = jax.lax.psum(delta, axis)                    # ICI map merge
     writes = jax.lax.psum(writes_loc, axis)
