@@ -182,7 +182,11 @@ class EngineConfig:
     cloud_capacity: int = 2048          # per-agent per-sensor point cloud
     dtype: str = "float32"
     parity_mode: bool = True            # tri-state last-write-wins raster
-    use_pallas: bool = False            # Pallas raster kernel (TPU only)
+    # Throughput-path raster: "line" = per-ray Bresenham scatter-add
+    # (bit-comparable cells to the reference); "beam" = polar inverse
+    # sensor model (ops/beam_raster.py — scatter-free, the fast path).
+    raster_mode: str = "line"
+    use_pallas: bool = False            # beam raster via the Pallas kernel
     compute_frontiers: bool = True      # frontier detection at the 3 s cadence
     # Servo-scan variant (esp32_firmware/src/main.cpp): if > 0, each agent
     # additionally sweeps this many beams (-90..+90 deg) per step and the

@@ -223,12 +223,14 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     rng = jnp.where(hit_valid, dist4, sens.max_range)
     hx = rx[:, None] + rng * jnp.cos(angles)
     hy = ry[:, None] + rng * jnp.sin(angles)
-    rays = RayBatch(
-        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
-        hx=hx.reshape(-1), hy=hy.reshape(-1),
-        hit_valid=hit_valid.reshape(-1),
-        active=jnp.repeat(alive, 4))
-    if scan_dist is not None:
+    def line_rays():
+        rays = RayBatch(
+            ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
+            hx=hx.reshape(-1), hy=hy.reshape(-1),
+            hit_valid=hit_valid.reshape(-1),
+            active=jnp.repeat(alive, 4))
+        if scan_dist is None:
+            return rays
         # servo-sweep beams projected from the reported pose, the way the
         # bridge maps LaserScan against /agent_N/odom (udp_bridge.py:123-138)
         from swarm_tpu.models.scan import scan_angles
@@ -238,19 +240,51 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         sr = jnp.where(sv, scan_dist, sens.max_range)
         shx = rx[:, None] + sr * jnp.cos(sa)
         shy = ry[:, None] + sr * jnp.sin(sa)
-        rays = RayBatch(
+        return RayBatch(
             ox=jnp.concatenate([rays.ox, jnp.repeat(rx, r_scan)]),
             oy=jnp.concatenate([rays.oy, jnp.repeat(ry, r_scan)]),
             hx=jnp.concatenate([rays.hx, shx.reshape(-1)]),
             hy=jnp.concatenate([rays.hy, shy.reshape(-1)]),
             hit_valid=jnp.concatenate([rays.hit_valid, sv.reshape(-1)]),
             active=jnp.concatenate([rays.active, jnp.repeat(alive, r_scan)]))
+
     if cfg.engine.parity_mode:
-        grid, writes = parity_raster(srv.grid, rays, cfg.grid)
+        grid, writes = parity_raster(srv.grid, line_rays(), cfg.grid)
         logodds = srv.logodds
         tri = grid
+    elif cfg.engine.raster_mode == "beam":
+        from swarm_tpu.ops.beam_raster import (
+            BeamSpec, beam_raster_reference, beams_from_4way,
+            beams_from_scan)
+        axy = jnp.stack([rx, ry], axis=-1)
+        logodds = srv.logodds
+        writes = jnp.zeros((), jnp.int32)
+        specs_and_beams = [(BeamSpec.four_way(),
+                            beams_from_4way(dist4, sens.max_range,
+                                            sens.min_range))]
+        if scan_dist is not None:
+            specs_and_beams.append(
+                (BeamSpec.scan(scan_dist.shape[-1]),
+                 beams_from_scan(scan_dist, sens.max_range, sens.min_range)))
+        for spec_b, (db, tb) in specs_and_beams:
+            if cfg.engine.use_pallas:
+                from swarm_tpu.ops.beam_raster_pallas import beam_raster_pallas
+                logodds = beam_raster_pallas(logodds, axy, ryaw, db, tb,
+                                             alive, spec_b, cfg.grid)
+                # painted-cell count ~ one cell per traversed cell per beam
+                w = jnp.sum(jnp.where(alive[:, None], db, 0.0)
+                            / cfg.grid.resolution)
+                writes = writes + w.astype(jnp.int32)
+            else:
+                db = jnp.where(alive[:, None], db, 0.0)
+                logodds, w = beam_raster_reference(logodds, axy, ryaw, db,
+                                                   tb & alive[:, None],
+                                                   spec_b, cfg.grid)
+                writes = writes + w.astype(jnp.int32)
+        grid = srv.grid
+        tri = tri_state_view(logodds, cfg.grid)
     else:
-        logodds, writes = logodds_raster(srv.logodds, rays, cfg.grid)
+        logodds, writes = logodds_raster(srv.logodds, line_rays(), cfg.grid)
         grid = srv.grid
         tri = tri_state_view(logodds, cfg.grid)
 

@@ -1,0 +1,179 @@
+"""Polar beam-model occupancy update — the scatter-free raster path.
+
+The line-raster path (`ops.raster.logodds_delta`) scatter-adds every
+ray-cell individually; XLA lowers that to a serialized HBM scatter
+(~80 M updates/s measured — the engine's bottleneck at swarm scale). This
+module exploits the sensor geometry instead: ALL of an agent's beams share
+one origin and are UNIFORM in angle (4-way ultrasonics at 90 deg spacing,
+AgentFirmware_Bot1.ino:26-34; the 181-beam servo sweep at 1 deg,
+esp32_firmware/src/main.cpp:33), so the update of each cell in the agent's
+reach is a pure function of the cell's polar coordinates and that beam's
+measured range — the classic inverse sensor model:
+
+    r_c, theta_c = polar(cell - agent)
+    b            = nearest beam to theta_c
+    on_beam      = |r_c * sin(theta_c - theta_b)| <= 0.5 cell
+    FREE  if on_beam and r_c < R_b - 0.5
+    HIT   if on_beam and |r_c - R_b| <= 0.5 and beam trusted
+
+Per agent this is a dense [ROWS, COLS] vectorized computation over a local
+patch around the agent — VPU work with NO scatter; the patch then
+read-modify-writes the global grid. `beam_raster_reference` is the XLA
+implementation (used for testing and as the CPU path); the Pallas kernel
+in ops/beam_raster_pallas.py runs the same math with explicit VMEM
+patches + async DMA.
+
+Semantics vs the line raster: each cell in reach is updated ONCE per agent
+per step (by its nearest beam) instead of once per crossing ray — an
+equally valid evidence model (it is the standard lidar one), kept as a
+separate mode (`EngineConfig.use_pallas` / `raster_mode="beam"`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from swarm_tpu.config import GridConfig
+
+PATCH_ROWS = 80
+PATCH_COLS = 384        # 3 x 128 lanes; origin 128-aligned for clean DMA
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSpec:
+    """A uniform fan of beams: world angle of beam b = yaw + theta0 +
+    b * dtheta."""
+    n_beams: int
+    theta0: float          # first beam, relative to heading
+    dtheta: float          # spacing
+    wrap: bool             # True: fan covers the full circle (4-way)
+
+    @staticmethod
+    def four_way() -> "BeamSpec":
+        # front, left, back, right (sensors.SensorConfig.angles order)
+        return BeamSpec(n_beams=4, theta0=0.0, dtheta=math.pi / 2, wrap=True)
+
+    @staticmethod
+    def scan(n: int = 181) -> "BeamSpec":
+        return BeamSpec(n_beams=n, theta0=-math.pi / 2,
+                        dtheta=math.pi / (n - 1), wrap=False)
+
+
+def patch_dims(size: int) -> Tuple[int, int]:
+    """Patch shape for a grid: [80, 384] for swarm-scale grids (the 384
+    window keeps the 128-aligned column origin centred on the agent); for
+    small grids (size < 512, e.g. the reference's 200-cell grid) the patch
+    spans the FULL width, so no column alignment is needed at all."""
+    rows = min(PATCH_ROWS, (size // 8) * 8)
+    cols = size if size < 512 else PATCH_COLS
+    return rows, cols
+
+
+def patch_origin(ax_cell, ay_cell, size: int,
+                 rows: int = PATCH_ROWS, cols: int = PATCH_COLS):
+    """Aligned patch origin (row0, col0) for an agent at fractional cell
+    coords: rows 8-aligned, cols 128-aligned (or 0 when the patch spans
+    the grid), clamped to the grid."""
+    row0 = (jnp.floor(ay_cell).astype(jnp.int32) // 8) * 8 - rows // 2 + 8
+    row0 = jnp.clip(row0, 0, size - rows)
+    if cols >= size:
+        col0 = jnp.zeros_like(row0)
+    else:
+        col0 = (jnp.floor(ax_cell).astype(jnp.int32) // 128) * 128 - 128
+        col0 = jnp.clip(col0, 0, size - cols)
+    return row0, col0
+
+
+def _patch_delta(ax, ay, yaw, ranges_cells, trusted, row0, col0,
+                 spec: BeamSpec, hit: float, miss: float, max_range_cells,
+                 rows_n: int = PATCH_ROWS, cols_n: int = PATCH_COLS):
+    """Evidence delta for one agent's [PATCH_ROWS, PATCH_COLS] patch.
+
+    ax, ay: agent position in CELL units (fractional, grid frame).
+    ranges_cells: [B] measured ranges in cells (already range-limited).
+    trusted: [B] bool — trust-window pass (endpoint evidence allowed).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows_n, cols_n), 1)
+    cy = (row0 + rows).astype(jnp.float32) + 0.5
+    cx = (col0 + cols).astype(jnp.float32) + 0.5
+    dx = cx - ax
+    dy = cy - ay
+    r = jnp.sqrt(dx * dx + dy * dy)
+    theta = jnp.arctan2(dy, dx)
+
+    rel = theta - yaw - spec.theta0
+    rel = (rel + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    b_f = rel / spec.dtheta
+    b = jnp.round(b_f).astype(jnp.int32)
+    if spec.wrap:
+        b = jnp.mod(b, spec.n_beams)
+        in_fan = jnp.ones_like(r, dtype=bool)
+    else:
+        in_fan = (b >= 0) & (b < spec.n_beams)
+        b = jnp.clip(b, 0, spec.n_beams - 1)
+
+    rb = ranges_cells[b]                      # gather from [B] table
+    tb = trusted[b]
+    resid = rel - b.astype(jnp.float32) * spec.dtheta
+    # Perpendicular half-width 0.6 and endpoint tolerance 0.71 (~cell
+    # half-diagonal): a line passing exactly between two cell rows still
+    # paints one of them, like the integer Bresenham does.
+    on_beam = jnp.abs(r * jnp.sin(resid)) <= 0.6
+    near = (r > 1e-3) & (r <= max_range_cells + 1.0) & in_fan & on_beam
+
+    free = near & (r < rb - 0.5)
+    occ = near & tb & (jnp.abs(r - rb) <= 0.71)
+    return jnp.where(occ, hit, jnp.where(free, miss, 0.0)), free, occ
+
+
+def beam_raster_reference(logodds, agent_xy, yaw, dist_m, trusted,
+                          spec: BeamSpec, cfg: GridConfig = GridConfig()):
+    """XLA implementation: vmap the patch computation over agents, then
+    sequentially add patches into the grid with dynamic-slice updates
+    (a lax.scan of dense [80, 256] adds — no element scatter).
+
+    agent_xy: [N, 2] world; yaw: [N]; dist_m: [N, B] measured (untrusted
+    readings still limit free space at max_range); trusted: [N, B].
+    Returns (new_logodds, writes).
+    """
+    res = cfg.resolution
+    ax = (agent_xy[:, 0] - cfg.origin_x) / res
+    ay = (agent_xy[:, 1] - cfg.origin_y) / res
+    ranges_cells = dist_m / res
+    pr, pc = patch_dims(cfg.size)
+    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc)
+
+    deltas, free, occ = jax.vmap(
+        lambda a, b, y, rc, tr, r0, c0: _patch_delta(
+            a, b, y, rc, tr, r0, c0, spec,
+            cfg.logodds_hit, cfg.logodds_miss,
+            jnp.max(rc), pr, pc))(ax, ay, yaw, ranges_cells, trusted,
+                                  row0, col0)
+
+    def add_one(g, args):
+        d, r0, c0 = args
+        patch = jax.lax.dynamic_slice(g, (r0, c0), (pr, pc))
+        g = jax.lax.dynamic_update_slice(g, patch + d, (r0, c0))
+        return g, None
+
+    out, _ = jax.lax.scan(add_one, logodds, (deltas, row0, col0))
+    out = jnp.clip(out, -cfg.logodds_clamp, cfg.logodds_clamp)
+    writes = jnp.sum(free) + jnp.sum(occ)
+    return out, writes
+
+
+def beams_from_4way(dist4_m, sens_max_range: float, sens_min_range: float):
+    """4-way readings -> (range-limited distances, trusted mask)."""
+    trusted = (dist4_m > sens_min_range) & (dist4_m <= sens_max_range)
+    return jnp.where(trusted, dist4_m, sens_max_range), trusted
+
+
+def beams_from_scan(scan_m, sens_max_range: float, sens_min_range: float):
+    trusted = (scan_m > sens_min_range) & (scan_m <= sens_max_range)
+    return jnp.where(trusted, scan_m, sens_max_range), trusted

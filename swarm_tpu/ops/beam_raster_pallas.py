@@ -1,0 +1,176 @@
+"""Pallas TPU kernel for the polar beam-model raster (see beam_raster.py).
+
+One grid program per agent, executed sequentially on the core:
+
+  1. async-DMA the agent's [80, 256] grid window HBM -> VMEM (double use:
+     the window load overlaps the delta computation),
+  2. compute the beam-model evidence delta for every cell of the window —
+     pure VPU math over the patch + one MXU one-hot dot for the
+     range-table gather (Mosaic has no vector gather; `one_hot(b) @
+     table` IS the gather, and it rides the MXU),
+  3. add, clamp, async-DMA the window back.
+
+The global grid is aliased in-place (input_output_aliases), so the whole
+swarm's raster is one kernel launch with zero scatter ops.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swarm_tpu.config import GridConfig
+from swarm_tpu.ops.beam_raster import BeamSpec, patch_dims, patch_origin
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _atan2_poly(y, x):
+    """Vector atan2 for Mosaic (no atan2 primitive): octant reduction +
+    degree-9 odd minimax polynomial for atan on [0, 1] (~1e-5 rad abs
+    error — beam binning needs ~1e-3)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-20)
+    s = z * z
+    p = z * (0.99997726 + s * (-0.33262347 + s * (0.19354346 + s * (
+        -0.11643287 + s * (0.05265332 + s * -0.01172120)))))
+    r = jnp.where(ay > ax, jnp.float32(math.pi / 2) - p, p)
+    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
+            sem_in, sem_out, *, spec: BeamSpec, rows: int, cols: int,
+            b_pad: int, hit: float, miss: float, clamp: float):
+    i = pl.program_id(0)
+    # Origins are 8-row / 128-col aligned by construction (patch_origin);
+    # the hints let Mosaic prove the DMA slices are tile-aligned.
+    r0 = pl.multiple_of(origin_ref[i, 0], 8)
+    c0 = pl.multiple_of(origin_ref[i, 1], 128)
+
+    in_dma = pltpu.make_async_copy(
+        out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], patch, sem_in)
+    in_dma.start()
+
+    ax = meta_ref[i, 0]
+    ay = meta_ref[i, 1]
+    yaw = meta_ref[i, 2]
+    active = meta_ref[i, 3]
+    max_reach = meta_ref[i, 4]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    cy = (r0 + rr).astype(jnp.float32) + 0.5
+    cx = (c0 + cc).astype(jnp.float32) + 0.5
+    dx = cx - ax
+    dy = cy - ay
+    r = jnp.sqrt(dx * dx + dy * dy)
+    theta = _atan2_poly(dy, dx)
+
+    rel = theta - yaw - spec.theta0
+    rel = (rel + math.pi) % (2 * math.pi) - math.pi
+    b = jnp.round(rel / spec.dtheta).astype(jnp.int32)
+    if spec.wrap:
+        b = jnp.mod(b, spec.n_beams)
+        in_fan = jnp.ones((rows, cols), bool)
+    else:
+        in_fan = (b >= 0) & (b < spec.n_beams)
+        b = jnp.clip(b, 0, spec.n_beams - 1)
+
+    # Gather ranges/trust by beam index. Mosaic has no vector gather and
+    # rejects lane<->sublane reshapes, so the gather is a select-accumulate
+    # sweep over the (static) beam count: per beam one [rows, cols]
+    # compare+select — pure VPU, fully vectorised, no data movement.
+    def gather_beam(k, carry):
+        rbk, tbk = carry
+        is_k = b == k
+        rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
+        tbk = jnp.where(is_k, table_ref[0, k, 1], tbk)
+        return rbk, tbk
+
+    rb, tb = jax.lax.fori_loop(
+        0, spec.n_beams, gather_beam,
+        (jnp.zeros((rows, cols), jnp.float32),
+         jnp.zeros((rows, cols), jnp.float32)))
+
+    resid = rel - b.astype(jnp.float32) * spec.dtheta
+    on_beam = jnp.abs(r * jnp.sin(resid)) <= 0.6
+    near = (r > 1e-3) & (r <= max_reach + 1.0) & in_fan & on_beam
+    free = near & (r < rb - 0.5)
+    occ = near & (tb > 0.5) & (jnp.abs(r - rb) <= 0.71)
+    delta = jnp.where(occ, hit, jnp.where(free, miss, 0.0)) * active
+
+    in_dma.wait()
+    patch[:] = jnp.clip(patch[:] + delta, -clamp, clamp)
+
+    out_dma = pltpu.make_async_copy(
+        patch, out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], sem_out)
+    out_dma.start()
+    out_dma.wait()
+
+
+def beam_raster_pallas(logodds, agent_xy, yaw, dist_m, trusted, active,
+                       spec: BeamSpec, cfg: GridConfig = GridConfig(),
+                       interpret: bool = False):
+    """Kernel entry. Shapes as beam_raster_reference, plus active [N].
+    Returns new_logodds (writes counted separately by the caller)."""
+    n = agent_xy.shape[0]
+    rows, cols = patch_dims(cfg.size)
+    b_pad = _round_up(spec.n_beams, 128)
+    res = cfg.resolution
+
+    ax = (agent_xy[:, 0] - cfg.origin_x) / res
+    ay = (agent_xy[:, 1] - cfg.origin_y) / res
+    row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
+    origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)   # [N, 2]
+
+    ranges_cells = (dist_m / res).astype(jnp.float32)
+    max_reach = jnp.max(ranges_cells, axis=-1)
+    meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32), max_reach,
+                      jnp.zeros_like(ax), jnp.zeros_like(ax),
+                      jnp.zeros_like(ax)], axis=-1)                # [N, 8]
+    table = jnp.concatenate([
+        jnp.pad(ranges_cells, ((0, 0), (0, b_pad - spec.n_beams)))[..., None],
+        jnp.pad(trusted.astype(jnp.float32),
+                ((0, 0), (0, b_pad - spec.n_beams)))[..., None],
+    ], axis=-1)                                                    # [N, b_pad, 2]
+
+    kernel = functools.partial(
+        _kernel, spec=spec, rows=rows, cols=cols, b_pad=b_pad,
+        hit=cfg.logodds_hit, miss=cfg.logodds_miss,
+        clamp=cfg.logodds_clamp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,         # origins (int32) + meta (f32), SMEM
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, b_pad, 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # table
+            pl.BlockSpec(memory_space=pl.ANY),             # grid (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(logodds.shape, logodds.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},   # the grid operand -> output 0
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(origins, meta, table, logodds)

@@ -1,0 +1,118 @@
+"""Polar beam-model raster: semantics, pallas-kernel equivalence, and
+agreement with the line raster on a real scenario."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swarm_tpu.config import EngineConfig, GridConfig, SwarmConfig
+from swarm_tpu.ops.beam_raster import (BeamSpec, beam_raster_reference,
+                                       beams_from_4way, beams_from_scan)
+from swarm_tpu.ops.beam_raster_pallas import beam_raster_pallas
+from swarm_tpu.ops.raster import RayBatch, logodds_raster
+
+
+def test_beam_semantics_4way():
+    cfg = GridConfig(size=384)
+    lo = jnp.zeros((cfg.size, cfg.size), jnp.float32)
+    xy = jnp.asarray([[0.0, 0.0]])   # cell (100, 100)
+    yaw = jnp.asarray([0.0])
+    d, tr = beams_from_4way(jnp.asarray([[1.0, 4.0, 4.0, 4.0]]), 1.2, 0.05)
+    out, w = beam_raster_reference(lo, xy, yaw, d, tr,
+                                   BeamSpec.four_way(), cfg)
+    out = np.asarray(out)
+    occ = np.argwhere(out > 0)
+    # the 1.0 m front hit lands at ~(100, 120)
+    assert len(occ) > 0
+    assert (np.abs(occ - [100, 120]) <= 2).all(axis=1).any()
+    # free space carved along all four beams; diagonal untouched
+    assert (out[99:101, 102:118] < 0).any(axis=0).all()
+    assert (out[102:122, 99:101] < 0).any(axis=1).all()
+    assert abs(out[110, 110]) == 0
+    assert int(w) > 50
+
+
+def test_beam_scan_fov_limited():
+    cfg = GridConfig(size=384)
+    lo = jnp.zeros((cfg.size, cfg.size), jnp.float32)
+    xy = jnp.asarray([[0.0, 0.0]])
+    yaw = jnp.asarray([0.0])
+    scan = np.full((1, 181), 4.0, np.float32)
+    scan[0, 85:96] = 0.9
+    d, tr = beams_from_scan(jnp.asarray(scan), 1.2, 0.05)
+    out, _ = beam_raster_reference(lo, xy, yaw, d, tr, BeamSpec.scan(), cfg)
+    out = np.asarray(out)
+    assert np.abs(out[:, :99]).max() == 0     # nothing behind the fan
+    occ = np.argwhere(out > 0)
+    assert len(occ) >= 4                      # a wall arc ahead
+    assert np.abs(occ[:, 1] - 118).max() <= 2
+
+
+def test_pallas_interpret_matches_reference():
+    cfg = GridConfig(size=640)
+    rng = np.random.default_rng(1)
+    n = 6
+    lo = jnp.asarray(rng.normal(0, 0.2, (cfg.size, cfg.size)), jnp.float32)
+    xy = jnp.asarray(rng.uniform(-3, 20, (n, 2)), jnp.float32)
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    active = jnp.asarray([True] * (n - 1) + [False])
+    for spec, dist in [
+        (BeamSpec.four_way(), rng.uniform(0.1, 2.0, (n, 4))),
+        (BeamSpec.scan(37), rng.uniform(0.1, 2.0, (n, 37))),
+    ]:
+        d, tr = beams_from_4way(jnp.asarray(dist, jnp.float32), 1.2, 0.05)
+        d_m = jnp.where(active[:, None], d, 0.0)
+        ref, _ = beam_raster_reference(lo, xy, yaw, d_m,
+                                       tr & active[:, None], spec, cfg)
+        out = beam_raster_pallas(lo, xy, yaw, d, tr, active, spec, cfg,
+                                 interpret=True)
+        diff = np.abs(np.asarray(out) - np.asarray(ref))
+        # the kernel's polynomial atan2 may flip borderline cells only
+        assert (diff > 1e-4).sum() <= 8, (spec.n_beams, (diff > 1e-4).sum())
+
+
+def test_beam_vs_line_raster_agreement():
+    """Both evidence models must produce the same map structure on the
+    closed-loop dual-bot run (free interior, occupied walls)."""
+    from swarm_tpu.engine.sim import make_agent_params, sim_init, sim_rollout
+    from swarm_tpu.geom.world import BEDROOM_WALLS
+    from swarm_tpu.ops.raster import tri_state_view
+
+    walls = jnp.asarray(BEDROOM_WALLS)
+    params = make_agent_params(2)
+    grids = {}
+    for mode in ("line", "beam"):
+        cfg = SwarmConfig(n_agents=2, grid=GridConfig(size=384),
+                          engine=EngineConfig(
+                              parity_mode=False, compute_frontiers=False,
+                              raster_mode=mode))
+        final, _ = jax.jit(lambda s, c=cfg: sim_rollout(
+            s, 100, c, walls, params))(sim_init(cfg, params))
+        grids[mode] = np.asarray(tri_state_view(final.srv.logodds,
+                                                cfg.grid))
+    free_line = grids["line"] == 0
+    free_beam = grids["beam"] == 0
+    inter = (free_line & free_beam).sum()
+    union = (free_line | free_beam).sum()
+    assert inter / union > 0.5, (inter, union)   # same explored structure
+    assert (grids["beam"] == 100).sum() > 10
+
+
+def test_engine_pallas_mode_runs_interpret():
+    """use_pallas engine mode end-to-end (interpreter on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swarm_tpu.engine.sim import make_agent_params, sim_init, sim_step
+    from swarm_tpu.geom.world import BEDROOM_WALLS
+
+    cfg = SwarmConfig(n_agents=2, grid=GridConfig(size=384),
+                      engine=EngineConfig(
+                          parity_mode=False, compute_frontiers=False,
+                          raster_mode="beam", use_pallas=True))
+    params = make_agent_params(2)
+    st = sim_init(cfg, params)
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(3):
+            st, m = sim_step(st, cfg, jnp.asarray(BEDROOM_WALLS), params)
+    assert int(m.writes) > 0
+    assert np.isfinite(np.asarray(st.srv.logodds)).all()
