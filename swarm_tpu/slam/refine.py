@@ -1,0 +1,162 @@
+"""Session refinement: pose-graph optimisation over logged trajectories.
+
+The reference applies closures online as damped positional nudges and never
+revisits past poses (dual_bot_mapper.py:308-326) — the map keeps whatever
+drift accumulated before each closure. This module is the offline
+north-star upgrade: rebuild each agent's trajectory as an SE(2) pose graph
+(odometry edges from the logged estimates + closure edges from the closure
+log), solve with batched Gauss-Newton (slam/posegraph.py), and re-raster
+the map from the corrected poses.
+
+Works on any reference-schema session directory (ours or the reference's),
+so it also serves as the replacement for map_merger.py's offline alignment
+pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from swarm_tpu.config import SwarmConfig
+from swarm_tpu.slam.posegraph import gauss_newton, graph_from_trajectory
+
+
+def _next_pow2(n: int) -> int:
+    m = 64
+    while m < n:
+        m *= 2
+    return m
+
+
+def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
+                            iterations: int = 15,
+                            closure_weight: float = 25.0):
+    """One agent's logged estimates [T] + closure index pairs [(i, j)] ->
+    optimised poses [T, 3]. Capacity-padded to a power of two so repeated
+    calls share compiled solvers."""
+    t = len(xs)
+    cap = _next_pow2(t)
+    poses = np.zeros((cap, 3), np.float32)
+    poses[:t, 0] = xs
+    poses[:t, 1] = ys
+    poses[:t, 2] = yaws
+
+    c = max(1, len(closure_pairs))
+    ci = np.zeros((c,), np.int32)
+    cj = np.zeros((c,), np.int32)
+    for k, (i, j) in enumerate(closure_pairs):
+        ci[k], cj[k] = i, j
+    g = graph_from_trajectory(
+        jnp.asarray(poses), t,
+        closures_i=jnp.asarray(ci), closures_j=jnp.asarray(cj),
+        closure_meas=jnp.zeros((c, 3), jnp.float32),
+        n_closures=len(closure_pairs),
+        closure_weight=(closure_weight,) * 3)
+    out, costs = jax.jit(gauss_newton, static_argnums=(1,))(g, iterations)
+    return np.asarray(out.poses[:t]), np.asarray(costs)
+
+
+def refine_session(session: Dict, closures: Optional[Tuple] = None,
+                   cfg: SwarmConfig = SwarmConfig(),
+                   iterations: int = 15):
+    """Refine every agent trajectory of a loaded session (proto.csvio
+    .load_session dict). `closures`: (node_i, node_j, agent) arrays in
+    GLOBAL packet-node indices (the slam_closures.csv columns + the
+    closure log's agent ids); if None, closures are re-detected from the
+    telemetry with the reference's landmark matcher settings.
+
+    Returns {agent (1-based): {"poses": [T,3] optimized,
+                               "orig": [T,3], "idx": [T] global rows}}.
+    """
+    agents = np.unique(session["agent"])
+    yaw_rad = np.radians(session["yaw_deg"])
+
+    # per-agent views + global-row -> per-agent-index maps
+    rows_of = {int(a): np.nonzero(session["agent"] == a)[0] for a in agents}
+    inv = {}
+    for a, rows in rows_of.items():
+        m = np.full(len(session["t"]), -1, np.int64)
+        m[rows] = np.arange(len(rows))
+        inv[a] = m
+
+    pairs = {int(a): [] for a in agents}
+    if closures is not None:
+        ni, nj, cagent = closures
+        for i, j, a in zip(ni, nj, cagent):
+            a = int(a)
+            if a in inv and 0 <= i < len(inv[a]) and 0 <= j < len(inv[a]):
+                ii = inv[a][int(i)]
+                jj = inv[a][int(j)]
+                if ii >= 0 and jj >= 0:
+                    pairs[a].append((int(jj), int(ii)))
+    else:
+        # re-detect: same-type landmarks within the closure radius,
+        # >= min gap apart (per agent, like the online matcher but offline)
+        slam = cfg.slam
+        for a, rows in rows_of.items():
+            lm = session["landmark"][rows]
+            x = session["x"][rows]
+            y = session["y"][rows]
+            lm_rows = np.nonzero(lm != 0)[0]
+            last = -slam.min_poses_between
+            for i in lm_rows:
+                if i - last < slam.min_poses_between:
+                    continue
+                cand = lm_rows[(lm_rows < i - slam.min_poses_between)]
+                cand = cand[lm[cand] == lm[i]]
+                if len(cand) == 0:
+                    continue
+                d2 = (x[cand] - x[i]) ** 2 + (y[cand] - y[i]) ** 2
+                k = np.argmin(d2)
+                if d2[k] < slam.closure_radius_m ** 2:
+                    pairs[a].append((int(cand[k]), int(i)))
+                    last = i
+
+    out = {}
+    for a, rows in rows_of.items():
+        orig = np.stack([session["x"][rows], session["y"][rows],
+                         yaw_rad[rows]], axis=-1).astype(np.float32)
+        if len(rows) < 2:
+            out[a] = {"poses": orig, "orig": orig, "idx": rows,
+                      "closures": pairs[a]}
+            continue
+        opt, _ = refine_agent_trajectory(
+            orig[:, 0], orig[:, 1], orig[:, 2], pairs[a],
+            iterations=iterations)
+        out[a] = {"poses": opt, "orig": orig, "idx": rows,
+                  "closures": pairs[a]}
+    return out
+
+
+def reraster_session(session, refined, cfg: SwarmConfig = SwarmConfig()):
+    """Re-project every packet's rays from the OPTIMISED poses and build a
+    fresh parity grid — the refined map. Returns (grid, stream)."""
+    from swarm_tpu.engine.replay import PacketStream, replay_session
+
+    t = session["t"]
+    n = len(t)
+    x = np.array(session["x"], np.float32)
+    y = np.array(session["y"], np.float32)
+    yaw = np.radians(session["yaw_deg"]).astype(np.float32)
+    for a, r in refined.items():
+        x[r["idx"]] = r["poses"][:, 0]
+        y[r["idx"]] = r["poses"][:, 1]
+        yaw[r["idx"]] = r["poses"][:, 2]
+
+    stream = PacketStream(
+        t=jnp.asarray(t),
+        agent=jnp.asarray(session["agent"] - 1, jnp.int32),
+        x=jnp.asarray(x), y=jnp.asarray(y), yaw=jnp.asarray(yaw),
+        encoder=jnp.asarray(session["encoder"]),
+        v2v=jnp.asarray(session["v2v"]),
+        dist=jnp.asarray(session["dist_cm"] / 100.0),
+        landmark=jnp.zeros((n,), jnp.int32),    # no double-closing
+        valid=jnp.ones((n,), bool))
+    state, _ = jax.jit(lambda s: replay_session(
+        s, cfg, offsets=jnp.zeros(cfg.n_agents)))(stream)
+    return np.asarray(state.grid), stream
