@@ -1,0 +1,90 @@
+"""Scan bridge: real-socket scan ingest, callbacks, CSV schema, cmd_vel
+relay, beam-model mapping, and scan-log projection."""
+
+import math
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from swarm_tpu.config import GridConfig
+from swarm_tpu.proto.packets import CommandPacket, ScanPacket, parse_packet
+from swarm_tpu.server.bridge import (SCAN_CSV_HEADER, ScanBridge,
+                                     load_scan_log, scan_log_points)
+
+
+@pytest.fixture
+def free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def make_scan(agent=1, x=0.0, y=0.0, yaw=0.0, wall=1.0):
+    ranges = np.full(181, 4.0, np.float32)
+    ranges[80:101] = wall           # wall ahead
+    return ScanPacket(agent, x, y, yaw, 10, 3, ranges)
+
+
+def test_bridge_roundtrip(free_port, tmp_path):
+    odoms, scans = [], []
+    br = ScanBridge(port=free_port, log_dir=str(tmp_path),
+                    on_odom=lambda a, x, y, yaw, q: odoms.append((a, x, yaw)),
+                    on_scan=lambda a, r: scans.append((a, len(r))),
+                    map_cfg=GridConfig(size=384))
+    bot = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    bot.bind(("127.0.0.1", 0))
+    bot.settimeout(2.0)
+    try:
+        for k in range(5):
+            bot.sendto(make_scan(x=k * 0.1).pack(), ("127.0.0.1", free_port))
+        time.sleep(0.05)
+        n = br.poll()
+        assert n == 5 and br.pkt_total == 5
+        assert len(odoms) == 5 and len(scans) == 5
+        assert scans[0][1] == 181
+        # odom quaternion matches the bridge's publication (z, w)
+        a, x, yaw = odoms[-1]
+        assert a == 1 and abs(x - 0.4) < 1e-5
+
+        # cmd_vel relay back to the learned address
+        br.clients[1] = bot.getsockname()
+        assert br.send_cmd_vel(1, 0.25, -0.125)
+        cmd = parse_packet(bot.recv(64))
+        assert cmd == CommandPacket(0.25, -0.125)
+
+        # live beam-model map built from the scans
+        lo = np.asarray(br.logodds)
+        assert (lo < 0).sum() > 100      # free space carved
+        assert (lo > 0).sum() > 3        # wall evidence
+
+        # CSV schema parity
+        log = load_scan_log(str(tmp_path / "agent_1_log.csv"))
+        assert log["ranges"].shape == (5, 181)
+        with open(tmp_path / "agent_1_log.csv") as f:
+            assert f.readline().strip().split(",") == SCAN_CSV_HEADER
+
+        pts = scan_log_points(log)
+        assert len(pts) > 50
+        # wall points cluster ~1.0 m ahead
+        ahead = pts[np.abs(pts[:, 1]) < 0.3]
+        assert np.abs(np.median(ahead[:, 0]) - 1.0) < 0.35
+    finally:
+        bot.close()
+        br.close()
+
+
+def test_bridge_ignores_non_scan(free_port):
+    br = ScanBridge(port=free_port)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        tx.sendto(b"garbage", ("127.0.0.1", free_port))
+        tx.sendto(CommandPacket(1.0, 1.0).pack(), ("127.0.0.1", free_port))
+        time.sleep(0.02)
+        assert br.poll() == 0
+    finally:
+        tx.close()
+        br.close()
