@@ -62,7 +62,8 @@ def _rotate_grid(occ, theta, cfg: GridConfig):
 
 def match_grids(local_occ, global_occ, cfg: GridConfig = GridConfig(),
                 slam: SlamConfig = SlamConfig(),
-                fitness_min: float = 0.6) -> MatchResult:
+                fitness_min: float = 0.6,
+                icp_threshold_m: float = 1.0) -> MatchResult:
     """Find the rigid transform aligning `local_occ` into `global_occ`.
 
     local_occ, global_occ: [S, S] occupancy mass in [0, 1] (e.g. tri-state
@@ -118,11 +119,23 @@ def match_grids(local_occ, global_occ, cfg: GridConfig = GridConfig(),
     dy_cells = di.astype(dtype) - w + off_i
     dx_cells = dj.astype(dtype) - w + off_j
 
-    # Normalise by the SELECTED rotated kernel's mass: bilinear rotation
-    # smears a binary map, so the raw local mass would under-report fitness
-    # for any off-grid rotation.
-    mass = jnp.sum(rot[ai] ** 2)
-    fitness = jnp.where(mass > 0, score / jnp.maximum(mass, 1e-6), 0.0)
+    # Fitness = ICP's inlier fraction (map_merger.py:52-56: fraction of
+    # source points with a correspondence within `icp_threshold_m`):
+    # correlate the chosen rotated local map against the global map
+    # DILATED by the threshold radius (separable max-pool), normalised by
+    # the local mass.
+    th_cells = max(1, int(round(icp_threshold_m / cfg.resolution)))
+    dil = global_occ
+    dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max,
+                                (2 * th_cells + 1, 1), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max,
+                                (1, 2 * th_cells + 1), (1, 1), "SAME")
+    dil_p = jnp.pad(dil, w)
+    s = global_occ.shape[0]
+    window = jax.lax.dynamic_slice(dil_p, (di, dj), (s, s))
+    inliers = jnp.sum(rot[ai] * window)
+    mass = jnp.sum(rot[ai])
+    fitness = jnp.where(mass > 0, inliers / jnp.maximum(mass, 1e-6), 0.0)
     fitness = jnp.minimum(fitness, 1.0)
     return MatchResult(
         dx=dx_cells * cfg.resolution,
