@@ -45,7 +45,7 @@ from swarm_tpu.models.ekf import EkfState, ekf_init, ekf_predict, ekf_update
 from swarm_tpu.models.landmarks import detect_landmark_sim
 from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, odom_init, quantize_yaw_deg
 from swarm_tpu.models.sensors import sense_4way
-from swarm_tpu.ops.frontier import frontier_clusters
+from swarm_tpu.ops.frontier import frontier_clusters, frontier_targets_coarse
 from swarm_tpu.ops.raster import RayBatch, logodds_raster, parity_raster, tri_state_view
 from swarm_tpu.slam.closure import (
     ClosureState, closure_add_pose, closure_add_poses_batch, closure_init)
@@ -326,7 +326,9 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     do_target = (step % target_every) == 0
 
     def recompute(_):
-        cents, _, cnt = frontier_clusters(tri, cfg.grid, cfg.coord)
+        ffn = (frontier_clusters if cfg.grid.size <= 512
+               else frontier_targets_coarse)
+        cents, _, cnt = ffn(tri, cfg.grid, cfg.coord)
         if enable_targets:
             tg, has = greedy_assign(agent_xy, online, cents, cnt, cfg.coord)
         else:

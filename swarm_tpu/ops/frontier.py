@@ -69,6 +69,60 @@ def label_components(mask):
     return lbl
 
 
+def frontier_targets_coarse(grid, cfg: GridConfig = GridConfig(),
+                            coord: CoordConfig = CoordConfig(),
+                            block: int = 8):
+    """Swarm-scale frontier targets: block-pooled frontier density + greedy
+    non-max suppression instead of exact connected components.
+
+    The exact label propagation needs O(component length) sweeps over the
+    full grid — fine for the reference's 200x200 (frontier_clusters), not
+    for multi-room swarm grids. Here the frontier mask is pooled into
+    [S/block]^2 counts; the K densest blocks (>= frontier_min_cluster
+    cells), greedily suppressed within the frontier-separation radius,
+    become targets with within-block centroid refinement. Same contract
+    as frontier_clusters: (centroids_world [K, 2], sizes [K], count).
+    """
+    s = grid.shape[0]
+    nb = s // block
+    k_max = coord.max_frontiers
+    mask = frontier_mask(grid, cfg).astype(jnp.float32)
+
+    m = mask[:nb * block, :nb * block].reshape(nb, block, nb, block)
+    counts = m.sum(axis=(1, 3))                                   # [nb, nb]
+    gx = jnp.arange(s, dtype=jnp.float32)
+    sum_x = (mask * gx[None, :])[:nb * block, :nb * block] \
+        .reshape(nb, block, nb, block).sum(axis=(1, 3))
+    sum_y = (mask * gx[:, None])[:nb * block, :nb * block] \
+        .reshape(nb, block, nb, block).sum(axis=(1, 3))
+
+    sep_blocks = max(1, int(round(coord.frontier_separation_m /
+                                  (cfg.resolution * block))))
+    bi = jnp.arange(nb)
+
+    def pick(carry, _):
+        c, sx, sy = carry
+        flat = jnp.argmax(c)
+        by, bx = flat // nb, flat % nb
+        cnt = c.reshape(-1)[flat]
+        ok = cnt >= coord.frontier_min_cluster
+        cx = sx.reshape(-1)[flat] / jnp.maximum(cnt, 1.0)
+        cy = sy.reshape(-1)[flat] / jnp.maximum(cnt, 1.0)
+        # suppress the separation neighbourhood
+        sup = (jnp.abs(bi[:, None] - by) <= sep_blocks) & \
+              (jnp.abs(bi[None, :] - bx) <= sep_blocks)
+        c = jnp.where(sup, 0.0, c)
+        return (c, sx, sy), (cx, cy, cnt, ok)
+
+    (_, _, _), (cxs, cys, cnts, oks) = jax.lax.scan(
+        pick, (counts, sum_x, sum_y), None, length=k_max)
+    wx, wy = grid_to_world(cxs, cys, cfg)
+    centroids = jnp.stack([jnp.where(oks, wx, 0.0),
+                           jnp.where(oks, wy, 0.0)], axis=-1)
+    sizes = jnp.where(oks, cnts, 0.0).astype(jnp.int32)
+    return centroids, sizes, jnp.sum(oks.astype(jnp.int32))
+
+
 def frontier_clusters(grid, cfg: GridConfig = GridConfig(),
                       coord: CoordConfig = CoordConfig()):
     """Full frontier pipeline: mask -> components -> filtered centroids.

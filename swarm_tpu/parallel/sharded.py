@@ -41,7 +41,7 @@ from swarm_tpu.models.landmarks import detect_landmark_sim
 from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, quantize_yaw_deg
 from swarm_tpu.models.sensors import sense_4way
 from swarm_tpu.geom.world import cast_rays
-from swarm_tpu.ops.frontier import frontier_clusters
+from swarm_tpu.ops.frontier import frontier_clusters, frontier_targets_coarse
 from swarm_tpu.ops.raster import RayBatch, logodds_delta, tri_state_view
 from swarm_tpu.slam.closure import ClosureState, closure_add_poses_batch
 from swarm_tpu.utils.angles import wrap_pi
@@ -188,7 +188,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         tri = tri_state_view(logodds, cfg.grid)
         cents, n_fr = jax.lax.cond(
             do_target,
-            lambda _: frontier_clusters(tri, cfg.grid, cfg.coord)[::2],
+            lambda _: (frontier_clusters if cfg.grid.size <= 512
+                       else frontier_targets_coarse)(
+                           tri, cfg.grid, cfg.coord)[::2],
             lambda _: (srv.frontier_centroids, srv.n_frontiers), None)
     else:
         cents, n_fr = srv.frontier_centroids, srv.n_frontiers
