@@ -11,17 +11,20 @@ global grid shards across a TPU mesh with `shard_map`.
 
 Layer map (mirrors SURVEY.md section 1):
   geom     — world geometry + batched exact ray casting        (L5 world model)
-  models   — EKF, nav FSM, sensor + odometry noise models      (L0/L1 firmware)
+  models   — EKF, nav FSM, sensors, odometry, scan, landmarks  (L0/L1 firmware)
   proto    — QuasarPacket wire formats + session CSV schemas   (L2 protocol)
-  mapping  — occupancy grid state + update entry points        (L3 server)
-  slam     — landmark loop closure, pose-graph GN, scan match  (L3 server)
+  ops      — raster kernels (parity/log-odds/beam + Pallas),
+             Bresenham, frontier detection                     (L3 hot paths)
+  slam     — loop closure, scan matching, pose-graph GN,
+             map merging, session refinement                   (L3 server)
   coord    — heartbeat, territory zones, frontier assignment   (L3 server)
-  ops      — XLA/Pallas kernels (raster, frontier, scan-match) (hot paths)
-  engine   — the fused jitted swarm step + packet replay       (the "train step")
+  engine   — the fused jitted swarm step, packet replay,
+             checkpointing                                     (the "train step")
   sim      — synthetic scenario generation + fault injection   (L5 tooling)
-  render   — JAX rasterizer, PNG/CSV emitters                  (L4 rendering)
-  parallel — device mesh, sharded grid, collectives            (scale-out)
-  server   — live UDP ingest front-end                         (L2/L3 bridge)
+  render   — JAX rasterizer, PNG/GIF/figure emitters           (L4 rendering)
+  parallel — device mesh, shard_map step, collectives          (scale-out)
+  server   — live UDP front-end + scan bridge                  (L2/L3 bridge)
+  cli      — session runner, playback, protocol ops tools
   native   — C++ oracle library for bit-comparison tests
 """
 
