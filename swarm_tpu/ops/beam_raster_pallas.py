@@ -51,7 +51,8 @@ def _atan2_poly(y, x):
 
 def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
             sem_in, sem_out, *, spec: BeamSpec, rows: int, cols: int,
-            b_pad: int, hit: float, miss: float, clamp: float):
+            b_pad: int, hit: float, miss: float, clamp: float,
+            group: int = 1):
     i = pl.program_id(0)
     # Origins are 8-row / 128-col aligned by construction (patch_origin);
     # the hints let Mosaic prove the DMA slices are tile-aligned.
@@ -150,11 +151,16 @@ def beam_raster_pallas(logodds, agent_xy, yaw, dist_m, trusted, active,
         hit=cfg.logodds_hit, miss=cfg.logodds_miss,
         clamp=cfg.logodds_clamp)
 
+    # origins/meta live in VMEM as full arrays (a few KB) and are read as
+    # dynamic scalars — SMEM scalar prefetch of [N, .] arrays overflows the
+    # 1 MB SMEM at swarm scale (N=1024 hit the cap).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,         # origins (int32) + meta (f32), SMEM
+        num_scalar_prefetch=0,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, b_pad, 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
+            pl.BlockSpec((1, b_pad, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),            # table
             pl.BlockSpec(memory_space=pl.ANY),             # grid (HBM)
         ],
