@@ -51,8 +51,7 @@ def _atan2_poly(y, x):
 
 def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
             sem_in, sem_out, *, spec: BeamSpec, rows: int, cols: int,
-            b_pad: int, hit: float, miss: float, clamp: float,
-            group: int = 1):
+            b_pad: int, hit: float, miss: float, clamp: float):
     i = pl.program_id(0)
     # Origins are 8-row / 128-col aligned by construction (patch_origin);
     # the hints let Mosaic prove the DMA slices are tile-aligned.
