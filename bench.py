@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--scan-rays", type=int, default=0,
                     help="servo-scan beams per agent per step "
                          "(181 = the esp32 servo firmware variant)")
+    ap.add_argument("--raster", default="line", choices=["line", "beam"],
+                    help="line = per-ray Bresenham scatter; beam = polar "
+                         "inverse sensor model (Pallas fast path)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="beam mode via the XLA reference implementation")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -41,18 +46,19 @@ def main():
     from __graft_entry__ import _cfg_and_world
     from swarm_tpu.engine.sim import sim_init, sim_rollout
 
-    cfg, walls, params = _cfg_and_world(args.agents, frontiers=False,
-                                        parity=False)
-    if args.scan_rays:
-        cfg = cfg.replace(engine=cfg.engine.__class__(
-            parity_mode=False, compute_frontiers=False,
-            scan_rays=args.scan_rays))
+    cfg, walls, params, rooms = _cfg_and_world(
+        args.agents, frontiers=False, parity=False,
+        raster_mode=args.raster,
+        use_pallas=(args.raster == "beam" and not args.no_pallas),
+        scan_rays=args.scan_rays)
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 
     @jax.jit
     def chunk(s):
-        final, ms = sim_rollout(s, args.steps, cfg, walls, params)
+        final, ms = sim_rollout(s, args.steps, cfg, walls, params,
+                                walls_grouped=rooms[0],
+                                room_of_agent=rooms[1])
         return final, jnp.sum(ms.writes)   # int32; chunks stay < 2^31 writes
 
     # warmup / compile

@@ -70,10 +70,12 @@ def run_closed_loop(args):
     from swarm_tpu.proto.csvio import write_session
     from swarm_tpu.render import render_map, save_png
 
+    rooms = (None, None)
     if args.preset == "swarm":
         from __graft_entry__ import _cfg_and_world
-        cfg, walls, params = _cfg_and_world(args.agents, frontiers=False,
-                                            parity=False)
+        cfg, walls, params, rooms = _cfg_and_world(args.agents,
+                                                   frontiers=False,
+                                                   parity=False)
     else:
         cfg = SwarmConfig(n_agents=2, engine=EngineConfig(
             compute_frontiers=not args.no_frontiers))
@@ -90,7 +92,8 @@ def run_closed_loop(args):
     t0 = time.time()
     final, ms = jax.jit(lambda s: sim_rollout(
         s, args.steps, cfg, jnp.asarray(walls), params,
-        enable_targets=args.enable_targets))(st)
+        enable_targets=args.enable_targets,
+        walls_grouped=rooms[0], room_of_agent=rooms[1]))(st)
     jax.block_until_ready(final.t)
     elapsed = time.time() - t0
 

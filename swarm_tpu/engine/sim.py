@@ -268,13 +268,29 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                  beams_from_scan(scan_dist, sens.max_range, sens.min_range)))
         for spec_b, (db, tb) in specs_and_beams:
             if cfg.engine.use_pallas:
-                from swarm_tpu.ops.beam_raster_pallas import beam_raster_pallas
-                logodds = beam_raster_pallas(logodds, axy, ryaw, db, tb,
-                                             alive, spec_b, cfg.grid)
-                # painted-cell count ~ one cell per traversed cell per beam
-                w = jnp.sum(jnp.where(alive[:, None], db, 0.0)
-                            / cfg.grid.resolution)
-                writes = writes + w.astype(jnp.int32)
+                # fast path: kernel free-space (group-min ranges, fused
+                # line-equivalent evidence) + EXACT endpoint hits via the
+                # sparse scatter (ops/beam_raster.py rationale)
+                from swarm_tpu.ops.beam_raster import endpoint_rays
+                from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+                from swarm_tpu.ops.raster import logodds_delta
+                n_groups = min(16, spec_b.n_beams)
+                logodds = free_raster_pallas(logodds, axy, ryaw, db, alive,
+                                             spec_b, cfg.grid,
+                                             n_groups=n_groups)
+                ep_delta, w_ep = logodds_delta(
+                    endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
+                    cfg.grid, k_max=1)
+                logodds = jnp.clip(logodds + ep_delta,
+                                   -cfg.grid.logodds_clamp,
+                                   cfg.grid.logodds_clamp)
+                # equivalent ray-cell updates: one per traversed cell per
+                # beam (what the line raster performs), plus endpoints
+                path_cells = jnp.maximum(
+                    jnp.floor(db / cfg.grid.resolution) - 1.0, 0.0)
+                w_free = jnp.sum(jnp.where(alive[:, None], path_cells, 0.0))
+                writes = writes + w_free.astype(jnp.int32) + \
+                    w_ep.astype(jnp.int32)
             else:
                 db = jnp.where(alive[:, None], db, 0.0)
                 logodds, w = beam_raster_reference(logodds, axy, ryaw, db,
@@ -358,15 +374,27 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
 
 def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
              faults: Optional[FaultSchedule] = None,
-             enable_targets: bool = False):
+             enable_targets: bool = False,
+             walls_grouped=None, room_of_agent=None):
     """Advance the whole swarm world by one tick. Pure; jit over (cfg, walls
-    static by closure). Returns (new_state, StepMetrics)."""
+    static by closure). Returns (new_state, StepMetrics).
+
+    walls_grouped [G, S_g, 4] + room_of_agent [N]: optional culled-casting
+    geometry — each agent intersects only its own room's segments (exact
+    for closed rooms; O(S_g) instead of O(all walls) per ray)."""
     n = cfg.n_agents
     navc = cfg.nav
     dt = navc.drive_tick_s + navc.settle_tick_s
     if faults is None:
         faults = no_faults()
     alive = alive_mask(faults, n, state.t)
+
+    # per-agent wall sets: the whole world, or just the agent's room
+    if walls_grouped is not None:
+        walls_agent = walls_grouped[room_of_agent]       # [N, S_g, 4]
+    else:
+        walls_agent = jnp.broadcast_to(
+            walls, (n,) + walls.shape)
 
     # Per-agent counter-based RNG streams: fold the step key by GLOBAL agent
     # id, so results are identical under any agent sharding (SURVEY §7
@@ -378,15 +406,16 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     k_drift = jax.vmap(lambda k: jax.random.fold_in(k, 1))(k_agents)
 
     # 1. sense from TRUE pose (noise model: generate_fake_dual_session.py:100-108)
-    dist4 = jax.vmap(lambda k, p: sense_4way(k, p, walls, cfg.sensors))(
-        k_sense, state.pose_true)
+    dist4 = jax.vmap(lambda k, p, w: sense_4way(k, p, w, cfg.sensors))(
+        k_sense, state.pose_true, walls_agent)
     scan_dist = None
     if cfg.engine.scan_rays > 0:
         from swarm_tpu.models.scan import sense_scan
         k_scan = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_agents)
         scan_dist = jax.vmap(
-            lambda k, p: sense_scan(k, p, walls, cfg.engine.scan_rays,
-                                    cfg.sensors))(k_scan, state.pose_true)
+            lambda k, p, w: sense_scan(k, p, w, cfg.engine.scan_rays,
+                                       cfg.sensors))(
+            k_scan, state.pose_true, walls_agent)
 
     # 2. landmark signature (sim thresholds, :113-129)
     lm = detect_landmark_sim(dist4[:, 0], dist4[:, 1], dist4[:, 3],
@@ -439,7 +468,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     yaw_true = wrap_pi(state.pose_true[:, 2] + turn)
     move_dir = yaw_true + steer
     from swarm_tpu.geom.world import cast_rays
-    clear = cast_rays(state.pose_true[:, :2], move_dir, walls)
+    clear = jax.vmap(lambda p, a, w: cast_rays(p, a, w))(
+        state.pose_true[:, :2], move_dir, walls_agent)
     drive = jnp.minimum(drive, jnp.maximum(clear - 0.08, 0.0))
     x_true = state.pose_true[:, 0] + drive * jnp.cos(move_dir)
     y_true = state.pose_true[:, 1] + drive * jnp.sin(move_dir)
@@ -501,19 +531,25 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
 
 def sim_rollout(state: SimState, n_steps: int, cfg: SwarmConfig, walls,
                 params: AgentParams, faults: Optional[FaultSchedule] = None,
-                enable_targets: bool = False):
+                enable_targets: bool = False,
+                walls_grouped=None, room_of_agent=None):
     """n_steps of the fused step under lax.scan.
     Returns (final state, stacked StepMetrics)."""
     def body(s, _):
-        return sim_step(s, cfg, walls, params, faults, enable_targets)
+        return sim_step(s, cfg, walls, params, faults, enable_targets,
+                        walls_grouped=walls_grouped,
+                        room_of_agent=room_of_agent)
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
 def make_sim_step(cfg: SwarmConfig, walls, params: AgentParams,
                   faults: Optional[FaultSchedule] = None,
-                  enable_targets: bool = False, donate: bool = True):
+                  enable_targets: bool = False, donate: bool = True,
+                  walls_grouped=None, room_of_agent=None):
     """A jitted single-argument step closure — the deployable engine."""
     f = functools.partial(sim_step, cfg=cfg, walls=jnp.asarray(walls),
                           params=params, faults=faults,
-                          enable_targets=enable_targets)
+                          enable_targets=enable_targets,
+                          walls_grouped=walls_grouped,
+                          room_of_agent=room_of_agent)
     return jax.jit(f, donate_argnums=(0,) if donate else ())

@@ -59,6 +59,44 @@ def make_multi_room(n_rooms: int, room_w: float = 6.0, room_h: float = 4.0,
     return np.concatenate(rooms, axis=0)
 
 
+def walls_by_group(walls: np.ndarray, segs_per_group: int = 4) -> np.ndarray:
+    """[S, 4] flat segments -> [G, segs_per_group, 4] grouped view for
+    culled casting (rooms are emitted contiguously by make_multi_room)."""
+    s = walls.shape[0]
+    assert s % segs_per_group == 0
+    return walls.reshape(s // segs_per_group, segs_per_group, 4)
+
+
+def cast_rays_grouped(origins, angles, walls_grouped, group_of_ray):
+    """Culled ray casting: each ray intersects only its own group's
+    segments — exact when groups are closed rooms (no cross-room
+    visibility), and O(segs_per_group) instead of O(all segments).
+
+    origins: [..., 2]; angles: [...]; walls_grouped: [G, S_g, 4];
+    group_of_ray: [...] int32. Returns [...] distances (RAY_MISS on miss).
+    """
+    walls = walls_grouped[group_of_ray]           # [..., S_g, 4]
+    dx = jnp.cos(angles)
+    dy = jnp.sin(angles)
+    sx1 = walls[..., 0]
+    sy1 = walls[..., 1]
+    dsx = walls[..., 2] - sx1
+    dsy = walls[..., 3] - sy1
+    ox = origins[..., 0:1]
+    oy = origins[..., 1:2]
+    dxe = dx[..., None]
+    dye = dy[..., None]
+    denom = dxe * dsy - dye * dsx
+    rx = sx1 - ox
+    ry = sy1 - oy
+    safe = jnp.where(jnp.abs(denom) < 1e-10, 1.0, denom)
+    t = (rx * dsy - ry * dsx) / safe
+    u = (rx * dye - ry * dxe) / safe
+    valid = (jnp.abs(denom) >= 1e-10) & (t > 1e-3) & (u >= 0.0) & (u <= 1.0)
+    d = jnp.min(jnp.where(valid, t, jnp.inf), axis=-1)
+    return jnp.where(d < RAY_MAX_VALID, d, RAY_MISS)
+
+
 def ray_segment_t(ox, oy, dx, dy, walls):
     """Parametric hit distances of rays against every wall segment.
 

@@ -168,6 +168,110 @@ def beam_raster_reference(logodds, agent_xy, yaw, dist_m, trusted,
     return out, writes
 
 
+def group_min_ranges(ranges_cells, n_groups: int):
+    """[N, B] per-beam ranges -> [N, G] group minima (padded with the last
+    beam's value so trailing groups stay conservative)."""
+    n, b = ranges_cells.shape
+    per = -(-b // n_groups)
+    pad = n_groups * per - b
+    r = jnp.pad(ranges_cells, ((0, 0), (0, pad)), mode="edge")
+    return r.reshape(n, n_groups, per).min(axis=-1)
+
+
+def crossing_count(r, dtheta: float):
+    """How many beams of a uniform fan cross a cell at radius r (cells):
+    the angular half-width a half-cell subtends is atan(0.5 / sqrt(r^2 -
+    0.25)); the line-raster writes a cell once per crossing beam, so
+    applying count * evidence in one FMA is the same total update."""
+    half = jnp.arctan2(0.5, jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
+    return jnp.maximum(1.0, jnp.round(2.0 * half / dtheta))
+
+
+def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
+                          spec: BeamSpec, cfg: GridConfig = GridConfig(),
+                          n_groups: int = 16,
+                          line_equivalent: bool = True):
+    """XLA reference of the FAST free-space pass (what the Pallas kernel
+    computes): free cells from GROUP-MIN ranges (conservative — never
+    carves past the nearest wall in the sector), evidence scaled by the
+    analytic beam-crossing count when line_equivalent. Endpoint hits are
+    NOT painted here — the engine applies them exactly via the endpoint
+    scatter. Returns (new_logodds, writes) where writes counts the
+    line-equivalent ray-cell updates applied."""
+    res = cfg.resolution
+    ax = (agent_xy[:, 0] - cfg.origin_x) / res
+    ay = (agent_xy[:, 1] - cfg.origin_y) / res
+    ranges_cells = dist_m / res
+    gmins = group_min_ranges(ranges_cells, n_groups)       # [N, G]
+    pr, pc = patch_dims(cfg.size)
+    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc)
+    group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
+    gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
+                     dtheta=group_dtheta, wrap=spec.wrap)
+
+    def one(a, b, y, gm, act, r0, c0):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
+        cy = (r0 + rows).astype(jnp.float32) + 0.5
+        cx = (c0 + cols).astype(jnp.float32) + 0.5
+        dx = cx - a
+        dy = cy - b
+        r = jnp.sqrt(dx * dx + dy * dy)
+        theta = jnp.arctan2(dy, dx)
+        # group index of the cell's angle (group centre = mean beam angle)
+        rel = theta - y - spec.theta0 - group_dtheta / 2.0 + spec.dtheta / 2.0
+        rel = (rel + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
+        if spec.wrap:
+            g = jnp.mod(g, n_groups)
+            in_fan = jnp.ones_like(r, bool)
+        else:
+            in_fan = (rel >= -group_dtheta / 2.0) & \
+                (rel < (n_groups - 0.5) * group_dtheta)
+            g = jnp.clip(g, 0, n_groups - 1)
+        rb = gm[g]
+        # a cell is on SOME beam when the fan is dense enough locally;
+        # count = crossing beams (>=1 within the fan's angular support)
+        half = jnp.arctan2(0.5, jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
+        covered = half * 2.0 >= spec.dtheta * 0.999
+        cnt = (crossing_count(r, spec.dtheta) if line_equivalent
+               else jnp.ones_like(r))
+        # sparse fans (4-way): only cells within a beam's half-cell width
+        resid = rel - g.astype(jnp.float32) * group_dtheta
+        on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
+        free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
+        delta = jnp.where(free, cfg.logodds_miss * cnt, 0.0) * act
+        return delta, jnp.sum(jnp.where(free, cnt, 0.0))
+
+    deltas, writes = jax.vmap(one)(ax, ay, yaw, gmins,
+                                   active.astype(jnp.float32), row0, col0)
+
+    def add_one(gr, args):
+        d, r0, c0 = args
+        patch = jax.lax.dynamic_slice(gr, (r0, c0), (pr, pc))
+        return jax.lax.dynamic_update_slice(gr, patch + d, (r0, c0)), None
+
+    out, _ = jax.lax.scan(add_one, logodds, (deltas, row0, col0))
+    out = jnp.clip(out, -cfg.logodds_clamp, cfg.logodds_clamp)
+    return out, jnp.sum(writes)
+
+
+def endpoint_rays(agent_xy, yaw, dist_m, trusted, active, spec: BeamSpec):
+    """Trusted beam endpoints as zero-length rays for the exact endpoint
+    scatter (ops.raster.logodds_delta with k_max=1)."""
+    from swarm_tpu.ops.raster import RayBatch
+
+    n, b = dist_m.shape
+    ang = yaw[:, None] + spec.theta0 + \
+        jnp.arange(b, dtype=dist_m.dtype)[None, :] * spec.dtheta
+    hx = agent_xy[:, 0:1] + dist_m * jnp.cos(ang)
+    hy = agent_xy[:, 1:2] + dist_m * jnp.sin(ang)
+    ok = trusted & active[:, None]
+    return RayBatch(ox=hx.reshape(-1), oy=hy.reshape(-1),
+                    hx=hx.reshape(-1), hy=hy.reshape(-1),
+                    hit_valid=ok.reshape(-1), active=ok.reshape(-1))
+
+
 def beams_from_4way(dist4_m, sens_max_range: float, sens_min_range: float):
     """4-way readings -> (range-limited distances, trusted mask)."""
     trusted = (dist4_m > sens_min_range) & (dist4_m <= sens_max_range)

@@ -119,6 +119,128 @@ def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
     out_dma.wait()
 
 
+def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
+                 sem_in, sem_out, *, spec: BeamSpec, n_groups: int,
+                 group_dtheta: float, rows: int, cols: int,
+                 miss: float, clamp: float, line_equivalent: bool):
+    """Fast free-space pass (see beam_raster.free_raster_reference):
+    group-min ranges (n_groups-iteration gather) + analytic crossing-count
+    evidence. Endpoint hits are applied outside via the exact scatter."""
+    i = pl.program_id(0)
+    r0 = pl.multiple_of(origin_ref[i, 0], 8)
+    c0 = pl.multiple_of(origin_ref[i, 1], 128)
+
+    in_dma = pltpu.make_async_copy(
+        out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], patch, sem_in)
+    in_dma.start()
+
+    ax = meta_ref[i, 0]
+    ay = meta_ref[i, 1]
+    yaw = meta_ref[i, 2]
+    act = meta_ref[i, 3]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    cy = (r0 + rr).astype(jnp.float32) + 0.5
+    cx = (c0 + cc).astype(jnp.float32) + 0.5
+    dx = cx - ax
+    dy = cy - ay
+    r = jnp.sqrt(dx * dx + dy * dy)
+    theta = _atan2_poly(dy, dx)
+
+    rel = theta - yaw - spec.theta0 - group_dtheta / 2.0 + spec.dtheta / 2.0
+    rel = (rel + math.pi) % (2 * math.pi) - math.pi
+    g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
+    if spec.wrap:
+        g = jnp.mod(g, n_groups)
+        in_fan = jnp.ones((rows, cols), bool)
+    else:
+        in_fan = (rel >= -group_dtheta / 2.0) & \
+            (rel < (n_groups - 0.5) * group_dtheta)
+        g = jnp.clip(g, 0, n_groups - 1)
+
+    def gather_group(k, rbk):
+        return jnp.where(g == k, table_ref[i, k], rbk)
+
+    rb = jax.lax.fori_loop(0, n_groups, gather_group,
+                           jnp.zeros((rows, cols), jnp.float32))
+
+    half = _atan2_poly(jnp.full_like(r, 0.5),
+                       jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
+    covered = half * 2.0 >= spec.dtheta * 0.999
+    if line_equivalent:
+        cnt = jnp.maximum(1.0, jnp.round(2.0 * half / spec.dtheta))
+    else:
+        cnt = jnp.ones_like(r)
+    resid = rel - g.astype(jnp.float32) * group_dtheta
+    on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
+    free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
+    delta = jnp.where(free, miss * cnt, 0.0) * act
+
+    in_dma.wait()
+    patch[:] = jnp.clip(patch[:] + delta, -clamp, clamp)
+    out_dma = pltpu.make_async_copy(
+        patch, out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], sem_out)
+    out_dma.start()
+    out_dma.wait()
+
+
+def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
+                       spec: BeamSpec, cfg: GridConfig = GridConfig(),
+                       n_groups: int = 16, line_equivalent: bool = True,
+                       interpret: bool = False):
+    """Kernel entry for the fast free-space pass. Returns new_logodds;
+    the caller computes the equivalent-write count analytically."""
+    from swarm_tpu.ops.beam_raster import group_min_ranges
+
+    n = agent_xy.shape[0]
+    rows, cols = patch_dims(cfg.size)
+    res = cfg.resolution
+    g_pad = _round_up(n_groups, 128)
+
+    ax = (agent_xy[:, 0] - cfg.origin_x) / res
+    ay = (agent_xy[:, 1] - cfg.origin_y) / res
+    row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
+    origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
+    gmins = group_min_ranges((dist_m / res).astype(jnp.float32), n_groups)
+    table = jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups)))
+    meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
+                      jnp.zeros_like(ax), jnp.zeros_like(ax),
+                      jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
+    group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
+
+    kernel = functools.partial(
+        _free_kernel, spec=spec, n_groups=n_groups,
+        group_dtheta=group_dtheta, rows=rows, cols=cols,
+        miss=cfg.logodds_miss, clamp=cfg.logodds_clamp,
+        line_equivalent=line_equivalent)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # table
+            pl.BlockSpec(memory_space=pl.ANY),                # grid (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(logodds.shape, logodds.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(origins, meta, table, logodds)
+
+
 def beam_raster_pallas(logodds, agent_xy, yaw, dist_m, trusted, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        interpret: bool = False):
