@@ -160,7 +160,9 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         g = jnp.clip(g, 0, n_groups - 1)
 
     def gather_group(k, rbk):
-        return jnp.where(g == k, table_ref[i, k], rbk)
+        # table block is [1, G_pad, 1]: k indexes SUBLANES (dynamic lane
+        # indexing is not supported by Mosaic)
+        return jnp.where(g == k, table_ref[0, k, 0], rbk)
 
     rb = jax.lax.fori_loop(0, n_groups, gather_group,
                            jnp.zeros((rows, cols), jnp.float32))
@@ -196,14 +198,15 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     n = agent_xy.shape[0]
     rows, cols = patch_dims(cfg.size)
     res = cfg.resolution
-    g_pad = _round_up(n_groups, 128)
+    g_pad = _round_up(n_groups, 8)
 
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
     gmins = group_min_ranges((dist_m / res).astype(jnp.float32), n_groups)
-    table = jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups)))
+    # group axis as SUBLANES: [N, G_pad, 1] blocked per agent
+    table = jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups)))[..., None]
     meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
                       jnp.zeros_like(ax), jnp.zeros_like(ax),
                       jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
@@ -221,7 +224,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
             pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
-            pl.BlockSpec(memory_space=pltpu.VMEM),            # table
+            pl.BlockSpec((1, g_pad, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # table
             pl.BlockSpec(memory_space=pl.ANY),                # grid (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
