@@ -46,11 +46,11 @@ def main():
     from __graft_entry__ import _cfg_and_world
     from swarm_tpu.engine.sim import sim_init, sim_rollout
 
+    use_pallas = args.raster == "beam" and not args.no_pallas
     cfg, walls, params, rooms = _cfg_and_world(
         args.agents, frontiers=False, parity=False,
-        raster_mode=args.raster,
-        use_pallas=(args.raster == "beam" and not args.no_pallas),
-        scan_rays=args.scan_rays)
+        raster_mode=args.raster, use_pallas=use_pallas,
+        scan_rays=args.scan_rays, tiled=use_pallas)
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 

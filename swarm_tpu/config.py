@@ -192,6 +192,10 @@ class EngineConfig:
     # additionally sweeps this many beams (-90..+90 deg) per step and the
     # sweep rasters into the grid — the 181-ray LaserScan path.
     scan_rays: int = 0
+    # Room-block raster (geom.world.make_tiled_rooms layouts only): > 0 =
+    # rooms per tile row; the beam fast path then uses the BlockSpec-
+    # pipelined per-tile kernel instead of per-agent windows.
+    room_tile_per_row: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -272,12 +272,19 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 # line-equivalent evidence) + EXACT endpoint hits via the
                 # sparse scatter (ops/beam_raster.py rationale)
                 from swarm_tpu.ops.beam_raster import endpoint_rays
-                from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+                from swarm_tpu.ops.beam_raster_pallas import (
+                    free_raster_pallas, room_raster_pallas)
                 from swarm_tpu.ops.raster import logodds_delta
                 n_groups = min(16, spec_b.n_beams)
-                logodds = free_raster_pallas(logodds, axy, ryaw, db, alive,
-                                             spec_b, cfg.grid,
-                                             n_groups=n_groups)
+                if cfg.engine.room_tile_per_row > 0:
+                    logodds = room_raster_pallas(
+                        logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
+                        n_groups=n_groups,
+                        per_row=cfg.engine.room_tile_per_row)
+                else:
+                    logodds = free_raster_pallas(
+                        logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
+                        n_groups=n_groups)
                 ep_delta, w_ep = logodds_delta(
                     endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
                     cfg.grid, k_max=1)

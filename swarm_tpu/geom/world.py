@@ -59,6 +59,33 @@ def make_multi_room(n_rooms: int, room_w: float = 6.0, room_h: float = 4.0,
     return np.concatenate(rooms, axis=0)
 
 
+TILE_ROWS = 128          # grid-tile room pitch (cells): 6.4 m x 12.8 m
+TILE_COLS = 256
+
+
+def make_tiled_rooms(n_rooms: int, per_row: int, res: float = 0.05,
+                     room_w: float = 6.0, room_h: float = 4.0):
+    """Rooms laid out so each room sits inside ONE [TILE_ROWS, TILE_COLS]
+    grid tile (origin at world (0,0)) — the layout for the room-block
+    Pallas raster, where tile k pipelines through VMEM as a BlockSpec
+    block. Returns (walls [n_rooms*4, 4], room_origin_xy [n_rooms, 2])."""
+    pitch_x = TILE_COLS * res
+    pitch_y = TILE_ROWS * res
+    mx = (pitch_x - room_w) / 2.0
+    my = (pitch_y - room_h) / 2.0
+    rooms = []
+    origins = []
+    for i in range(n_rooms):
+        r, c = divmod(i, per_row)
+        ox = c * pitch_x
+        oy = r * pitch_y
+        rooms.append(make_rect_room(ox + mx, oy + my,
+                                    ox + mx + room_w, oy + my + room_h))
+        origins.append((ox + mx, oy + my))
+    return (np.concatenate(rooms, axis=0),
+            np.asarray(origins, np.float32))
+
+
 def walls_by_group(walls: np.ndarray, segs_per_group: int = 4) -> np.ndarray:
     """[S, 4] flat segments -> [G, segs_per_group, 4] grouped view for
     culled casting (rooms are emitted contiguously by make_multi_room)."""
