@@ -196,6 +196,10 @@ class EngineConfig:
     # rooms per tile row; the beam fast path then uses the BlockSpec-
     # pipelined per-tile kernel instead of per-agent windows.
     room_tile_per_row: int = 0
+    # Beam fast path tuning: range-table group count (gather loop length)
+    # and whether endpoint hits are applied (exact sparse scatter).
+    beam_groups: int = 16
+    endpoint_hits: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

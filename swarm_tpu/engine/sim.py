@@ -275,7 +275,7 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 from swarm_tpu.ops.beam_raster_pallas import (
                     free_raster_pallas, room_raster_pallas)
                 from swarm_tpu.ops.raster import logodds_delta
-                n_groups = min(16, spec_b.n_beams)
+                n_groups = min(cfg.engine.beam_groups, spec_b.n_beams)
                 if cfg.engine.room_tile_per_row > 0:
                     logodds = room_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
@@ -285,12 +285,15 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     logodds = free_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
                         n_groups=n_groups)
-                ep_delta, w_ep = logodds_delta(
-                    endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
-                    cfg.grid, k_max=1)
-                logodds = jnp.clip(logodds + ep_delta,
-                                   -cfg.grid.logodds_clamp,
-                                   cfg.grid.logodds_clamp)
+                if cfg.engine.endpoint_hits:
+                    ep_delta, w_ep = logodds_delta(
+                        endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
+                        cfg.grid, k_max=1)
+                    logodds = jnp.clip(logodds + ep_delta,
+                                       -cfg.grid.logodds_clamp,
+                                       cfg.grid.logodds_clamp)
+                else:
+                    w_ep = jnp.zeros((), jnp.int32)
                 # equivalent ray-cell updates: one per traversed cell per
                 # beam (what the line raster performs), plus endpoints
                 path_cells = jnp.maximum(

@@ -1,1 +1,10 @@
-from swarm_tpu.slam.closure import ClosureState, closure_add_pose, closure_init  # noqa: F401
+from swarm_tpu.slam.closure import (  # noqa: F401
+    ClosureState,
+    closure_add_pose,
+    closure_add_poses_batch,
+    closure_init,
+)
+from swarm_tpu.slam.scanmatch import MatchResult, match_grids, match_grids_batch  # noqa: F401
+from swarm_tpu.slam.posegraph import PoseGraph, gauss_newton, graph_from_trajectory, optimize_graphs_batch  # noqa: F401
+from swarm_tpu.slam.merge import MergeResult, merge_local_maps, warp_grid  # noqa: F401
+from swarm_tpu.slam.refine import refine_session, reraster_session  # noqa: F401
