@@ -89,6 +89,14 @@ def main():
             "writes_per_step": round(total_writes / max(steps, 1), 1),
             "grid": cfg.grid.size,
             "platform": jax.devices()[0].platform,
+            "raster": args.raster,
+            "scan_rays": args.scan_rays,
+            # line: actual scatter writes (reference per-ray semantics).
+            # beam: equivalent ray-cell updates — one per cell per crossing
+            # beam, applied as fused count*evidence FMAs + exact endpoint
+            # scatter writes (see ops/beam_raster.py).
+            "writes_semantics": ("scatter" if args.raster == "line"
+                                 else "line-equivalent fused"),
         },
     }))
 
