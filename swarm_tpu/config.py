@@ -200,6 +200,10 @@ class EngineConfig:
     # and whether endpoint hits are applied (exact sparse scatter).
     beam_groups: int = 16
     endpoint_hits: bool = True
+    # In-kernel endpoint painting (hits on the group-min ring, trusted-
+    # fraction weighted): cheaper than the exact scatter, placement
+    # blurred to the sector's nearest wall. Overrides endpoint_hits.
+    kernel_endpoints: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -284,8 +284,13 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 else:
                     logodds = free_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
-                        n_groups=n_groups)
-                if cfg.engine.endpoint_hits:
+                        n_groups=n_groups,
+                        trusted=(tb if cfg.engine.kernel_endpoints
+                                 else None))
+                if cfg.engine.kernel_endpoints:
+                    w_ep = jnp.sum(
+                        (tb & alive[:, None]).astype(jnp.int32))
+                elif cfg.engine.endpoint_hits:
                     ep_delta, w_ep = logodds_delta(
                         endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
                         cfg.grid, k_max=1)

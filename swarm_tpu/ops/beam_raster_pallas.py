@@ -122,7 +122,8 @@ def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
 def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
                  sem_in, sem_out, *, spec: BeamSpec, n_groups: int,
                  group_dtheta: float, rows: int, cols: int,
-                 miss: float, clamp: float, line_equivalent: bool):
+                 miss: float, hit: float, clamp: float,
+                 line_equivalent: bool, paint_hits: bool):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
     evidence. Endpoint hits are applied outside via the exact scatter."""
@@ -159,13 +160,20 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
             (rel < (n_groups - 0.5) * group_dtheta)
         g = jnp.clip(g, 0, n_groups - 1)
 
-    def gather_group(k, rbk):
-        # table block is [1, G_pad, 1]: k indexes SUBLANES (dynamic lane
+    def gather_group(k, carry):
+        # table block is [1, G_pad, 2]: k indexes SUBLANES (dynamic lane
         # indexing is not supported by Mosaic)
-        return jnp.where(g == k, table_ref[0, k, 0], rbk)
+        rbk, tfk = carry
+        is_k = g == k
+        rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
+        if paint_hits:
+            tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
+        return rbk, tfk
 
-    rb = jax.lax.fori_loop(0, n_groups, gather_group,
-                           jnp.zeros((rows, cols), jnp.float32))
+    rb, tf = jax.lax.fori_loop(
+        0, n_groups, gather_group,
+        (jnp.zeros((rows, cols), jnp.float32),
+         jnp.zeros((rows, cols), jnp.float32)))
 
     half = _atan2_poly(jnp.full_like(r, 0.5),
                        jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
@@ -176,8 +184,15 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         cnt = jnp.ones_like(r)
     resid = rel - g.astype(jnp.float32) * group_dtheta
     on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
-    free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
+    base_ok = in_fan & on_any & (r > 1e-3)
+    free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
+    if paint_hits:
+        # endpoint ring at the group's min range, weighted by the group's
+        # trusted fraction (in-kernel endpoints: placement blurred to the
+        # sector's NEAREST wall — the exact path uses the sparse scatter)
+        on_ring = base_ok & (jnp.abs(r - rb) <= 0.71)
+        delta = delta + jnp.where(on_ring, hit * cnt * tf, 0.0) * act
 
     in_dma.wait()
     patch[:] = jnp.clip(patch[:] + delta, -clamp, clamp)
@@ -190,23 +205,37 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
 def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        n_groups: int = 16, line_equivalent: bool = True,
-                       interpret: bool = False):
+                       trusted=None, interpret: bool = False):
     """Kernel entry for the fast free-space pass. Returns new_logodds;
-    the caller computes the equivalent-write count analytically."""
+    the caller computes the equivalent-write count analytically.
+    `trusted` [N, B] enables IN-KERNEL endpoint painting (hits placed on
+    the group-min ring, weighted by the group's trusted fraction) —
+    cheaper than the exact endpoint scatter, slightly blurred placement."""
     from swarm_tpu.ops.beam_raster import group_min_ranges
 
     n = agent_xy.shape[0]
     rows, cols = patch_dims(cfg.size)
     res = cfg.resolution
     g_pad = _round_up(n_groups, 8)
+    paint_hits = trusted is not None
 
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
     gmins = group_min_ranges((dist_m / res).astype(jnp.float32), n_groups)
-    # group axis as SUBLANES: [N, G_pad, 1] blocked per agent
-    table = jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups)))[..., None]
+    # group axis as SUBLANES: [N, G_pad, 2] blocked per agent
+    if paint_hits:
+        per = -(-spec.n_beams // n_groups)
+        pad_b = n_groups * per - spec.n_beams
+        tfrac = jnp.pad(trusted.astype(jnp.float32),
+                        ((0, 0), (0, pad_b))).reshape(
+            n, n_groups, per).mean(axis=-1)
+    else:
+        tfrac = jnp.zeros_like(gmins)
+    table = jnp.stack([
+        jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups))),
+        jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
     meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
                       jnp.zeros_like(ax), jnp.zeros_like(ax),
                       jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
@@ -215,8 +244,9 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     kernel = functools.partial(
         _free_kernel, spec=spec, n_groups=n_groups,
         group_dtheta=group_dtheta, rows=rows, cols=cols,
-        miss=cfg.logodds_miss, clamp=cfg.logodds_clamp,
-        line_equivalent=line_equivalent)
+        miss=cfg.logodds_miss, hit=cfg.logodds_hit,
+        clamp=cfg.logodds_clamp,
+        line_equivalent=line_equivalent, paint_hits=paint_hits)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -224,7 +254,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
             pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
-            pl.BlockSpec((1, g_pad, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, g_pad, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),            # table
             pl.BlockSpec(memory_space=pl.ANY),                # grid (HBM)
         ],
