@@ -204,6 +204,12 @@ class EngineConfig:
     # fraction weighted): cheaper than the exact scatter, placement
     # blurred to the sector's nearest wall. Overrides endpoint_hits.
     kernel_endpoints: bool = False
+    # Raster the 4-way ultrasonics in addition to the servo scan. The
+    # reference scan-variant firmware maps with the lidar ONLY
+    # (esp32_firmware/src/main.cpp has no ultrasonic raster), so False is
+    # the faithful setting when scan_rays > 0; the 4-way readings still
+    # drive the nav FSM either way.
+    raster_4way: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -259,9 +259,11 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         axy = jnp.stack([rx, ry], axis=-1)
         logodds = srv.logodds
         writes = jnp.zeros((), jnp.int32)
-        specs_and_beams = [(BeamSpec.four_way(),
-                            beams_from_4way(dist4, sens.max_range,
-                                            sens.min_range))]
+        specs_and_beams = []
+        if cfg.engine.raster_4way or scan_dist is None:
+            specs_and_beams.append(
+                (BeamSpec.four_way(),
+                 beams_from_4way(dist4, sens.max_range, sens.min_range)))
         if scan_dist is not None:
             specs_and_beams.append(
                 (BeamSpec.scan(scan_dist.shape[-1]),
