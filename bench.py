@@ -31,17 +31,24 @@ def main():
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
-    ap.add_argument("--scan-rays", type=int, default=0,
+    ap.add_argument("--scan-rays", type=int, default=181,
                     help="servo-scan beams per agent per step "
-                         "(181 = the esp32 servo firmware variant)")
-    ap.add_argument("--raster", default="line", choices=["line", "beam"],
+                         "(181 = the esp32 servo firmware variant; 0 = "
+                         "4-way ultrasonics only)")
+    ap.add_argument("--raster", default="beam", choices=["line", "beam"],
                     help="line = per-ray Bresenham scatter; beam = polar "
                          "inverse sensor model (Pallas fast path)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="beam mode via the XLA reference implementation")
+    ap.add_argument("--exact-endpoints", action="store_true",
+                    help="endpoint hits via the exact sparse scatter "
+                         "instead of in-kernel ring painting")
+    ap.add_argument("--beam-groups", type=int, default=8)
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
 
     from __graft_entry__ import _cfg_and_world
     from swarm_tpu.engine.sim import sim_init, sim_rollout
@@ -51,6 +58,14 @@ def main():
         args.agents, frontiers=False, parity=False,
         raster_mode=args.raster, use_pallas=use_pallas,
         scan_rays=args.scan_rays, tiled=use_pallas)
+    if use_pallas:
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine,
+            beam_groups=args.beam_groups,
+            kernel_endpoints=not args.exact_endpoints,
+            # scan variant maps with the lidar only (faithful to the
+            # esp32 scan firmware); 4-way raster when no scan
+            raster_4way=(args.scan_rays == 0)))
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 
