@@ -53,6 +53,8 @@ def main():
     from __graft_entry__ import _cfg_and_world
     from swarm_tpu.engine.sim import sim_init, sim_rollout
 
+    if args.platform == "cpu":
+        args.no_pallas = True      # TPU kernels don't lower on CPU
     use_pallas = args.raster == "beam" and not args.no_pallas
     cfg, walls, params, rooms = _cfg_and_world(
         args.agents, frontiers=False, parity=False,
