@@ -47,7 +47,7 @@ def test_live_server_ingest_and_zone_reply(free_port, tmp_path):
     bot_port = bot_sock.getsockname()[1]
 
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    tx.bind(("127.0.0.1", bot_port + 0 if False else 0))  # ephemeral
+    tx.bind(("127.0.0.1", 0))          # ephemeral sender port
     try:
         # ingest frames directly (no background thread needed)
         pkts = make_packets(120)
