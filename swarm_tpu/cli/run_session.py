@@ -179,11 +179,25 @@ def run_scripted(args):
         paths_agent=np.asarray(stream.agent))
     save_png(img, os.path.join(args.out, "map.png"))
 
+    refined_stats = None
+    if args.optimize:
+        from swarm_tpu.proto.csvio import load_session as _load
+        from swarm_tpu.slam.refine import refine_session, reraster_session
+
+        sess = _load(args.out)
+        refined = refine_session(sess, cfg=cfg)
+        grid_opt, _ = reraster_session(sess, refined, cfg)
+        save_png(render_map(jnp.asarray(grid_opt), cfg.grid, scale=4),
+                 os.path.join(args.out, "map_refined.png"))
+        refined_stats = {
+            a: len(r["closures"]) for a, r in refined.items()}
+
     metrics = {
         "preset": args.preset, "packets": int(len(res.t)),
         "replay_elapsed_s": round(elapsed, 3),
         "total_cell_writes": int(state.total_writes),
         "closures": int(state.closure.cl_count),
+        "refined_closures_per_agent": refined_stats,
     }
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
@@ -203,6 +217,9 @@ def main(argv=None):
     ap.add_argument("--enable-targets", action="store_true",
                     help="enable the commented-out frontier TARG path "
                          "(dual_bot_mapper.py:959-996)")
+    ap.add_argument("--optimize", action="store_true",
+                    help="scripted preset: pose-graph-refine the session "
+                         "and emit map_refined.png")
     ap.add_argument("--no-frontiers", action="store_true")
     ap.add_argument("--checkpoint", default=None,
                     help="save final SimState to this .npz")
