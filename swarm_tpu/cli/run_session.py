@@ -48,6 +48,40 @@ def _flatten_rollout_telemetry(ms, n_agents: int):
     return rows
 
 
+def _write_events(out_dir: str, ms, n_agents: int) -> str:
+    """Structured event stream (events.jsonl) — the reference's tagged
+    console lines ([SLAM] LOOP CLOSURE, [HEARTBEAT] transitions,
+    dual_bot_mapper.py:320-322, 811-812) as durable JSONL."""
+    import json as _json
+
+    import numpy as np
+
+    t = np.asarray(ms.t)
+    closures = np.asarray(ms.closures)
+    online = np.asarray(ms.online)
+    mission = np.asarray(ms.mission_done)
+    path = os.path.join(out_dir, "events.jsonl")
+    with open(path, "w") as f:
+        prev_online = None
+        prev_mission = 0
+        for i in range(len(t)):
+            if closures[i]:
+                f.write(_json.dumps({
+                    "t": round(float(t[i]), 3), "event": "loop_closure",
+                    "count": int(closures[i])}) + "\n")
+            if prev_online is not None and online[i] != prev_online:
+                f.write(_json.dumps({
+                    "t": round(float(t[i]), 3), "event": "heartbeat",
+                    "online": int(online[i]), "agents": n_agents}) + "\n")
+            if mission[i] != prev_mission:
+                f.write(_json.dumps({
+                    "t": round(float(t[i]), 3), "event": "mission_complete",
+                    "done": int(mission[i])}) + "\n")
+            prev_online = online[i]
+            prev_mission = mission[i]
+    return path
+
+
 def _closures_from_state(closure):
     import numpy as np
 
@@ -108,6 +142,7 @@ def run_closed_loop(args):
                   rows["landmark"], hits_xy=rows["hits"],
                   hit_valid=rows["hit_valid"],
                   closures=_closures_from_state(final.srv.closure))
+    _write_events(args.out, ms, cfg.n_agents)
 
     grid = (final.srv.grid if cfg.engine.parity_mode else None)
     if grid is None:
