@@ -252,6 +252,11 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         grid, writes = parity_raster(srv.grid, line_rays(), cfg.grid)
         logodds = srv.logodds
         tri = grid
+    elif cfg.engine.raster_mode == "off":
+        # profiling mode: no mapping at all (isolates the raster cost)
+        grid, logodds = srv.grid, srv.logodds
+        tri = srv.grid
+        writes = jnp.zeros((), jnp.int32)
     elif cfg.engine.raster_mode == "beam":
         from swarm_tpu.ops.beam_raster import (
             BeamSpec, beam_raster_reference, beams_from_4way,
