@@ -40,8 +40,9 @@ import jax.numpy as jnp
 
 from swarm_tpu.config import GridConfig
 
-PATCH_ROWS = 80
-PATCH_COLS = 384        # 3 x 128 lanes; origin 128-aligned for clean DMA
+PATCH_ROWS = 80         # legacy defaults (patch_dims computes from reach)
+PATCH_COLS = 384
+REACH_CELLS = 26        # max beam reach: 1.2 m trust / 5 cm + ring margin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,27 +65,34 @@ class BeamSpec:
                         dtheta=math.pi / (n - 1), wrap=False)
 
 
-def patch_dims(size: int) -> Tuple[int, int]:
-    """Patch shape for a grid: [80, 384] for swarm-scale grids (the 384
-    window keeps the 128-aligned column origin centred on the agent); for
-    small grids (size < 512, e.g. the reference's 200-cell grid) the patch
-    spans the FULL width, so no column alignment is needed at all."""
-    rows = min(PATCH_ROWS, (size // 8) * 8)
-    cols = size if size < 512 else PATCH_COLS
+def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
+    """Agent-window shape guaranteeing >= `reach` cells of margin on every
+    side with ALIGNED origins (rows 8, cols 128 — Mosaic DMA tiling):
+    rows = roundup(2*reach + 8, 8), cols = roundup(2*reach + 128, 128) —
+    [64, 256] for the default 1.2 m sonar reach. Small grids (< 512)
+    span the full width instead."""
+    rows = min(-(-(2 * reach + 8) // 8) * 8, (size // 8) * 8)
+    if size < 512:
+        cols = size
+    else:
+        cols = min(-(-(2 * reach + 128) // 128) * 128,
+                   (size // 128) * 128)
     return rows, cols
 
 
 def patch_origin(ax_cell, ay_cell, size: int,
-                 rows: int = PATCH_ROWS, cols: int = PATCH_COLS):
-    """Aligned patch origin (row0, col0) for an agent at fractional cell
-    coords: rows 8-aligned, cols 128-aligned (or 0 when the patch spans
-    the grid), clamped to the grid."""
-    row0 = (jnp.floor(ay_cell).astype(jnp.int32) // 8) * 8 - rows // 2 + 8
+                 rows: int = 64, cols: int = 256,
+                 reach: int = REACH_CELLS):
+    """Aligned window origin (row0, col0): floor-based asymmetric placement
+    origin = align_down(agent - reach) guarantees >= reach margin on the
+    low side by construction and >= reach on the high side by the
+    patch_dims sizing; clamped to the grid."""
+    row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach) // 8) * 8
     row0 = jnp.clip(row0, 0, size - rows)
     if cols >= size:
         col0 = jnp.zeros_like(row0)
     else:
-        col0 = (jnp.floor(ax_cell).astype(jnp.int32) // 128) * 128 - 128
+        col0 = ((jnp.floor(ax_cell).astype(jnp.int32) - reach) // 128) * 128
         col0 = jnp.clip(col0, 0, size - cols)
     return row0, col0
 
