@@ -141,7 +141,8 @@ def _patch_delta(ax, ay, yaw, ranges_cells, trusted, row0, col0,
 
 
 def beam_raster_reference(logodds, agent_xy, yaw, dist_m, trusted,
-                          spec: BeamSpec, cfg: GridConfig = GridConfig()):
+                          spec: BeamSpec, cfg: GridConfig = GridConfig(),
+                          reach: int = REACH_CELLS):
     """XLA implementation: vmap the patch computation over agents, then
     sequentially add patches into the grid with dynamic-slice updates
     (a lax.scan of dense [80, 256] adds — no element scatter).
@@ -154,8 +155,8 @@ def beam_raster_reference(logodds, agent_xy, yaw, dist_m, trusted,
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     ranges_cells = dist_m / res
-    pr, pc = patch_dims(cfg.size)
-    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc)
+    pr, pc = patch_dims(cfg.size, reach)
+    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach)
 
     deltas, free, occ = jax.vmap(
         lambda a, b, y, rc, tr, r0, c0: _patch_delta(

@@ -75,10 +75,13 @@ class ScanBridge:
                                       jnp.float32)
             spec = BeamSpec.scan(181)
 
+            # VL53L0X reach is 2.0 m (RANGE_MAX) -> wider agent windows
+            reach = int(self.RANGE_MAX / map_cfg.resolution) + 2
+
             def apply(lo, xy, yaw, scan):
                 d, tr = beams_from_scan(scan, self.RANGE_MAX, self.RANGE_MIN)
                 out, _ = beam_raster_reference(lo, xy, yaw, d, tr, spec,
-                                               map_cfg)
+                                               map_cfg, reach=reach)
                 return out
 
             self._apply_scan = jax.jit(apply)
