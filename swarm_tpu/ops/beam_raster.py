@@ -240,14 +240,16 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
             g = jnp.clip(g, 0, n_groups - 1)
         rb = gm[g]
         # a cell is on SOME beam when the fan is dense enough locally;
-        # count = crossing beams (>=1 within the fan's angular support)
-        half = jnp.arctan2(0.5, jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
-        covered = half * 2.0 >= spec.dtheta * 0.999
-        cnt = (crossing_count(r, spec.dtheta) if line_equivalent
-               else jnp.ones_like(r))
+        # count = crossing beams (>=1 within the fan's angular support).
+        # Small-angle forms match the kernel: 2*atan(0.5/r) ~ 1/r,
+        # sin(resid) ~ resid.
+        rinv = 1.0 / jnp.maximum(r, 1e-3)
+        covered = rinv >= spec.dtheta * 0.999
+        cnt = (jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
+               if line_equivalent else jnp.ones_like(r))
         # sparse fans (4-way): only cells within a beam's half-cell width
         resid = rel - g.astype(jnp.float32) * group_dtheta
-        on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
+        on_any = covered | (jnp.abs(r * resid) <= 0.6)
         free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
         delta = jnp.where(free, cfg.logodds_miss * cnt, 0.0) * act
         return delta, jnp.sum(jnp.where(free, cnt, 0.0))

@@ -175,15 +175,16 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         (jnp.zeros((rows, cols), jnp.float32),
          jnp.zeros((rows, cols), jnp.float32)))
 
-    half = _atan2_poly(jnp.full_like(r, 0.5),
-                       jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
-    covered = half * 2.0 >= spec.dtheta * 0.999
+    # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count) and
+    # sin(resid) ~ resid (resid <= group_dtheta/2) — <1 % error in range
+    rinv = 1.0 / jnp.maximum(r, 1e-3)
+    covered = rinv >= spec.dtheta * 0.999
     if line_equivalent:
-        cnt = jnp.maximum(1.0, jnp.round(2.0 * half / spec.dtheta))
+        cnt = jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
     else:
         cnt = jnp.ones_like(r)
     resid = rel - g.astype(jnp.float32) * group_dtheta
-    on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
+    on_any = covered | (jnp.abs(r * resid) <= 0.6)
     base_ok = in_fan & on_any & (r > 1e-3)
     free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
