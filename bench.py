@@ -27,8 +27,8 @@ BASELINE_CELL_UPDATES_PER_S = 5.8e4
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=50, help="steps per chunk")
-    ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=200, help="steps per chunk")
+    ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     ap.add_argument("--scan-rays", type=int, default=181,
