@@ -78,16 +78,16 @@ def main():
                                 room_of_agent=rooms[1])
         return final, jnp.sum(ms.writes)   # int32; chunks stay < 2^31 writes
 
-    # warmup / compile
+    # warmup / compile. int(w) (host pull) — NOT block_until_ready, which
+    # does not actually sync on the tunnelled TPU backend.
     state, w = chunk(state)
-    jax.block_until_ready(w)
+    int(w)
 
     t0 = time.perf_counter()
     total_writes = 0
     for _ in range(args.chunks):
         state, w = chunk(state)
-        total_writes += int(w)
-    jax.block_until_ready(state.t)
+        total_writes += int(w)     # per-chunk host pull = real sync
     dt = time.perf_counter() - t0
 
     steps = args.steps * args.chunks
