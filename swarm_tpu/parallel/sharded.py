@@ -128,26 +128,63 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
         hx=hx.reshape(-1), hy=hy.reshape(-1),
         hit_valid=hit_valid.reshape(-1), active=jnp.repeat(alive, 4))
+    beam_mode = cfg.engine.raster_mode == "beam" and \
+        not cfg.engine.parity_mode
+    scan_dist = None
     if cfg.engine.scan_rays > 0:
         from swarm_tpu.models.scan import scan_angles, sense_scan
         k_scan = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_agents)
         scan_dist = jax.vmap(
             lambda k, pp: sense_scan(k, pp, walls, cfg.engine.scan_rays,
                                      sens))(k_scan, state.pose_true)
-        r_scan = cfg.engine.scan_rays
-        sa = yaw_q[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
-        sv = (scan_dist > sens.min_range) & (scan_dist <= sens.max_range)
-        sr = jnp.where(sv, scan_dist, sens.max_range)
-        shx = rx[:, None] + sr * jnp.cos(sa)
-        shy = ry[:, None] + sr * jnp.sin(sa)
-        rays = RayBatch(
-            ox=jnp.concatenate([rays.ox, jnp.repeat(rx, r_scan)]),
-            oy=jnp.concatenate([rays.oy, jnp.repeat(ry, r_scan)]),
-            hx=jnp.concatenate([rays.hx, shx.reshape(-1)]),
-            hy=jnp.concatenate([rays.hy, shy.reshape(-1)]),
-            hit_valid=jnp.concatenate([rays.hit_valid, sv.reshape(-1)]),
-            active=jnp.concatenate([rays.active, jnp.repeat(alive, r_scan)]))
-    delta, writes_loc = logodds_delta(rays, cfg.grid)
+        if not beam_mode:
+            # line mode: scan beams join the per-ray scatter batch
+            r_scan = cfg.engine.scan_rays
+            sa = yaw_q[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
+            sv = (scan_dist > sens.min_range) & \
+                (scan_dist <= sens.max_range)
+            sr = jnp.where(sv, scan_dist, sens.max_range)
+            shx = rx[:, None] + sr * jnp.cos(sa)
+            shy = ry[:, None] + sr * jnp.sin(sa)
+            rays = RayBatch(
+                ox=jnp.concatenate([rays.ox, jnp.repeat(rx, r_scan)]),
+                oy=jnp.concatenate([rays.oy, jnp.repeat(ry, r_scan)]),
+                hx=jnp.concatenate([rays.hx, shx.reshape(-1)]),
+                hy=jnp.concatenate([rays.hy, shy.reshape(-1)]),
+                hit_valid=jnp.concatenate([rays.hit_valid,
+                                           sv.reshape(-1)]),
+                active=jnp.concatenate([rays.active,
+                                        jnp.repeat(alive, r_scan)]))
+    if beam_mode:
+        # beam-model fast path: each shard paints its agents' fans into a
+        # ZERO grid (additive delta), psum merges the evidence over ICI —
+        # identical decomposition to the line path, no scatter ops.
+        from swarm_tpu.ops.beam_raster import (
+            BeamSpec, beams_from_scan, endpoint_rays, free_raster_reference)
+        zero = jnp.zeros_like(srv.logodds)
+        delta = zero
+        writes_loc = jnp.zeros((), jnp.int32)
+        if cfg.engine.scan_rays > 0:
+            spec_b = BeamSpec.scan(cfg.engine.scan_rays)
+            db, tb = beams_from_scan(scan_dist, sens.max_range,
+                                     sens.min_range)
+            axy_l = jnp.stack([rx, ry], axis=-1)
+            d_free, w_free = free_raster_reference(
+                zero, axy_l, yaw_q, jnp.where(alive[:, None], db, 0.0),
+                alive, spec_b, cfg.grid, n_groups=cfg.engine.beam_groups)
+            ep_delta, w_ep = logodds_delta(
+                endpoint_rays(axy_l, yaw_q, db, tb, alive, spec_b),
+                cfg.grid, k_max=1)
+            delta = delta + d_free + ep_delta
+            writes_loc = writes_loc + w_free.astype(jnp.int32) + \
+                w_ep.astype(jnp.int32)
+        if cfg.engine.raster_4way or cfg.engine.scan_rays == 0:
+            d4, _ = logodds_delta(rays, cfg.grid)
+            delta = delta + d4
+            writes_loc = writes_loc + jnp.sum(
+                (rays.active).astype(jnp.int32))
+    else:
+        delta, writes_loc = logodds_delta(rays, cfg.grid)
     delta = jax.lax.psum(delta, axis)                    # ICI map merge
     writes = jax.lax.psum(writes_loc, axis)
     logodds = jnp.clip(srv.logodds + delta,
