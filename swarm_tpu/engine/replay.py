@@ -100,7 +100,7 @@ def server_init(cfg: SwarmConfig, t0: float = 0.0) -> ServerState:
         n_frontiers=jnp.zeros((), jnp.int32),
         last_zone_t=jnp.asarray(t0, jnp.float32),
         last_target_t=jnp.asarray(t0, jnp.float32),
-        total_writes=jnp.zeros((), jnp.int32))
+        total_writes=jnp.zeros((), jnp.float32))
 
 
 def ingest_packet(state: ServerState, pkt, cfg: SwarmConfig,
@@ -186,7 +186,7 @@ def ingest_packet(state: ServerState, pkt, cfg: SwarmConfig,
         targets=targets, has_target=has_target,
         frontier_centroids=cents, n_frontiers=n_fr,
         last_zone_t=last_zone_t, last_target_t=last_target_t,
-        total_writes=state.total_writes + writes.astype(jnp.int32))
+        total_writes=state.total_writes + writes.astype(jnp.float32))
     out = ReplayOutputs(
         rx=rx, ry=ry, yaw=ryaw,
         hits=jnp.stack([hx, hy], axis=-1), hit_valid=hit_valid & valid,

@@ -187,7 +187,9 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         zone_active=jnp.zeros((n,), bool),
         frontier_centroids=jnp.zeros((cfg.coord.max_frontiers, 2), jnp.float32),
         n_frontiers=jnp.zeros((), jnp.int32),
-        total_writes=jnp.zeros((), jnp.int32))
+        # float32: int32 wraps after ~600 swarm-scale steps (3.4M
+        # writes/step); exact below 16.7M, metrics-grade beyond
+        total_writes=jnp.zeros((), jnp.float32))
     return SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
@@ -389,7 +391,7 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.int32))
+        total_writes=srv.total_writes + writes.astype(jnp.float32))
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, hx, hy, hit_valid)
 
@@ -535,7 +537,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                     jnp.sqrt(jnp.min(d2, 1)) * 100.0, 0.0).astype(jnp.int32)
 
     metrics = StepMetrics(
-        writes=srv.total_writes - state.srv.total_writes,
+        writes=(srv.total_writes - state.srv.total_writes)
+        .astype(jnp.int32),
         closures=jnp.sum(closed.astype(jnp.int32)),
         online=jnp.sum(online.astype(jnp.int32)),
         n_frontiers=srv.n_frontiers,

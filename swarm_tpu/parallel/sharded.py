@@ -237,7 +237,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.int32))
+        total_writes=srv.total_writes + writes.astype(jnp.float32))
 
     # 5. navigate (local; zone boxes back into the agent's odometry frame)
     est_pose = jnp.stack([odom.x_est, odom.y_est, odom.yaw_est], axis=-1)
