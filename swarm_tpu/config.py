@@ -85,7 +85,8 @@ class NavConfig:
     zone_margin_m: float = 0.20
     zone_lookahead_m: float = 0.30
     zone_avoid_turn_deg: float = 30.0
-    min_travel_distance_m: float = 1.6   # v1 firmware mission gate (:202)
+    min_travel_distance_m: float = 1.6   # v1 firmware mission gate (:98)
+    return_threshold_m: float = 0.50     # v1 RETURN_THRESHOLD (:99)
     return_home_min_travel_m: float = 2.5   # Bot1 return injection (:426)
     return_home_x_window_m: float = 0.35
     # The 15-degree turn command physically produces ~22 degrees on the real

@@ -44,6 +44,10 @@ NAV_STATE_NAMES = ("FOLLOW", "CORNER_ROUND", "TURN_TO_WALL", "AVOID_FRONT",
 # Return-home styles.
 RETURN_STYLE_STRAIGHT = 0   # Bot1: two right bites then drive to wall (:426-434)
 RETURN_STYLE_GOHOME = 1     # Bot2: GO_TO_TARGET(home) (Bot2.ino:417-423)
+RETURN_STYLE_PROXIMITY = 2  # v1: no maneuver; done when back within 0.5 m of
+#                             home after 1.6 m traveled, checked BEFORE the
+#                             switch so motion stops the same tick
+#                             (AgentFirmware.ino.ino:98-99, 253-262)
 
 
 class NavState(NamedTuple):
@@ -116,13 +120,20 @@ def nav_step(nav: NavState, params: NavParams, ranges_m, est_pose,
     bite = jnp.radians(_applied_turn_deg(
         jnp.full_like(front_cm, cfg.turn_bite_deg), cfg))
 
-    # ---- return-home injection (before the switch, ino:426-434) -----------
+    # ---- v1 proximity mission check (before the switch, v1 ino:259-262) ---
     dist_home = jnp.sqrt((x - params.home_x) ** 2 + (y - params.home_y) ** 2)
-    inj = (~nav.returning_home) & (~nav.mission_complete) & \
+    v1_done = (~nav.mission_complete) & \
+        (params.return_style == RETURN_STYLE_PROXIMITY) & \
+        (total_distance > cfg.min_travel_distance_m) & \
+        (dist_home < cfg.return_threshold_m)
+
+    # ---- return-home injection (before the switch, ino:426-434) -----------
+    inj_cond = (~nav.returning_home) & (~nav.mission_complete) & \
         (total_distance > cfg.return_home_min_travel_m) & \
         (jnp.abs(x - params.home_x) < cfg.return_home_x_window_m)
-    inj_straight = inj & (params.return_style == RETURN_STYLE_STRAIGHT)
-    inj_gohome = inj & (params.return_style == RETURN_STYLE_GOHOME)
+    inj_straight = inj_cond & (params.return_style == RETURN_STYLE_STRAIGHT)
+    inj_gohome = inj_cond & (params.return_style == RETURN_STYLE_GOHOME)
+    inj = inj_straight | inj_gohome
 
     # ---- territory override (highest priority, ino:437-445) ---------------
     lx = x + cfg.zone_lookahead_m * jnp.cos(yaw)
@@ -215,7 +226,7 @@ def nav_step(nav: NavState, params: NavParams, ranges_m, est_pose,
     steer = sel(f_steer, zero, zero, zero, zero, zero)
     turn_cmd = sel(zero, zero, t_turn, a_turn, g_turn, zero)
 
-    mission_done = nav.mission_complete | \
+    mission_done = nav.mission_complete | v1_done | \
         ((st == RETURN_HOME_STRAIGHT) & r_done) | \
         ((st == GO_TO_TARGET) & g_done)
 
@@ -252,8 +263,11 @@ def nav_step(nav: NavState, params: NavParams, ranges_m, est_pose,
 
     returning = nav.returning_home | inj
 
-    # Mission-complete freeze (ino:690-693).
-    frozen = nav.mission_complete
+    # Mission-complete freeze (ino:690-693). v1 proximity completion stops
+    # the motors on the SAME tick (checkMissionComplete runs first,
+    # v1 ino:259-262), unlike the Bot1/Bot2 styles whose detection ticks
+    # already command zero motion.
+    frozen = nav.mission_complete | v1_done
     next_state = jnp.where(frozen, st, next_state).astype(jnp.int32)
     drive_m = jnp.where(frozen, 0.0, drive_m)
     turn_cmd = jnp.where(frozen, 0.0, turn_cmd)

@@ -172,3 +172,36 @@ def test_right_wall_follower_mirrors():
     out, cmd2 = step(nav2._replace(state=jnp.asarray([navm.TURN_TO_WALL])),
                      p, left=1.0, right=0.9)
     assert float(cmd2.turn_cmd_rad[0]) < 0      # bites RIGHT toward wall
+
+
+def test_v1_proximity_mission_complete_same_tick():
+    """v1 firmware: done when within 0.5 m of home after 1.6 m traveled;
+    checkMissionComplete runs BEFORE the switch so the detection tick itself
+    commands no motion (AgentFirmware.ino.ino:98-99, 253-262)."""
+    nav, p = mk()
+    p = p._replace(return_style=jnp.asarray([navm.RETURN_STYLE_PROXIMITY]))
+    # Not enough travel yet -> keeps following.
+    out, cmd = step(nav, p, pose=(0.3, 0.0, 0.0), dist=1.0)
+    assert not bool(out.mission_complete[0])
+    assert float(cmd.drive_m[0]) > 0
+    # Back near home after the travel gate -> done, frozen this tick.
+    out, cmd = step(nav, p, pose=(0.3, 0.0, 0.0),
+                    dist=CFG.min_travel_distance_m + 0.2)
+    assert bool(out.mission_complete[0])
+    assert float(cmd.drive_m[0]) == 0.0
+    assert float(cmd.turn_cmd_rad[0]) == 0.0
+    # Outside the 0.5 m radius -> not done even with travel.
+    out, _ = step(nav, p, pose=(0.8, 0.0, 0.0), dist=3.0)
+    assert not bool(out.mission_complete[0])
+
+
+def test_v1_proximity_never_injects_return_maneuver():
+    """The v1 follower has no RETURN_HOME injection — crossing x~home with
+    travel > 2.5 m must NOT flip it into RETURN_HOME_STRAIGHT/GO_TO_TARGET
+    (the injection belongs to Bot1/Bot2 styles only)."""
+    nav, p = mk()
+    p = p._replace(return_style=jnp.asarray([navm.RETURN_STYLE_PROXIMITY]))
+    out, _ = step(nav, p, pose=(0.1, 1.5, 0.0),
+                  dist=CFG.return_home_min_travel_m + 0.5)
+    assert int(out.state[0]) == navm.FOLLOW
+    assert not bool(out.returning_home[0])
