@@ -44,6 +44,10 @@ def main():
                     help="endpoint hits via the exact sparse scatter "
                          "instead of in-kernel ring painting")
     ap.add_argument("--beam-groups", type=int, default=8)
+    ap.add_argument("--frontiers", action="store_true",
+                    help="run frontier detection + greedy target assignment "
+                         "at the reference's 3 s cadence (coarse swarm-scale "
+                         "path for grids > 512)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -57,7 +61,7 @@ def main():
         args.no_pallas = True      # TPU kernels don't lower on CPU
     use_pallas = args.raster == "beam" and not args.no_pallas
     cfg, walls, params, rooms = _cfg_and_world(
-        args.agents, frontiers=False, parity=False,
+        args.agents, frontiers=args.frontiers, parity=False,
         raster_mode=args.raster, use_pallas=use_pallas,
         scan_rays=args.scan_rays, tiled=use_pallas)
     if use_pallas:
@@ -74,6 +78,7 @@ def main():
     @jax.jit
     def chunk(s):
         final, ms = sim_rollout(s, args.steps, cfg, walls, params,
+                                enable_targets=args.frontiers,
                                 walls_grouped=rooms[0],
                                 room_of_agent=rooms[1])
         return final, jnp.sum(ms.writes)   # int32; chunks stay < 2^31 writes
@@ -108,6 +113,7 @@ def main():
             "platform": jax.devices()[0].platform,
             "raster": args.raster,
             "scan_rays": args.scan_rays,
+            "frontiers": args.frontiers,
             # line: actual scatter writes (reference per-ray semantics).
             # beam: equivalent ray-cell updates — one per cell per crossing
             # beam, applied as fused count*evidence FMAs + exact endpoint

@@ -267,12 +267,20 @@ def main(argv=None):
     ap.add_argument("--enable-targets", action="store_true")
     ap.add_argument("--render-png", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--max-packets", type=int, default=None,
+                    help="datagrams drained per frame (reference budget: 20, "
+                         "dual_bot_mapper.py:816; raise for >600 pkt/s "
+                         "ingest — the batched ingest absorbs it)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
     cfg = SwarmConfig(n_agents=args.agents)
+    if args.max_packets:
+        import dataclasses
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine, max_packets_per_frame=args.max_packets))
     srv = LiveServer(cfg, port=args.port, separation=args.separation,
                      log_dir=args.log_dir, enable_targets=args.enable_targets)
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
