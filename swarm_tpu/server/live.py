@@ -228,6 +228,9 @@ class LiveServer:
         except KeyboardInterrupt:
             pass
         finally:
+            el = max(self.now(), 1e-9)
+            print(f"[SERVER] {self.pkt_total} packets in {el:.1f}s "
+                  f"({self.pkt_total / el:.0f} pkt/s)")
             self.close()
 
     def render(self, path: str) -> str:
@@ -271,6 +274,9 @@ def main(argv=None):
                     help="datagrams drained per frame (reference budget: 20, "
                          "dual_bot_mapper.py:816; raise for >600 pkt/s "
                          "ingest — the batched ingest absorbs it)")
+    ap.add_argument("--fps", type=float, default=30.0,
+                    help="frame-rate cap (reference renders at 30 FPS, "
+                         ":474); ingest ceiling = fps x max-packets")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -285,7 +291,8 @@ def main(argv=None):
                      log_dir=args.log_dir, enable_targets=args.enable_targets)
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
           f"({args.agents} agents, separation {args.separation})")
-    srv.run(duration_s=args.duration, render_png=args.render_png)
+    srv.run(duration_s=args.duration, fps=args.fps,
+            render_png=args.render_png)
 
 
 if __name__ == "__main__":
