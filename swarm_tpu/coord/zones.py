@@ -67,6 +67,24 @@ def zone_observe_batch(z: ZoneState, agents, xs, ys, valid) -> ZoneState:
         has_any=z.has_any | got)
 
 
+def zone_observe_rows(z: ZoneState, xs, ys, valid) -> ZoneState:
+    """Row-structured fold: row i's points all belong to agent i.
+
+    xs, ys, valid: [N, K]. The scatter-min/max of `zone_observe_batch`
+    becomes a plain axis reduction — the layout the fused engine produces
+    (one path point + the 4-way hits per agent per step), and ~100x cheaper
+    on TPU than the segment form."""
+    inf = jnp.inf
+    mnx = jnp.min(jnp.where(valid, xs, inf), axis=1)
+    mny = jnp.min(jnp.where(valid, ys, inf), axis=1)
+    mxx = jnp.max(jnp.where(valid, xs, -inf), axis=1)
+    mxy = jnp.max(jnp.where(valid, ys, -inf), axis=1)
+    return ZoneState(
+        min_x=jnp.minimum(z.min_x, mnx), min_y=jnp.minimum(z.min_y, mny),
+        max_x=jnp.maximum(z.max_x, mxx), max_y=jnp.maximum(z.max_y, mxy),
+        has_any=z.has_any | jnp.any(valid, axis=1))
+
+
 def zones_for_agents(z: ZoneState, agent_xy, online):
     """The ZONE each agent would be sent.
 

@@ -39,9 +39,9 @@ import jax.numpy as jnp
 from swarm_tpu.config import SwarmConfig
 from swarm_tpu.coord.assign import greedy_assign
 from swarm_tpu.coord.heartbeat import heartbeat_update
-from swarm_tpu.coord.zones import ZoneState, zone_init, zone_observe_batch, zones_for_agents
+from swarm_tpu.coord.zones import ZoneState, zone_init, zone_observe_rows, zones_for_agents
 from swarm_tpu.models import nav as navm
-from swarm_tpu.models.ekf import EkfState, ekf_init, ekf_predict, ekf_update
+from swarm_tpu.models.ekf import EkfState, ekf_init, ekf_step_batch
 from swarm_tpu.models.landmarks import detect_landmark_sim
 from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, odom_init, quantize_yaw_deg
 from swarm_tpu.models.sensors import sense_4way
@@ -328,14 +328,15 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         grid = srv.grid
         tri = tri_state_view(logodds, cfg.grid)
 
-    # territory AABBs fold the path point + valid hits (:930-940 running form)
+    # territory AABBs fold the path point + valid hits (:930-940 running
+    # form); row-structured — one row per agent, no scatter
     agents = jnp.arange(n, dtype=jnp.int32)
-    zone = zone_observe_batch(
+    zone = zone_observe_rows(
         srv.zone,
-        jnp.concatenate([agents, jnp.repeat(agents, 4)]),
-        jnp.concatenate([rx, hx.reshape(-1)]),
-        jnp.concatenate([ry, hy.reshape(-1)]),
-        jnp.concatenate([alive, (hit_valid & alive[:, None]).reshape(-1)]))
+        jnp.concatenate([rx[:, None], hx], axis=1),
+        jnp.concatenate([ry[:, None], hy], axis=1),
+        jnp.concatenate([alive[:, None], hit_valid & alive[:, None]],
+                        axis=1))
 
     # loop closure (:907-919)
     if cfg.engine.parity_mode:
@@ -512,10 +513,7 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     t_new = state.t + dt
     omega = turn / dt
     v = drive / dt
-    ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
-        state.ekf, omega, jnp.full((n,), t_new))
-    ekf = jax.vmap(lambda s, vv, w: ekf_update(s, vv, w, cfg.ekf))(
-        ekf, v, omega)
+    ekf = ekf_step_batch(state.ekf, omega, v, jnp.full((n,), t_new), cfg.ekf)
 
     new_state = SimState(
         t=t_new, step=state.step + 1, key=key,

@@ -132,6 +132,111 @@ def ekf_update(state: EkfState, v_meas, omega_meas, cfg: EkfConfig = EkfConfig()
     return EkfState(x=x_new, P=P_new, last_t=last_t)
 
 
+def ekf_predict_batch(state: EkfState, omega_measured, t,
+                      cfg: EkfConfig = EkfConfig()) -> EkfState:
+    """Swarm-batched predict: state is [N, 6] / [N, 6, 6] / [N].
+
+    Same math as `ekf_predict` (ref ekf.cpp:26-68) but written for the VPU:
+    the Jacobian is I plus six sparse entries, so F P Fᵀ unrolls into row
+    and column combinations over [N, 6] slices — all elementwise FMAs over
+    the agent axis, no batched tiny matmuls and no per-agent
+    dynamic-update-slices (which is what makes the vmapped form ~50x
+    slower at N=1024 on TPU). Exact f32 throughout, so no precision pin
+    is needed; agrees with vmap(ekf_predict) to float addition-order."""
+    x, P, last_t = state
+    dt = t - last_t
+    valid = dt > 0.0                       # ref ekf.cpp:30 guard
+    dt = jnp.where(valid, dt, 0.0)
+
+    theta = x[:, IDX_THETA]
+    v = x[:, IDX_V]
+    bias = x[:, IDX_BIAS]
+    omega_c = omega_measured - bias
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+
+    x_new = jnp.stack([
+        x[:, IDX_X] + v * cos_t * dt,
+        x[:, IDX_Y] + v * sin_t * dt,
+        wrap_pi(theta + omega_c * dt),
+        x[:, IDX_V],
+        omega_c,
+        x[:, IDX_BIAS]], axis=-1)
+
+    # F = I + {(0,2): a, (0,3): b, (1,2): c, (1,3): d, (2,5): e,
+    #          (4,4): -1 (i.e. row4 = -e5), (4,5): -1} — ref ekf.cpp:55-65.
+    a = (-v * sin_t * dt)[:, None]
+    b = (cos_t * dt)[:, None]
+    c = (v * cos_t * dt)[:, None]
+    d = (sin_t * dt)[:, None]
+    e = (-dt)[:, None]
+
+    # FP = F P: rows of P combined per F's sparsity ([N, 6] slices).
+    fp0 = P[:, 0, :] + a * P[:, 2, :] + b * P[:, 3, :]
+    fp1 = P[:, 1, :] + c * P[:, 2, :] + d * P[:, 3, :]
+    fp2 = P[:, 2, :] + e * P[:, 5, :]
+    fp3 = P[:, 3, :]
+    fp4 = -P[:, 5, :]
+    fp5 = P[:, 5, :]
+    FP = jnp.stack([fp0, fp1, fp2, fp3, fp4, fp5], axis=1)
+
+    # (FP) Fᵀ: same combination over columns.
+    g0 = FP[:, :, 0] + a * FP[:, :, 2] + b * FP[:, :, 3]
+    g1 = FP[:, :, 1] + c * FP[:, :, 2] + d * FP[:, :, 3]
+    g2 = FP[:, :, 2] + e * FP[:, :, 5]
+    g3 = FP[:, :, 3]
+    g4 = -FP[:, :, 5]
+    g5 = FP[:, :, 5]
+    q = jnp.asarray(cfg.q_diag, x.dtype)
+    P_new = jnp.stack([g0, g1, g2, g3, g4, g5], axis=2) + \
+        q[None, None, :] * jnp.eye(STATE_DIM, dtype=x.dtype)[None]
+
+    return EkfState(
+        x=jnp.where(valid[:, None], x_new, x),
+        P=jnp.where(valid[:, None, None], P_new, P),
+        last_t=jnp.where(valid, t, last_t))
+
+
+def ekf_update_batch(state: EkfState, v_meas, omega_meas,
+                     cfg: EkfConfig = EkfConfig()) -> EkfState:
+    """Swarm-batched encoder update (ref ekf.cpp:70-92): 2x2 closed-form
+    innovation inverse, K and (I - KH)P as broadcasted outer products over
+    the agent axis. See `ekf_predict_batch` for why not vmap."""
+    x, P, last_t = state
+    r0, r1 = cfg.r_odom_diag
+    iv, iw = IDX_V, IDX_OMEGA
+
+    s00 = P[:, iv, iv] + r0
+    s01 = P[:, iv, iw]
+    s10 = P[:, iw, iv]
+    s11 = P[:, iw, iw] + r1
+    det = s00 * s11 - s01 * s10
+    inv00, inv01 = s11 / det, -s01 / det
+    inv10, inv11 = -s10 / det, s00 / det
+
+    pht0 = P[:, :, iv]                       # [N, 6]
+    pht1 = P[:, :, iw]
+    k0 = pht0 * inv00[:, None] + pht1 * inv10[:, None]   # K[:, :, 0]
+    k1 = pht0 * inv01[:, None] + pht1 * inv11[:, None]   # K[:, :, 1]
+
+    innov0 = v_meas - x[:, iv]
+    innov1 = omega_meas - x[:, iw]
+    x_new = x + k0 * innov0[:, None] + k1 * innov1[:, None]
+
+    # (KH)P rows: K[:, i, 0] P[v, :] + K[:, i, 1] P[omega, :].
+    khp = k0[:, :, None] * P[:, iv, None, :] + \
+        k1[:, :, None] * P[:, iw, None, :]
+    return EkfState(x=x_new, P=P - khp, last_t=last_t)
+
+
+def ekf_step_batch(state: EkfState, omega_meas, v_meas, t,
+                   cfg: EkfConfig = EkfConfig()) -> EkfState:
+    """Fused predict-then-update, the firmware's per-loop sequence
+    (AgentFirmware_Bot1.ino:697-702 then navigate's encoder fuse)."""
+    return ekf_update_batch(
+        ekf_predict_batch(state, omega_meas, t, cfg), v_meas, omega_meas, cfg)
+
+
 def ekf_pose(state: EkfState):
     """(x, y, theta, v, omega) view — the firmware's getOdom() without the
     ROS message wrapper (ekf.cpp:94-116)."""

@@ -32,11 +32,11 @@ from jax import shard_map
 
 from swarm_tpu.config import SwarmConfig
 from swarm_tpu.coord.heartbeat import heartbeat_update
-from swarm_tpu.coord.zones import ZoneState, zone_observe_batch, zones_for_agents
+from swarm_tpu.coord.zones import ZoneState, zone_observe_rows, zones_for_agents
 from swarm_tpu.engine.sim import (
     AgentParams, FaultSchedule, MapState, SimState, StepMetrics, no_faults)
 from swarm_tpu.models import nav as navm
-from swarm_tpu.models.ekf import EkfState, ekf_predict, ekf_update
+from swarm_tpu.models.ekf import EkfState, ekf_step_batch
 from swarm_tpu.models.landmarks import detect_landmark_sim
 from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, quantize_yaw_deg
 from swarm_tpu.models.sensors import sense_4way
@@ -200,12 +200,12 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     closure, closed_a, _, _ = closure_add_poses_batch(
         srv.closure, rx_a, ry_a, agents_all, lm_a, cfg.slam, valid=alive_a)
 
-    zone = zone_observe_batch(
+    zone = zone_observe_rows(
         srv.zone,
-        jnp.concatenate([agents_all, jnp.repeat(agents_all, 4)]),
-        jnp.concatenate([rx_a, hx_a.reshape(-1)]),
-        jnp.concatenate([ry_a, hy_a.reshape(-1)]),
-        jnp.concatenate([alive_a, (hv_a & alive_a[:, None]).reshape(-1)]))
+        jnp.concatenate([rx_a[:, None], hx_a], axis=1),
+        jnp.concatenate([ry_a[:, None], hy_a], axis=1),
+        jnp.concatenate([alive_a[:, None], hv_a & alive_a[:, None]],
+                        axis=1))
 
     last_packet_t = jnp.where(alive_a, state.t, srv.last_packet_t)
     pkt_counts = srv.pkt_counts + alive_a.astype(jnp.int32)
@@ -276,10 +276,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     t_new = state.t + dt
     omega = turn / dt
     v = drive / dt
-    ekf = jax.vmap(lambda s, w, tt: ekf_predict(s, w, tt, cfg.ekf))(
-        state.ekf, omega, jnp.full((n_loc,), t_new))
-    ekf = jax.vmap(lambda s, vv, w: ekf_update(s, vv, w, cfg.ekf))(
-        ekf, v, omega)
+    ekf = ekf_step_batch(state.ekf, omega, v, jnp.full((n_loc,), t_new),
+                         cfg.ekf)
 
     new_state = SimState(
         t=t_new, step=state.step + 1, key=key,
