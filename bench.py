@@ -44,6 +44,10 @@ def main():
                     help="endpoint hits via the exact sparse scatter "
                          "instead of in-kernel ring painting")
     ap.add_argument("--beam-groups", type=int, default=8)
+    ap.add_argument("--room-kernel", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="BlockSpec-pipelined room-tile raster kernel "
+                         "(default; --no-room-kernel = per-agent windows)")
     ap.add_argument("--frontiers", action="store_true",
                     help="run frontier detection + greedy target assignment "
                          "at the reference's 3 s cadence (coarse swarm-scale "
@@ -63,7 +67,8 @@ def main():
     cfg, walls, params, rooms = _cfg_and_world(
         args.agents, frontiers=args.frontiers, parity=False,
         raster_mode=args.raster, use_pallas=use_pallas,
-        scan_rays=args.scan_rays, tiled=use_pallas)
+        scan_rays=args.scan_rays, tiled=use_pallas,
+        room_kernel=args.room_kernel)
     if use_pallas:
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine,
@@ -114,6 +119,7 @@ def main():
             "raster": args.raster,
             "scan_rays": args.scan_rays,
             "frontiers": args.frontiers,
+            "room_kernel": args.room_kernel,
             # line: actual scatter writes (reference per-ray semantics).
             # beam: equivalent ray-cell updates — one per cell per crossing
             # beam, applied as fused count*evidence FMAs + exact endpoint

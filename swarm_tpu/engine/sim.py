@@ -289,7 +289,9 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     logodds = room_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
                         n_groups=n_groups,
-                        per_row=cfg.engine.room_tile_per_row)
+                        per_row=cfg.engine.room_tile_per_row,
+                        trusted=(tb if cfg.engine.kernel_endpoints
+                                 else None))
                 else:
                     logodds = free_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,

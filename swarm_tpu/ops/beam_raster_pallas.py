@@ -25,11 +25,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from swarm_tpu.config import GridConfig
-from swarm_tpu.ops.beam_raster import BeamSpec, patch_dims, patch_origin
+from swarm_tpu.ops.beam_raster import (BeamSpec, REACH_CELLS, patch_dims,
+                                       patch_origin)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _dense_fan(spec: BeamSpec, reach_cells: float) -> bool:
+    """True when every cell within beam reach is crossed by >= 1 beam
+    (dtheta * r <= 1 for all reachable r), making the per-cell on-beam
+    test (`covered | |r*resid| <= 0.6`) constant TRUE wherever evidence
+    can apply — the 181-beam scan fan qualifies (pi/180 * ~27 cells);
+    the 4-way sonar fan does not."""
+    return spec.dtheta * (reach_cells + 2.0) <= 0.999
+
+
+def _wrap_pi_cheap(x):
+    """(-pi, pi] wrap without jnp.mod: one round + fma (|x| < 4*pi here)."""
+    two_pi = jnp.float32(2 * math.pi)
+    return x - two_pi * jnp.round(x * jnp.float32(1 / (2 * math.pi)))
 
 
 def _atan2_poly(y, x):
@@ -123,7 +139,7 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
                  sem_in, sem_out, *, spec: BeamSpec, n_groups: int,
                  group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
-                 line_equivalent: bool, paint_hits: bool):
+                 line_equivalent: bool, paint_hits: bool, dense: bool):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
     evidence. Endpoint hits are applied outside via the exact scatter."""
@@ -146,11 +162,15 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
     cx = (c0 + cc).astype(jnp.float32) + 0.5
     dx = cx - ax
     dy = cy - ay
-    r = jnp.sqrt(dx * dx + dy * dy)
+    # r via rsqrt: one transcendental instead of sqrt + divide (the same
+    # rinv feeds the crossing count below)
+    r2 = dx * dx + dy * dy
+    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
+    r = r2 * rinv
     theta = _atan2_poly(dy, dx)
 
     rel = theta - yaw - spec.theta0 - group_dtheta / 2.0 + spec.dtheta / 2.0
-    rel = (rel + math.pi) % (2 * math.pi) - math.pi
+    rel = _wrap_pi_cheap(rel)
     g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
     if spec.wrap:
         g = jnp.mod(g, n_groups)
@@ -177,15 +197,19 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
 
     # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count) and
     # sin(resid) ~ resid (resid <= group_dtheta/2) — <1 % error in range
-    rinv = 1.0 / jnp.maximum(r, 1e-3)
-    covered = rinv >= spec.dtheta * 0.999
     if line_equivalent:
         cnt = jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
     else:
         cnt = jnp.ones_like(r)
-    resid = rel - g.astype(jnp.float32) * group_dtheta
-    on_any = covered | (jnp.abs(r * resid) <= 0.6)
-    base_ok = in_fan & on_any & (r > 1e-3)
+    if dense:
+        # every reachable cell is crossed by >= 1 beam (_dense_fan): the
+        # on-beam test is constant TRUE wherever rb can gate evidence
+        base_ok = in_fan & (r2 > 1e-6)
+    else:
+        covered = rinv >= spec.dtheta * 0.999
+        resid = rel - g.astype(jnp.float32) * group_dtheta
+        on_any = covered | (jnp.abs(r * resid) <= 0.6)
+        base_ok = in_fan & on_any & (r2 > 1e-6)
     free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
     if paint_hits:
@@ -247,7 +271,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         group_dtheta=group_dtheta, rows=rows, cols=cols,
         miss=cfg.logodds_miss, hit=cfg.logodds_hit,
         clamp=cfg.logodds_clamp,
-        line_equivalent=line_equivalent, paint_hits=paint_hits)
+        line_equivalent=line_equivalent, paint_hits=paint_hits,
+        dense=_dense_fan(spec, REACH_CELLS))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -278,89 +303,126 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
 
 def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
                  spec: BeamSpec, n_groups: int, group_dtheta: float,
-                 agents_per_room: int, miss: float, clamp: float,
-                 line_equivalent: bool, tile_rows: int, tile_cols: int):
-    """Room-block free-space pass: one program per grid TILE; the tile's
-    resident agents' fans paint it in VMEM. The grid pipelines through
-    VMEM as blocked in/out operands — no manual DMA, no per-agent program
-    overhead (the per-agent kernel measured ~3.7 us fixed cost/program)."""
+                 agents_per_room: int, hit: float, miss: float, clamp: float,
+                 line_equivalent: bool, paint_hits: bool, dense: bool,
+                 tile_rows: int, tile_cols: int):
+    """Room-block pass: one program per grid TILE; the tile's resident
+    agents' fans paint it in VMEM. The grid pipelines through VMEM as
+    blocked in/out operands — no manual DMA and no per-agent program
+    overhead (the per-agent window kernel pays ~1.8 us fixed cost per
+    program, which dominates its runtime at swarm scale). Same math as
+    `_free_kernel` (small-angle crossing count, group-min free space,
+    trusted-weighted endpoint ring)."""
     br = pl.program_id(0)
     bc = pl.program_id(1)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_cols), 1)
-    cy = (br * tile_rows + rr).astype(jnp.float32) + 0.5
-    cx = (bc * tile_cols + cc).astype(jnp.float32) + 0.5
+    win_rows = min(64, tile_rows)     # per-agent row window inside the tile
+    rr = jax.lax.broadcasted_iota(jnp.int32, (win_rows, tile_cols), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (win_rows, tile_cols), 1)
 
-    total = jnp.zeros((tile_rows, tile_cols), jnp.float32)
+    out_ref[:] = grid_ref[:]
     for a in range(agents_per_room):
         ax = meta_ref[0, 0, a, 0]
         ay = meta_ref[0, 0, a, 1]
         yaw = meta_ref[0, 0, a, 2]
         act = meta_ref[0, 0, a, 3]
+        # tile-local 8-aligned row offset of this agent's 64-row window
+        # (evidence is wall-limited to it — see room_raster_pallas notes);
+        # computing only the window halves the per-tile VPU work, which is
+        # what made the full-tile variant lose to per-agent windows.
+        r_off = pl.multiple_of(meta_ref[0, 0, a, 4].astype(jnp.int32), 8)
+        cy = (br * tile_rows + r_off + rr).astype(jnp.float32) + 0.5
+        cx = (bc * tile_cols + cc).astype(jnp.float32) + 0.5
         dx = cx - ax
         dy = cy - ay
-        r = jnp.sqrt(dx * dx + dy * dy)
+        r2 = dx * dx + dy * dy
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
+        r = r2 * rinv
         theta = _atan2_poly(dy, dx)
         rel = (theta - yaw - spec.theta0 - group_dtheta / 2.0
                + spec.dtheta / 2.0)
-        rel = (rel + math.pi) % (2 * math.pi) - math.pi
+        rel = _wrap_pi_cheap(rel)
         g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
         if spec.wrap:
             g = jnp.mod(g, n_groups)
-            in_fan = jnp.ones((tile_rows, tile_cols), bool)
+            in_fan = jnp.ones((win_rows, tile_cols), bool)
         else:
             in_fan = (rel >= -group_dtheta / 2.0) & \
                 (rel < (n_groups - 0.5) * group_dtheta)
             g = jnp.clip(g, 0, n_groups - 1)
 
-        def gather_group(k, rbk, g=g, a=a):
-            return jnp.where(g == k, table_ref[0, 0, a, k, 0], rbk)
+        def gather_group(k, carry, g=g, a=a):
+            rbk, tfk = carry
+            is_k = g == k
+            rbk = jnp.where(is_k, table_ref[0, 0, a, k, 0], rbk)
+            if paint_hits:
+                tfk = jnp.where(is_k, table_ref[0, 0, a, k, 1], tfk)
+            return rbk, tfk
 
-        rb = jax.lax.fori_loop(0, n_groups, gather_group,
-                               jnp.zeros((tile_rows, tile_cols),
-                                         jnp.float32))
-        half = _atan2_poly(jnp.full_like(r, 0.5),
-                           jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
-        covered = half * 2.0 >= spec.dtheta * 0.999
-        cnt = (jnp.maximum(1.0, jnp.round(2.0 * half / spec.dtheta))
-               if line_equivalent else jnp.ones_like(r))
-        resid = rel - g.astype(jnp.float32) * group_dtheta
-        on_any = covered | (jnp.abs(r * jnp.sin(resid)) <= 0.6)
-        free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
-        total = total + jnp.where(free, miss * cnt, 0.0) * act
+        rb, tf = jax.lax.fori_loop(
+            0, n_groups, gather_group,
+            (jnp.zeros((win_rows, tile_cols), jnp.float32),
+             jnp.zeros((win_rows, tile_cols), jnp.float32)))
 
-    out_ref[:] = jnp.clip(grid_ref[:] + total, -clamp, clamp)
+        # small-angle forms, identical to _free_kernel / the XLA reference
+        if line_equivalent:
+            cnt = jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
+        else:
+            cnt = jnp.ones_like(r)
+        if dense:
+            base_ok = in_fan & (r2 > 1e-6)
+        else:
+            covered = rinv >= spec.dtheta * 0.999
+            resid = rel - g.astype(jnp.float32) * group_dtheta
+            on_any = covered | (jnp.abs(r * resid) <= 0.6)
+            base_ok = in_fan & on_any & (r2 > 1e-6)
+        free = base_ok & (r < rb - 0.5)
+        delta = jnp.where(free, miss * cnt, 0.0)
+        if paint_hits:
+            on_ring = base_ok & (jnp.abs(r - rb) <= 0.71)
+            delta = delta + jnp.where(on_ring, hit * cnt * tf, 0.0)
+        blk = out_ref[pl.ds(r_off, win_rows), :]
+        out_ref[pl.ds(r_off, win_rows), :] = jnp.clip(
+            blk + delta * act, -clamp, clamp)
 
 
 def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        n_groups: int = 16, agents_per_room: int = 2,
                        per_row: int = None, line_equivalent: bool = True,
-                       interpret: bool = False):
-    """Room-block free-space raster for TILE-ALIGNED worlds
+                       trusted=None, interpret: bool = False):
+    """Room-block raster for TILE-ALIGNED worlds
     (geom.world.make_tiled_rooms): agents 2k, 2k+1 live in room k = grid
     tile (k // per_row, k % per_row). The grid must be [R*128, C*256]-
     coverable (cfg.size % 128 == 0 and % 256 == 0 assumed square).
 
-    Agents must be inside their tile AND their beam reach must stay
-    within it (rooms have >= 1.2 m margin to tile edges by construction).
+    Agents must be inside their tile AND their beam reach must stay within
+    it — true by construction for the 1.2 m trust reach (room margins are
+    1.2 m vertically / 3.4 m horizontally). `trusted` [N, B] enables
+    in-kernel endpoint painting as in `free_raster_pallas`.
     Returns new_logodds."""
     from swarm_tpu.geom.world import TILE_COLS, TILE_ROWS
 
     n = agent_xy.shape[0]
-    n_rooms = n // agents_per_room
     res = cfg.resolution
     g_pad = _round_up(n_groups, 8)
     br_n = cfg.size // TILE_ROWS
     bc_n = cfg.size // TILE_COLS
-    n_tiles = br_n * bc_n
     if per_row is None:
         per_row = bc_n
+    paint_hits = trusted is not None
 
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     gmins = group_min_ranges_import()(
         (dist_m / res).astype(jnp.float32), n_groups)
+    if paint_hits:
+        per = -(-spec.n_beams // n_groups)
+        pad_b = n_groups * per - spec.n_beams
+        tfrac = jnp.pad(trusted.astype(jnp.float32),
+                        ((0, 0), (0, pad_b))).reshape(
+            n, n_groups, per).mean(axis=-1)
+    else:
+        tfrac = jnp.zeros_like(gmins)
 
     # scatter room data into the [BR, BC] tile table
     room = jnp.arange(n) // agents_per_room
@@ -368,19 +430,30 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     tile_c = room % per_row
     slot = jnp.arange(n) % agents_per_room
 
+    # tile-local row offset of each agent's 64-row evaluation window:
+    # global aligned origin (patch_origin) re-based to the tile and clipped
+    # inside it. Wall-limited evidence always fits (see docstring).
+    win_rows = min(64, TILE_ROWS)
+    row0_g, _ = patch_origin(ax, ay, cfg.size, win_rows, cfg.size)
+    r_loc = jnp.clip(row0_g - tile_r.astype(jnp.int32) * TILE_ROWS,
+                     0, TILE_ROWS - win_rows).astype(jnp.float32)
+
     meta = jnp.zeros((br_n, bc_n, agents_per_room, 8), jnp.float32)
-    vals = jnp.stack([ax, ay, yaw, active.astype(jnp.float32)] +
-                     [jnp.zeros_like(ax)] * 4, axis=-1)
+    vals = jnp.stack([ax, ay, yaw, active.astype(jnp.float32), r_loc] +
+                     [jnp.zeros_like(ax)] * 3, axis=-1)
     meta = meta.at[tile_r, tile_c, slot].set(vals)
-    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, 1), jnp.float32)
+    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, 2), jnp.float32)
     table = table.at[tile_r, tile_c, slot, :n_groups, 0].set(gmins)
+    table = table.at[tile_r, tile_c, slot, :n_groups, 1].set(tfrac)
 
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     kernel = functools.partial(
         _room_kernel, spec=spec, n_groups=n_groups,
         group_dtheta=group_dtheta, agents_per_room=agents_per_room,
-        miss=cfg.logodds_miss, clamp=cfg.logodds_clamp,
-        line_equivalent=line_equivalent,
+        hit=cfg.logodds_hit, miss=cfg.logodds_miss,
+        clamp=cfg.logodds_clamp,
+        line_equivalent=line_equivalent, paint_hits=paint_hits,
+        dense=_dense_fan(spec, REACH_CELLS),
         tile_rows=TILE_ROWS, tile_cols=TILE_COLS)
 
     return pl.pallas_call(
@@ -391,7 +464,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
             pl.BlockSpec((1, 1, agents_per_room, 8),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, agents_per_room, g_pad, 1),
+            pl.BlockSpec((1, 1, agents_per_room, g_pad, 2),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, TILE_COLS), lambda i, j: (i, j),

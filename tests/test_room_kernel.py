@@ -59,3 +59,38 @@ def test_room_kernel_inactive_agents_noop():
         out = room_raster_pallas(lo, xy, yaw, d, jnp.zeros((n,), bool),
                                  BeamSpec.scan(37), cfg, per_row=per_row)
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_room_kernel_endpoint_painting_matches_window_kernel():
+    """With `trusted`, the room kernel paints the same trusted-weighted
+    endpoint rings as the per-agent window kernel (evidence fits inside
+    both the [64, 256] window and the room tile for the 1.2 m reach)."""
+    from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+
+    n_rooms, per_row = 4, 2
+    walls, origins = make_tiled_rooms(n_rooms, per_row=per_row)
+    size = -(-max(per_row * TILE_COLS, 2 * TILE_ROWS) // 256) * 256
+    cfg = GridConfig(size=size, origin_x=0.0, origin_y=0.0)
+
+    rng = np.random.default_rng(1)
+    n = 8
+    room = np.arange(n) // 2
+    xy = jnp.asarray(np.stack(
+        [origins[room, 0] + rng.uniform(1.0, 5.0, n),
+         origins[room, 1] + rng.uniform(1.0, 3.0, n)], -1), jnp.float32)
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    active = jnp.ones((n,), bool)
+    d, t = beams_from_scan(
+        jnp.asarray(rng.uniform(0.1, 1.3, (n, 37)), jnp.float32), 1.2, 0.05)
+    spec = BeamSpec.scan(37)
+    lo = jnp.zeros((size, size), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        win = free_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
+                                 n_groups=8, trusted=t)
+        rm = room_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
+                                n_groups=8, per_row=per_row, trusted=t)
+    diff = np.abs(np.asarray(rm) - np.asarray(win))
+    assert (diff > 1e-4).sum() <= 32, (diff > 1e-4).sum()
+    # rings actually painted (positive evidence present)
+    assert float(jnp.max(rm)) > 0.0
