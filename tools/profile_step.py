@@ -33,11 +33,12 @@ def main():
     from swarm_tpu.engine.sim import sim_init
     from swarm_tpu.models.scan import scan_angles, sense_scan
     from swarm_tpu.models.sensors import sense_4way
-    from swarm_tpu.models.ekf import ekf_predict, ekf_update
+    from swarm_tpu.models.ekf import (ekf_predict, ekf_step_batch,
+                                      ekf_update)
     from swarm_tpu.models.odometry import drift_integrate
     from swarm_tpu.models import nav as navm
     from swarm_tpu.slam.closure import closure_add_poses_batch
-    from swarm_tpu.coord.zones import zone_observe_batch
+    from swarm_tpu.coord.zones import zone_observe_batch, zone_observe_rows
     from swarm_tpu.geom.world import cast_rays
 
     n = args.agents
@@ -142,7 +143,13 @@ def main():
         w = e.x[:, 3] * 1e-9
         return jax.vmap(lambda s, ww: ekf_update(
             ekf_predict(s, ww, 1.0, cfg.ekf), 0.1, ww, cfg.ekf))(e, w)
-    timed("ekf predict+update", ekf_body, state.ekf)
+    timed("ekf vmapped (retired)", ekf_body, state.ekf)
+
+    def ekf_batch_body(e, i):
+        w = e.x[:, 3] * 1e-9
+        return ekf_step_batch(e, w, jnp.full((n,), 0.1),
+                              e.last_t + 1.0, cfg.ekf)
+    timed("ekf SoA batch (engine)", ekf_batch_body, state.ekf)
 
     def drift_body(o, i):
         d = jnp.full((n,), 0.07) + o.x_est * 1e-12
@@ -165,7 +172,14 @@ def main():
             jnp.concatenate([x, jnp.repeat(x, 4)]),
             jnp.concatenate([pose[:, 1], jnp.repeat(pose[:, 1], 4)]),
             jnp.ones((5 * n,), bool))
-    timed("zone AABB fold", zone_body, state.srv.zone)
+    timed("zone fold scatter (retired)", zone_body, state.srv.zone)
+
+    def zone_rows_body(z, i):
+        x = pose[:, 0] + z.min_x[0] * 1e-9
+        xs = jnp.concatenate([x[:, None]] * 5, axis=1)
+        ys = jnp.concatenate([pose[:, 1:2]] * 5, axis=1)
+        return zone_observe_rows(z, xs, ys, jnp.ones((n, 5), bool))
+    timed("zone fold rows (engine)", zone_rows_body, state.srv.zone)
 
     timed("collision cast", lambda c, i: c + jnp.sum(jax.vmap(
         lambda pp, ww: cast_rays(pp[:2], pp[2], ww))(
