@@ -119,7 +119,7 @@ def main():
             "raster": args.raster,
             "scan_rays": args.scan_rays,
             "frontiers": args.frontiers,
-            "room_kernel": args.room_kernel,
+            "room_kernel": bool(args.room_kernel and use_pallas),
             # line: actual scatter writes (reference per-ray semantics).
             # beam: equivalent ray-cell updates — one per cell per crossing
             # beam, applied as fused count*evidence FMAs + exact endpoint

@@ -266,6 +266,11 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         axy = jnp.stack([rx, ry], axis=-1)
         logodds = srv.logodds
         writes = jnp.zeros((), jnp.int32)
+        # evidence reach in cells (range + endpoint-ring margin): ties the
+        # kernel window sizes / dense-fan shortcut to the ACTUAL sensor
+        # range instead of the 1.2 m default constant
+        import math as _math
+        reach = int(_math.ceil(sens.max_range / cfg.grid.resolution)) + 2
         specs_and_beams = []
         if cfg.engine.raster_4way or scan_dist is None:
             specs_and_beams.append(
@@ -291,13 +296,13 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                         n_groups=n_groups,
                         per_row=cfg.engine.room_tile_per_row,
                         trusted=(tb if cfg.engine.kernel_endpoints
-                                 else None))
+                                 else None), reach=reach)
                 else:
                     logodds = free_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
                         n_groups=n_groups,
                         trusted=(tb if cfg.engine.kernel_endpoints
-                                 else None))
+                                 else None), reach=reach)
                 if cfg.engine.kernel_endpoints:
                     w_ep = jnp.sum(
                         (tb & alive[:, None]).astype(jnp.int32))
@@ -321,7 +326,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 db = jnp.where(alive[:, None], db, 0.0)
                 logodds, w = beam_raster_reference(logodds, axy, ryaw, db,
                                                    tb & alive[:, None],
-                                                   spec_b, cfg.grid)
+                                                   spec_b, cfg.grid,
+                                                   reach=reach)
                 writes = writes + w.astype(jnp.int32)
         grid = srv.grid
         tri = tri_state_view(logodds, cfg.grid)

@@ -199,7 +199,8 @@ def crossing_count(r, dtheta: float):
 def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                           spec: BeamSpec, cfg: GridConfig = GridConfig(),
                           n_groups: int = 16,
-                          line_equivalent: bool = True):
+                          line_equivalent: bool = True,
+                          reach: int = REACH_CELLS):
     """XLA reference of the FAST free-space pass (what the Pallas kernel
     computes): free cells from GROUP-MIN ranges (conservative — never
     carves past the nearest wall in the sector), evidence scaled by the
@@ -212,8 +213,8 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     ranges_cells = dist_m / res
     gmins = group_min_ranges(ranges_cells, n_groups)       # [N, G]
-    pr, pc = patch_dims(cfg.size)
-    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc)
+    pr, pc = patch_dims(cfg.size, reach)
+    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach)
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
                      dtheta=group_dtheta, wrap=spec.wrap)

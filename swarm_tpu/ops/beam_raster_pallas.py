@@ -42,6 +42,18 @@ def _dense_fan(spec: BeamSpec, reach_cells: float) -> bool:
     return spec.dtheta * (reach_cells + 2.0) <= 0.999
 
 
+def _group_trusted_frac(trusted, spec: BeamSpec, n_groups: int):
+    """[N, B] per-beam trust -> [N, G] per-group trusted fraction (zero-pad
+    then mean; trailing zero-padded beams dilute the last group's weight —
+    conservative)."""
+    n = trusted.shape[0]
+    per = -(-spec.n_beams // n_groups)
+    pad_b = n_groups * per - spec.n_beams
+    return jnp.pad(trusted.astype(jnp.float32),
+                   ((0, 0), (0, pad_b))).reshape(
+        n, n_groups, per).mean(axis=-1)
+
+
 def _wrap_pi_cheap(x):
     """(-pi, pi] wrap without jnp.mod: one round + fma (|x| < 4*pi here)."""
     two_pi = jnp.float32(2 * math.pi)
@@ -230,7 +242,8 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
 def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        n_groups: int = 16, line_equivalent: bool = True,
-                       trusted=None, interpret: bool = False):
+                       trusted=None, reach: int = REACH_CELLS,
+                       interpret: bool = False):
     """Kernel entry for the fast free-space pass. Returns new_logodds;
     the caller computes the equivalent-write count analytically.
     `trusted` [N, B] enables IN-KERNEL endpoint painting (hits placed on
@@ -251,11 +264,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     gmins = group_min_ranges((dist_m / res).astype(jnp.float32), n_groups)
     # group axis as SUBLANES: [N, G_pad, 2] blocked per agent
     if paint_hits:
-        per = -(-spec.n_beams // n_groups)
-        pad_b = n_groups * per - spec.n_beams
-        tfrac = jnp.pad(trusted.astype(jnp.float32),
-                        ((0, 0), (0, pad_b))).reshape(
-            n, n_groups, per).mean(axis=-1)
+        tfrac = _group_trusted_frac(trusted, spec, n_groups)
     else:
         tfrac = jnp.zeros_like(gmins)
     table = jnp.stack([
@@ -272,7 +281,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         miss=cfg.logodds_miss, hit=cfg.logodds_hit,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
-        dense=_dense_fan(spec, REACH_CELLS))
+        dense=_dense_fan(spec, reach))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -305,7 +314,7 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
                  spec: BeamSpec, n_groups: int, group_dtheta: float,
                  agents_per_room: int, hit: float, miss: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
-                 tile_rows: int, tile_cols: int):
+                 win_rows: int, tile_rows: int, tile_cols: int):
     """Room-block pass: one program per grid TILE; the tile's resident
     agents' fans paint it in VMEM. The grid pipelines through VMEM as
     blocked in/out operands — no manual DMA and no per-agent program
@@ -315,7 +324,6 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
     trusted-weighted endpoint ring)."""
     br = pl.program_id(0)
     bc = pl.program_id(1)
-    win_rows = min(64, tile_rows)     # per-agent row window inside the tile
     rr = jax.lax.broadcasted_iota(jnp.int32, (win_rows, tile_cols), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (win_rows, tile_cols), 1)
 
@@ -389,7 +397,8 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        n_groups: int = 16, agents_per_room: int = 2,
                        per_row: int = None, line_equivalent: bool = True,
-                       trusted=None, interpret: bool = False):
+                       trusted=None, reach: int = REACH_CELLS,
+                       interpret: bool = False):
     """Room-block raster for TILE-ALIGNED worlds
     (geom.world.make_tiled_rooms): agents 2k, 2k+1 live in room k = grid
     tile (k // per_row, k % per_row). The grid must be [R*128, C*256]-
@@ -416,11 +425,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     gmins = group_min_ranges_import()(
         (dist_m / res).astype(jnp.float32), n_groups)
     if paint_hits:
-        per = -(-spec.n_beams // n_groups)
-        pad_b = n_groups * per - spec.n_beams
-        tfrac = jnp.pad(trusted.astype(jnp.float32),
-                        ((0, 0), (0, pad_b))).reshape(
-            n, n_groups, per).mean(axis=-1)
+        tfrac = _group_trusted_frac(trusted, spec, n_groups)
     else:
         tfrac = jnp.zeros_like(gmins)
 
@@ -430,11 +435,18 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     tile_c = room % per_row
     slot = jnp.arange(n) % agents_per_room
 
-    # tile-local row offset of each agent's 64-row evaluation window:
-    # global aligned origin (patch_origin) re-based to the tile and clipped
-    # inside it. Wall-limited evidence always fits (see docstring).
-    win_rows = min(64, TILE_ROWS)
-    row0_g, _ = patch_origin(ax, ay, cfg.size, win_rows, cfg.size)
+    # tile-local row offset of each agent's evaluation window: global
+    # aligned origin (patch_origin) re-based to the tile and clipped inside
+    # it. Wall-limited evidence always fits when the window covers the
+    # reach — guarded below so raising SensorConfig.max_range past the
+    # tile margins fails loudly instead of silently truncating evidence.
+    win_rows = min(_round_up(2 * reach + 8, 8), TILE_ROWS)
+    if 2 * reach + 8 > TILE_ROWS:
+        raise ValueError(
+            f"beam reach {reach} cells does not fit a {TILE_ROWS}-row tile "
+            "window; use the per-agent window kernel (free_raster_pallas) "
+            "or a coarser grid")
+    row0_g, _ = patch_origin(ax, ay, cfg.size, win_rows, cfg.size, reach)
     r_loc = jnp.clip(row0_g - tile_r.astype(jnp.int32) * TILE_ROWS,
                      0, TILE_ROWS - win_rows).astype(jnp.float32)
 
@@ -453,7 +465,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         hit=cfg.logodds_hit, miss=cfg.logodds_miss,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
-        dense=_dense_fan(spec, REACH_CELLS),
+        dense=_dense_fan(spec, reach), win_rows=win_rows,
         tile_rows=TILE_ROWS, tile_cols=TILE_COLS)
 
     return pl.pallas_call(

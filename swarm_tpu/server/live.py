@@ -210,8 +210,10 @@ class LiveServer:
     def run(self, duration_s: Optional[float] = None, fps: float = 30.0,
             render_png: Optional[str] = None, render_every_s: float = 5.0):
         """The main loop. Ctrl-C or duration ends it; closes logs."""
-        frame_dt = 1.0 / fps
+        frame_dt = 1.0 / fps if fps > 0 else 0.0   # fps <= 0 = uncapped
         last_render = 0.0
+        run_t0 = time.time()
+        pkt_at_start = self.pkt_total
         try:
             while duration_s is None or self.now() < duration_s:
                 start = time.time()
@@ -228,9 +230,12 @@ class LiveServer:
         except KeyboardInterrupt:
             pass
         finally:
-            el = max(self.now(), 1e-9)
-            print(f"[SERVER] {self.pkt_total} packets in {el:.1f}s "
-                  f"({self.pkt_total / el:.0f} pkt/s)")
+            # throughput over the run window only (excludes the warm-up
+            # compile in __init__ and any idle time before run())
+            el = max(time.time() - run_t0, 1e-9)
+            got = self.pkt_total - pkt_at_start
+            print(f"[SERVER] {got} packets in {el:.1f}s "
+                  f"({got / el:.0f} pkt/s)")
             self.close()
 
     def render(self, path: str) -> str:

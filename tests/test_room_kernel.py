@@ -94,3 +94,21 @@ def test_room_kernel_endpoint_painting_matches_window_kernel():
     assert (diff > 1e-4).sum() <= 32, (diff > 1e-4).sum()
     # rings actually painted (positive evidence present)
     assert float(jnp.max(rm)) > 0.0
+
+
+def test_room_kernel_rejects_oversized_reach():
+    """Evidence reach beyond the tile-row budget must fail loudly instead
+    of silently truncating the map (review finding: SensorConfig.max_range
+    is a free knob)."""
+    import pytest
+
+    size = 512
+    cfg = GridConfig(size=size, origin_x=0.0, origin_y=0.0)
+    n = 2
+    xy = jnp.zeros((n, 2), jnp.float32)
+    yaw = jnp.zeros((n,), jnp.float32)
+    d = jnp.full((n, 37), 1.0, jnp.float32)
+    with pytest.raises(ValueError, match="reach"):
+        room_raster_pallas(jnp.zeros((size, size), jnp.float32), xy, yaw, d,
+                           jnp.ones((n,), bool), BeamSpec.scan(37), cfg,
+                           per_row=2, reach=80, interpret=True)
