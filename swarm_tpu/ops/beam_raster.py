@@ -82,13 +82,14 @@ def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
 
 def patch_origin(ax_cell, ay_cell, size: int,
                  rows: int = 64, cols: int = 256,
-                 reach: int = REACH_CELLS):
+                 reach: int = REACH_CELLS, n_rows: int = None):
     """Aligned window origin (row0, col0): floor-based asymmetric placement
     origin = align_down(agent - reach) guarantees >= reach margin on the
     low side by construction and >= reach on the high side by the
-    patch_dims sizing; clamped to the grid."""
+    patch_dims sizing; clamped to the grid (or to `n_rows` when the target
+    is a horizontal band of the grid)."""
     row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach) // 8) * 8
-    row0 = jnp.clip(row0, 0, size - rows)
+    row0 = jnp.clip(row0, 0, (size if n_rows is None else n_rows) - rows)
     if cols >= size:
         col0 = jnp.zeros_like(row0)
     else:
@@ -200,7 +201,7 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                           spec: BeamSpec, cfg: GridConfig = GridConfig(),
                           n_groups: int = 16,
                           line_equivalent: bool = True,
-                          reach: int = REACH_CELLS):
+                          reach: int = REACH_CELLS, band=None):
     """XLA reference of the FAST free-space pass (what the Pallas kernel
     computes): free cells from GROUP-MIN ranges (conservative — never
     carves past the nearest wall in the sector), evidence scaled by the
@@ -211,10 +212,17 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     res = cfg.resolution
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
+    if band is not None:
+        # band=(row_offset_cells, n_rows): logodds is the shard's local
+        # [n_rows, size] row band. Geometry stays exact because agent and
+        # cell rows shift together; windows must fit the band (the
+        # spatially-sharded engine verifies containment statically).
+        ay = ay - band[0]
     ranges_cells = dist_m / res
     gmins = group_min_ranges(ranges_cells, n_groups)       # [N, G]
     pr, pc = patch_dims(cfg.size, reach)
-    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach)
+    row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach,
+                              n_rows=None if band is None else band[1])
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
                      dtheta=group_dtheta, wrap=spec.wrap)

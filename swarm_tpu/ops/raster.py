@@ -107,20 +107,35 @@ def parity_raster(grid, rays: RayBatch, cfg: GridConfig = GridConfig(),
 
 
 def logodds_delta(rays: RayBatch, cfg: GridConfig = GridConfig(),
-                  k_max: int = 32, dtype=jnp.float32):
+                  k_max: int = 32, dtype=jnp.float32, band=None):
     """Unclamped log-odds evidence of one ray batch, scatter-added into a
     fresh [size, size] grid. Additive and order-independent, so shards can
     compute local deltas and `psum` them over the mesh — the TPU-native
     replacement for funnelling all packets to one server socket
-    (dual_bot_mapper.py:814-824). Returns (delta, writes)."""
+    (dual_bot_mapper.py:814-824). Returns (delta, writes).
+
+    band=(row_offset, n_rows): restrict to a horizontal grid band and
+    return a [n_rows, size] delta — the spatially-sharded grid path
+    (each shard owns a band; evidence outside it is dropped AND counted
+    out of `writes`, so callers with band-contained evidence get
+    identical totals)."""
     flat, free, occ = _traced_cells(rays, cfg, k_max)
+    if band is not None:
+        row_off, n_rows = band
+        row = flat // cfg.size
+        inb = (row >= row_off) & (row < row_off + n_rows)
+        free = free & inb
+        occ = occ & inb
+        flat = flat - row_off * cfg.size
+    else:
+        n_rows = cfg.size
     delta = jnp.where(occ, cfg.logodds_hit,
                       jnp.where(free, cfg.logodds_miss, 0.0)).astype(dtype)
     flat_r = jnp.where((free | occ), flat, 0).reshape(-1)
-    out = jnp.zeros((cfg.size * cfg.size,), dtype).at[flat_r].add(
+    out = jnp.zeros((n_rows * cfg.size,), dtype).at[flat_r].add(
         delta.reshape(-1), mode="drop")
     writes = jnp.sum(free) + jnp.sum(occ)
-    return out.reshape(cfg.size, cfg.size), writes
+    return out.reshape(n_rows, cfg.size), writes
 
 
 def logodds_raster(logodds, rays: RayBatch, cfg: GridConfig = GridConfig(),

@@ -47,10 +47,16 @@ from swarm_tpu.slam.closure import ClosureState, closure_add_poses_batch
 from swarm_tpu.utils.angles import wrap_pi
 
 
-def state_specs(axis: str = "agents") -> SimState:
+def state_specs(axis: str = "agents",
+                grid_rows_sharded: bool = False) -> SimState:
     """PartitionSpec pytree for SimState: agent-batched leaves shard over
-    `axis`, server/scalar state is replicated."""
+    `axis`, server/scalar state is replicated. With grid_rows_sharded the
+    log-odds grid is additionally SPATIALLY sharded by row bands over the
+    same axis (SURVEY §2 parallelism table row 2 — grid tiles = shards);
+    each shard then rasters only its own agents into its own band and the
+    map needs NO collective at all."""
     ag, rep = P(axis), P()
+    lo = P(axis, None) if grid_rows_sharded else rep
     return SimState(
         t=rep, step=rep, key=rep,
         pose_true=ag,
@@ -59,7 +65,7 @@ def state_specs(axis: str = "agents") -> SimState:
         nav=navm.NavState(*([ag] * 8)),
         total_dist=ag,
         srv=MapState(
-            grid=rep, logodds=rep,
+            grid=rep, logodds=lo,
             closure=ClosureState(*([rep] * 15)),
             zone=ZoneState(*([rep] * 5)),
             last_packet_t=rep, pkt_counts=rep,
@@ -67,16 +73,34 @@ def state_specs(axis: str = "agents") -> SimState:
             frontier_centroids=rep, n_frontiers=rep, total_writes=rep))
 
 
-def shard_state(state: SimState, mesh) -> SimState:
+def shard_state(state: SimState, mesh,
+                grid_rows_sharded: bool = False) -> SimState:
     """Place a host SimState onto the mesh with the engine's shardings."""
-    specs = state_specs(mesh.axis_names[0])
+    specs = state_specs(mesh.axis_names[0], grid_rows_sharded)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
 
+def agent_evidence_rows(walls_grouped, room_of_agent, cfg: SwarmConfig,
+                        margin_cells: int = 3):
+    """Static per-agent grid-row bounds of possible raster evidence:
+    the agent's room AABB (it cannot leave — walls are solid and beams are
+    wall-limited) plus the endpoint-ring margin. numpy, trace-free."""
+    import numpy as np
+    wg = np.asarray(walls_grouped)
+    roa = np.asarray(room_of_agent)
+    ys = wg[..., [1, 3]].reshape(wg.shape[0], -1)
+    ymin, ymax = ys.min(axis=1), ys.max(axis=1)
+    res = cfg.grid.resolution
+    rmin = np.floor((ymin[roa] - cfg.grid.origin_y) / res) - margin_cells
+    rmax = np.ceil((ymax[roa] - cfg.grid.origin_y) / res) + margin_cells
+    return rmin.astype(int), rmax.astype(int)
+
+
 def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                        params: AgentParams, faults: FaultSchedule,
-                       enable_targets: bool, axis: str):
+                       enable_targets: bool, axis: str,
+                       grid_rows: bool = False):
     """shard_map body: agent leaves arrive as [N/D] local rows, server state
     replicated. Mirrors engine.sim.sim_step stage-for-stage."""
     n = cfg.n_agents
@@ -155,12 +179,19 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                            sv.reshape(-1)]),
                 active=jnp.concatenate([rays.active,
                                         jnp.repeat(alive, r_scan)]))
+    # grid decomposition: replicated (each shard's full-grid delta psum'd
+    # over ICI) or spatially row-sharded (grid_rows: each shard owns a
+    # horizontal band and its agents are band-contained by the static
+    # check in make_sharded_sim_step — the map needs NO collective).
+    band = None
+    if grid_rows:
+        band_rows = srv.logodds.shape[0]       # local band height
+        band = (shard * band_rows, band_rows)
     if beam_mode:
-        # beam-model fast path: each shard paints its agents' fans into a
-        # ZERO grid (additive delta), psum merges the evidence over ICI —
-        # identical decomposition to the line path, no scatter ops.
         from swarm_tpu.ops.beam_raster import (
             BeamSpec, beams_from_scan, endpoint_rays, free_raster_reference)
+        import math as _math
+        reach = int(_math.ceil(sens.max_range / cfg.grid.resolution)) + 2
         zero = jnp.zeros_like(srv.logodds)
         delta = zero
         writes_loc = jnp.zeros((), jnp.int32)
@@ -171,21 +202,23 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             axy_l = jnp.stack([rx, ry], axis=-1)
             d_free, w_free = free_raster_reference(
                 zero, axy_l, yaw_q, jnp.where(alive[:, None], db, 0.0),
-                alive, spec_b, cfg.grid, n_groups=cfg.engine.beam_groups)
+                alive, spec_b, cfg.grid, n_groups=cfg.engine.beam_groups,
+                reach=reach, band=band)
             ep_delta, w_ep = logodds_delta(
                 endpoint_rays(axy_l, yaw_q, db, tb, alive, spec_b),
-                cfg.grid, k_max=1)
+                cfg.grid, k_max=1, band=band)
             delta = delta + d_free + ep_delta
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
                 w_ep.astype(jnp.int32)
         if cfg.engine.raster_4way or cfg.engine.scan_rays == 0:
-            d4, _ = logodds_delta(rays, cfg.grid)
+            d4, _ = logodds_delta(rays, cfg.grid, band=band)
             delta = delta + d4
             writes_loc = writes_loc + jnp.sum(
                 (rays.active).astype(jnp.int32))
     else:
-        delta, writes_loc = logodds_delta(rays, cfg.grid)
-    delta = jax.lax.psum(delta, axis)                    # ICI map merge
+        delta, writes_loc = logodds_delta(rays, cfg.grid, band=band)
+    if not grid_rows:
+        delta = jax.lax.psum(delta, axis)                # ICI map merge
     writes = jax.lax.psum(writes_loc, axis)
     logodds = jnp.clip(srv.logodds + delta,
                        -cfg.grid.logodds_clamp, cfg.grid.logodds_clamp)
@@ -222,7 +255,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     if cfg.engine.compute_frontiers:
         target_every = max(1, round(cfg.coord.target_interval_s / dt))
         do_target = (state.step % target_every) == 0
-        tri = tri_state_view(logodds, cfg.grid)
+        lo_full = (jax.lax.all_gather(logodds, axis, tiled=True)
+                   if grid_rows else logodds)
+        tri = tri_state_view(lo_full, cfg.grid)
         cents, n_fr = jax.lax.cond(
             do_target,
             lambda _: (frontier_clusters if cfg.grid.size <= 512
@@ -314,25 +349,64 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
 
 def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                           faults: Optional[FaultSchedule] = None,
-                          enable_targets: bool = False, donate: bool = True):
+                          enable_targets: bool = False, donate: bool = True,
+                          grid_sharding: str = "replicated",
+                          walls_grouped=None, room_of_agent=None):
     """Build the jitted multi-chip step. `cfg.n_agents` must be divisible by
-    the mesh size and `cfg.engine.parity_mode` must be False."""
+    the mesh size and `cfg.engine.parity_mode` must be False.
+
+    grid_sharding: "replicated" (each shard full-grid delta + psum) or
+    "rows" (the grid row-band-sharded over the mesh: zero map collectives;
+    requires `walls_grouped`/`room_of_agent` so each agent's possible
+    evidence rows can be statically proven to lie in its device's band —
+    the tiled-room layouts with per-device room rows satisfy this)."""
     if cfg.engine.parity_mode:
         raise ValueError("sharded step requires throughput mode "
                          "(cfg.engine.parity_mode=False)")
+    if grid_sharding not in ("replicated", "rows"):
+        raise ValueError(f"unknown grid_sharding {grid_sharding!r}")
     axis = mesh.axis_names[0]
     d = mesh.devices.size
     if cfg.n_agents % d != 0:
         raise ValueError(f"n_agents={cfg.n_agents} not divisible by "
                          f"mesh size {d}")
+    grid_rows = grid_sharding == "rows"
+    if grid_rows:
+        import math as _math
+        import numpy as np
+        from swarm_tpu.ops.beam_raster import patch_dims
+        if cfg.grid.size % d:
+            raise ValueError(f"grid size {cfg.grid.size} not divisible by "
+                             f"mesh size {d}")
+        band = cfg.grid.size // d
+        reach = int(_math.ceil(
+            cfg.sensors.max_range / cfg.grid.resolution)) + 2
+        pr, _ = patch_dims(cfg.grid.size, reach)
+        if band < pr:
+            raise ValueError(f"band of {band} rows cannot hold the "
+                             f"{pr}-row raster window")
+        if walls_grouped is None or room_of_agent is None:
+            raise ValueError("grid_sharding='rows' needs walls_grouped + "
+                             "room_of_agent for the static band-"
+                             "containment proof")
+        rmin, rmax = agent_evidence_rows(walls_grouped, room_of_agent, cfg)
+        dev = np.arange(cfg.n_agents) // (cfg.n_agents // d)
+        lo = dev * band
+        bad = (rmin < lo) | (rmax > lo + band)
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} agents' evidence rows escape their "
+                "device's grid band — reorder agents/rooms so each "
+                "device's rooms fill whole bands (tiled per_row layouts)")
     if faults is None:
         faults = no_faults()
     walls = jnp.asarray(walls)
 
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
-        faults=faults, enable_targets=enable_targets, axis=axis)
-    specs = state_specs(axis)
+        faults=faults, enable_targets=enable_targets, axis=axis,
+        grid_rows=grid_rows)
+    specs = state_specs(axis, grid_rows)
     mspec = StepMetrics(*([P()] * len(StepMetrics._fields)))
     # check_vma off: coordination outputs are replicated by construction
     # (derived from all_gather/psum results), which the static VMA check
