@@ -121,3 +121,34 @@ def test_logodds_accumulates_and_views(rng):
     assert (view == CFG.free).sum() > 0
     assert (view == CFG.unknown).sum() > 0
     assert np.abs(np.asarray(lo)).max() <= CFG.logodds_clamp
+
+
+def test_logodds_delta_band_partition_sums_to_full():
+    """Band-restricted deltas over a disjoint row partition reconstruct the
+    full-grid delta exactly, and their writes sum to the full count (the
+    spatially-sharded grid primitive)."""
+    import numpy as np
+
+    from swarm_tpu.config import GridConfig
+    from swarm_tpu.ops.raster import RayBatch, logodds_delta
+
+    cfg = GridConfig(size=256, origin_x=0.0, origin_y=0.0)
+    rng = np.random.default_rng(3)
+    r = 64
+    ox = jnp.asarray(rng.uniform(1.0, 11.0, r), jnp.float32)
+    oy = jnp.asarray(rng.uniform(1.0, 11.0, r), jnp.float32)
+    hx = ox + jnp.asarray(rng.uniform(-1.0, 1.0, r), jnp.float32)
+    hy = oy + jnp.asarray(rng.uniform(-1.0, 1.0, r), jnp.float32)
+    rays = RayBatch(ox=ox, oy=oy, hx=hx, hy=hy,
+                    hit_valid=jnp.asarray(rng.random(r) < 0.7),
+                    active=jnp.ones((r,), bool))
+
+    full, w_full = logodds_delta(rays, cfg)
+    parts, w_parts = [], 0
+    for off in range(0, 256, 64):
+        d, w = logodds_delta(rays, cfg, band=(off, 64))
+        assert d.shape == (64, 256)
+        parts.append(np.asarray(d))
+        w_parts += int(w)
+    np.testing.assert_array_equal(np.concatenate(parts, 0), np.asarray(full))
+    assert w_parts == int(w_full)
