@@ -130,6 +130,10 @@ class SlamConfig:
     scanmatch_window_cells: int = 16    # +/- search window in cells
     scanmatch_angles: int = 17          # rotation hypotheses (odd => 0 incl.)
     scanmatch_angle_range: float = 0.35  # +/- radians
+    # sparse rotation budget: top-K occupied cells splatted per hypothesis
+    # (occupied mass beyond K is dropped from matching — a room-sized
+    # local map has a few hundred occupied cells)
+    scanmatch_points: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
