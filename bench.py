@@ -80,24 +80,29 @@ def main():
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 
+    import numpy as np
+
     @jax.jit
     def chunk(s):
         final, ms = sim_rollout(s, args.steps, cfg, walls, params,
                                 enable_targets=args.frontiers,
                                 walls_grouped=rooms[0],
                                 room_of_agent=rooms[1])
-        return final, jnp.sum(ms.writes)   # int32; chunks stay < 2^31 writes
+        # per-step int32 counts (each < 2^31); summed in int64 on host —
+        # a whole chunk overflows int32 beyond ~8k agents
+        return final, ms.writes
 
-    # warmup / compile. int(w) (host pull) — NOT block_until_ready, which
-    # does not actually sync on the tunnelled TPU backend.
+    # warmup / compile. Pulling w to host is the sync — NOT
+    # block_until_ready, which does not sync on the tunnelled TPU backend.
     state, w = chunk(state)
-    int(w)
+    int(np.asarray(w).sum())
 
     t0 = time.perf_counter()
     total_writes = 0
     for _ in range(args.chunks):
         state, w = chunk(state)
-        total_writes += int(w)     # per-chunk host pull = real sync
+        # per-chunk host pull = real sync
+        total_writes += int(np.asarray(w).astype(np.int64).sum())
     dt = time.perf_counter() - t0
 
     steps = args.steps * args.chunks
