@@ -266,11 +266,10 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         axy = jnp.stack([rx, ry], axis=-1)
         logodds = srv.logodds
         writes = jnp.zeros((), jnp.int32)
-        # evidence reach in cells (range + endpoint-ring margin): ties the
-        # kernel window sizes / dense-fan shortcut to the ACTUAL sensor
-        # range instead of the 1.2 m default constant
-        import math as _math
-        reach = int(_math.ceil(sens.max_range / cfg.grid.resolution)) + 2
+        # evidence reach in cells: ties the kernel window sizes /
+        # dense-fan shortcut to the ACTUAL sensor range
+        from swarm_tpu.ops.beam_raster import reach_cells
+        reach = reach_cells(cfg)
         specs_and_beams = []
         if cfg.engine.raster_4way or scan_dist is None:
             specs_and_beams.append(

@@ -167,3 +167,14 @@ def cast_rays(origins, angles, walls):
     t = ray_segment_t(origins[..., 0], origins[..., 1], dx, dy, walls)
     d = jnp.min(t, axis=-1)
     return jnp.where(d < RAY_MAX_VALID, d, RAY_MISS)
+
+
+def make_vertical_rooms(n_rooms: int):
+    """One tiled room per grid-tile ROW (per_row=1): room r occupies tile
+    row r, so an n_rooms-device mesh can own one 128-row band each — the
+    canonical layout for spatially row-sharded grids (parallel.sharded
+    grid_sharding="rows"). Returns (walls [n_rooms*4, 4],
+    origins [n_rooms, 2], grid_size)."""
+    walls, origins = make_tiled_rooms(n_rooms, per_row=1)
+    size = -(-max(256, n_rooms * TILE_ROWS) // 256) * 256
+    return walls, origins, size

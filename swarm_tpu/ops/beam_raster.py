@@ -65,6 +65,15 @@ class BeamSpec:
                         dtheta=math.pi / (n - 1), wrap=False)
 
 
+def reach_cells(cfg) -> int:
+    """Evidence reach in cells for a SwarmConfig: sensor range + the
+    endpoint-ring margin. THE single definition — the engine, the sharded
+    body, and the band-containment validator must all use the same value
+    or the window/dense-fan assumptions silently diverge."""
+    import math as _math
+    return int(_math.ceil(cfg.sensors.max_range / cfg.grid.resolution)) + 2
+
+
 def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
     """Agent-window shape guaranteeing >= `reach` cells of margin on every
     side with ALIGNED origins (rows 8, cols 128 — Mosaic DMA tiling):

@@ -82,18 +82,27 @@ def shard_state(state: SimState, mesh,
 
 
 def agent_evidence_rows(walls_grouped, room_of_agent, cfg: SwarmConfig,
-                        margin_cells: int = 3):
-    """Static per-agent grid-row bounds of possible raster evidence:
-    the agent's room AABB (it cannot leave — walls are solid and beams are
-    wall-limited) plus the endpoint-ring margin. numpy, trace-free."""
+                        margin_cells: int = 3,
+                        drift_margin_m: float = 1.0):
+    """Static per-agent grid-row bounds of possible raster evidence.
+
+    The agent's TRUE pose cannot leave its room (walls are solid and beams
+    are wall-limited), but the raster origin is the drift-corrected
+    odometry ESTIMATE — which walls do NOT bound. `drift_margin_m` budgets
+    that: the rows-sharded grid is bit-identical to the replicated
+    decomposition only while every agent's y-estimate error stays under
+    it (loop closures keep drift bounded in practice; raise the margin —
+    or shrink rooms relative to bands — for longer uncorrected runs).
+    numpy, trace-free."""
     import numpy as np
     wg = np.asarray(walls_grouped)
     roa = np.asarray(room_of_agent)
     ys = wg[..., [1, 3]].reshape(wg.shape[0], -1)
     ymin, ymax = ys.min(axis=1), ys.max(axis=1)
     res = cfg.grid.resolution
-    rmin = np.floor((ymin[roa] - cfg.grid.origin_y) / res) - margin_cells
-    rmax = np.ceil((ymax[roa] - cfg.grid.origin_y) / res) + margin_cells
+    pad = margin_cells + int(np.ceil(drift_margin_m / res))
+    rmin = np.floor((ymin[roa] - cfg.grid.origin_y) / res) - pad
+    rmax = np.ceil((ymax[roa] - cfg.grid.origin_y) / res) + pad
     return rmin.astype(int), rmax.astype(int)
 
 
@@ -189,9 +198,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         band = (shard * band_rows, band_rows)
     if beam_mode:
         from swarm_tpu.ops.beam_raster import (
-            BeamSpec, beams_from_scan, endpoint_rays, free_raster_reference)
-        import math as _math
-        reach = int(_math.ceil(sens.max_range / cfg.grid.resolution)) + 2
+            BeamSpec, beams_from_scan, endpoint_rays, free_raster_reference,
+            reach_cells)
+        reach = reach_cells(cfg)
         zero = jnp.zeros_like(srv.logodds)
         delta = zero
         writes_loc = jnp.zeros((), jnp.int32)
@@ -211,10 +220,12 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
                 w_ep.astype(jnp.int32)
         if cfg.engine.raster_4way or cfg.engine.scan_rays == 0:
-            d4, _ = logodds_delta(rays, cfg.grid, band=band)
+            # painted-cell count (band-adjusted in rows mode): keeps the
+            # rows-vs-replicated write totals comparable, so band escape
+            # surfaces as a divergence instead of silently dropping cells
+            d4, w4 = logodds_delta(rays, cfg.grid, band=band)
             delta = delta + d4
-            writes_loc = writes_loc + jnp.sum(
-                (rays.active).astype(jnp.int32))
+            writes_loc = writes_loc + w4.astype(jnp.int32)
     else:
         delta, writes_loc = logodds_delta(rays, cfg.grid, band=band)
     if not grid_rows:
@@ -255,14 +266,20 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     if cfg.engine.compute_frontiers:
         target_every = max(1, round(cfg.coord.target_interval_s / dt))
         do_target = (state.step % target_every) == 0
-        lo_full = (jax.lax.all_gather(logodds, axis, tiled=True)
-                   if grid_rows else logodds)
-        tri = tri_state_view(lo_full, cfg.grid)
+
+        def recompute(_):
+            # gather the band only on refresh steps (the predicate is the
+            # replicated step counter, so every device takes this branch
+            # together and the collective matches)
+            lo_full = (jax.lax.all_gather(logodds, axis, tiled=True)
+                       if grid_rows else logodds)
+            tri = tri_state_view(lo_full, cfg.grid)
+            return (frontier_clusters if cfg.grid.size <= 512
+                    else frontier_targets_coarse)(
+                        tri, cfg.grid, cfg.coord)[::2]
+
         cents, n_fr = jax.lax.cond(
-            do_target,
-            lambda _: (frontier_clusters if cfg.grid.size <= 512
-                       else frontier_targets_coarse)(
-                           tri, cfg.grid, cfg.coord)[::2],
+            do_target, recompute,
             lambda _: (srv.frontier_centroids, srv.n_frontiers), None)
     else:
         cents, n_fr = srv.frontier_centroids, srv.n_frontiers
@@ -372,16 +389,13 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                          f"mesh size {d}")
     grid_rows = grid_sharding == "rows"
     if grid_rows:
-        import math as _math
         import numpy as np
-        from swarm_tpu.ops.beam_raster import patch_dims
+        from swarm_tpu.ops.beam_raster import patch_dims, reach_cells
         if cfg.grid.size % d:
             raise ValueError(f"grid size {cfg.grid.size} not divisible by "
                              f"mesh size {d}")
         band = cfg.grid.size // d
-        reach = int(_math.ceil(
-            cfg.sensors.max_range / cfg.grid.resolution)) + 2
-        pr, _ = patch_dims(cfg.grid.size, reach)
+        pr, _ = patch_dims(cfg.grid.size, reach_cells(cfg))
         if band < pr:
             raise ValueError(f"band of {band} rows cannot hold the "
                              f"{pr}-row raster window")

@@ -45,6 +45,7 @@ def _rotated_mass_stack(local_occ, thetas, k_points: int):
     s = local_occ.shape[0]
     c = (s - 1) / 2.0
     dtype = local_occ.dtype
+    k_points = min(k_points, local_occ.size)   # small submaps
     vals, idx = jax.lax.top_k(local_occ.reshape(-1), k_points)
     py = (idx // s).astype(dtype)
     px = (idx % s).astype(dtype)

@@ -11,7 +11,8 @@ import pytest
 
 from swarm_tpu.config import EngineConfig, GridConfig, SwarmConfig
 from swarm_tpu.engine.sim import make_agent_params, sim_init
-from swarm_tpu.geom.world import make_tiled_rooms, walls_by_group
+from swarm_tpu.geom.world import (make_tiled_rooms, make_vertical_rooms,
+                                  walls_by_group)
 from swarm_tpu.parallel import make_mesh, make_sharded_sim_step, shard_state
 
 
@@ -19,9 +20,7 @@ def _vertical_world(n_devices: int):
     """One room per device, stacked vertically: tile row r = device r's
     grid band (128 rows each)."""
     n_agents = 2 * n_devices
-    walls, origins = make_tiled_rooms(n_devices, per_row=1)
-    size = max(256, n_devices * 128)
-    size = -(-size // 256) * 256
+    walls, origins, size = make_vertical_rooms(n_devices)
     grid = GridConfig(size=size, origin_x=0.0, origin_y=0.0)
     eng = EngineConfig(parity_mode=False, compute_frontiers=False,
                        raster_mode="beam", scan_rays=37,
