@@ -45,5 +45,11 @@ def load_pytree(path: str, template):
         if arr.shape != t.shape:
             raise ValueError(f"leaf {k}: checkpoint shape {arr.shape} != "
                              f"state shape {t.shape}")
-        leaves.append(arr.astype(t.dtype))
+        if arr.dtype != t.dtype:
+            # Fail loudly: a silent astype() here can lose precision across
+            # dtype migrations (e.g. an int32-counter checkpoint loaded into
+            # a float32-counter layout).
+            raise ValueError(f"leaf {k}: checkpoint dtype {arr.dtype} != "
+                             f"state dtype {t.dtype}")
+        leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -150,6 +150,13 @@ class StepMetrics(NamedTuple):
     n_frontiers: jnp.ndarray   # [] frontier clusters known
     pose_err: jnp.ndarray      # [] mean |est+corr - true| position error
     mission_done: jnp.ndarray  # [] agents finished
+    band_escapes: jnp.ndarray  # [] agents whose raster evidence could leave
+    #                               their device's grid band this step (rows-
+    #                               sharded engine only; always 0 elsewhere).
+    #                               Nonzero = the static drift budget of
+    #                               parallel.sharded.agent_evidence_rows is
+    #                               exhausted and rows-vs-replicated bit
+    #                               identity is no longer guaranteed.
     # --- telemetry (per agent, server frame) -------------------------------
     t: jnp.ndarray             # [] packet timestamp
     srv_x: jnp.ndarray         # [N] drift-corrected + offset pose (rx)
@@ -549,6 +556,7 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         n_frontiers=srv.n_frontiers,
         pose_err=jnp.mean(jnp.where(alive, err, 0.0)),
         mission_done=jnp.sum(nav.mission_complete.astype(jnp.int32)),
+        band_escapes=jnp.zeros((), jnp.int32),
         t=state.t,
         srv_x=rx_t, srv_y=ry_t, yaw_q=yaw_q,
         encoder=encoder_total, v2v=v2v,

@@ -31,6 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from swarm_tpu.config import SwarmConfig
+from swarm_tpu.coord.assign import greedy_assign
 from swarm_tpu.coord.heartbeat import heartbeat_update
 from swarm_tpu.coord.zones import ZoneState, zone_observe_rows, zones_for_agents
 from swarm_tpu.engine.sim import (
@@ -193,25 +194,51 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     # horizontal band and its agents are band-contained by the static
     # check in make_sharded_sim_step — the map needs NO collective).
     band = None
+    band_esc_loc = jnp.zeros((), jnp.int32)
     if grid_rows:
+        from swarm_tpu.ops.beam_raster import reach_cells as _reach_cells
         band_rows = srv.logodds.shape[0]       # local band height
         band = (shard * band_rows, band_rows)
+        # Runtime band-escape guard (VERDICT r1 item 4): the static
+        # containment proof budgets 1 m of odometry drift; if an agent's
+        # drift-corrected ESTIMATE wanders far enough that its evidence
+        # rows could leave this device's band, bit-identity with the
+        # replicated decomposition is gone. Count those agents per step
+        # so the failure is loud (StepMetrics.band_escapes) instead of a
+        # silent map divergence.
+        reach_g = _reach_cells(cfg)
+        ay_cell = (ry - cfg.grid.origin_y) / cfg.grid.resolution
+        in_band = ((ay_cell - reach_g >= band[0]) &
+                   (ay_cell + reach_g <= band[0] + band_rows))
+        band_esc_loc = jnp.sum((~in_band & alive).astype(jnp.int32))
     if beam_mode:
         from swarm_tpu.ops.beam_raster import (
-            BeamSpec, beams_from_scan, endpoint_rays, free_raster_reference,
-            reach_cells)
+            BeamSpec, beams_from_4way, beams_from_scan, endpoint_rays,
+            free_raster_reference, reach_cells)
         reach = reach_cells(cfg)
         zero = jnp.zeros_like(srv.logodds)
         delta = zero
         writes_loc = jnp.zeros((), jnp.int32)
+        axy_l = jnp.stack([rx, ry], axis=-1)
+        fans = []
+        if cfg.engine.raster_4way or cfg.engine.scan_rays == 0:
+            # 4-way fan through the SAME fast tier as the fused pallas
+            # path (grouped free space + exact endpoint scatter) — the
+            # line-scatter here used to diverge from make_sim_step with
+            # identical cfg (round-1 advisor finding). Fan order matches
+            # _ingest_batched (4-way first) so float summation order does.
+            fans.append((BeamSpec.four_way(),
+                         beams_from_4way(dist4, sens.max_range,
+                                         sens.min_range)))
         if cfg.engine.scan_rays > 0:
-            spec_b = BeamSpec.scan(cfg.engine.scan_rays)
-            db, tb = beams_from_scan(scan_dist, sens.max_range,
-                                     sens.min_range)
-            axy_l = jnp.stack([rx, ry], axis=-1)
+            fans.append((BeamSpec.scan(cfg.engine.scan_rays),
+                         beams_from_scan(scan_dist, sens.max_range,
+                                         sens.min_range)))
+        for spec_b, (db, tb) in fans:
             d_free, w_free = free_raster_reference(
                 zero, axy_l, yaw_q, jnp.where(alive[:, None], db, 0.0),
-                alive, spec_b, cfg.grid, n_groups=cfg.engine.beam_groups,
+                alive, spec_b, cfg.grid,
+                n_groups=min(cfg.engine.beam_groups, spec_b.n_beams),
                 reach=reach, band=band)
             ep_delta, w_ep = logodds_delta(
                 endpoint_rays(axy_l, yaw_q, db, tb, alive, spec_b),
@@ -219,13 +246,6 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             delta = delta + d_free + ep_delta
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
                 w_ep.astype(jnp.int32)
-        if cfg.engine.raster_4way or cfg.engine.scan_rays == 0:
-            # painted-cell count (band-adjusted in rows mode): keeps the
-            # rows-vs-replicated write totals comparable, so band escape
-            # surfaces as a divergence instead of silently dropping cells
-            d4, w4 = logodds_delta(rays, cfg.grid, band=band)
-            delta = delta + d4
-            writes_loc = writes_loc + w4.astype(jnp.int32)
     else:
         delta, writes_loc = logodds_delta(rays, cfg.grid, band=band)
     if not grid_rows:
@@ -263,6 +283,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     zone_boxes = jnp.where(do_zone, boxes, srv.zone_boxes)
     zone_active = jnp.where(do_zone, active, srv.zone_active)
 
+    no_targets = (jnp.zeros((n, 2), jnp.float32), jnp.zeros((n,), bool))
     if cfg.engine.compute_frontiers:
         target_every = max(1, round(cfg.coord.target_interval_s / dt))
         do_target = (state.step % target_every) == 0
@@ -274,15 +295,25 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             lo_full = (jax.lax.all_gather(logodds, axis, tiled=True)
                        if grid_rows else logodds)
             tri = tri_state_view(lo_full, cfg.grid)
-            return (frontier_clusters if cfg.grid.size <= 512
-                    else frontier_targets_coarse)(
-                        tri, cfg.grid, cfg.coord)[::2]
+            cents, _, cnt = (frontier_clusters if cfg.grid.size <= 512
+                             else frontier_targets_coarse)(
+                                 tri, cfg.grid, cfg.coord)
+            if enable_targets:
+                # replicated assignment (same inputs on every device)
+                tg, has = greedy_assign(agent_xy, online, cents, cnt,
+                                        cfg.coord)
+            else:
+                tg, has = no_targets
+            return cents, cnt, tg, has
 
-        cents, n_fr = jax.lax.cond(
-            do_target, recompute,
-            lambda _: (srv.frontier_centroids, srv.n_frontiers), None)
+        def keep(_):
+            return (srv.frontier_centroids, srv.n_frontiers) + no_targets
+
+        cents, n_fr, new_targets, new_has = jax.lax.cond(
+            do_target, recompute, keep, None)
     else:
         cents, n_fr = srv.frontier_centroids, srv.n_frontiers
+        new_targets, new_has = no_targets
 
     new_srv = MapState(
         grid=srv.grid, logodds=logodds, closure=closure, zone=zone,
@@ -291,6 +322,16 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         frontier_centroids=cents, n_frontiers=n_fr,
         total_writes=srv.total_writes + writes.astype(jnp.float32))
 
+    # TARG delivery (local rows of the replicated assignment; mirrors
+    # engine.sim.sim_step — server frame back into the odometry frame)
+    nav_in = state.nav
+    if enable_targets:
+        tgt_local = new_targets[ridx] - jnp.stack(
+            [p.x_offset + closure.drift_dx[ridx],
+             closure.drift_dy[ridx]], axis=-1)
+        nav_in = navm.assign_target(nav_in, tgt_local,
+                                    new_has[ridx] & alive)
+
     # 5. navigate (local; zone boxes back into the agent's odometry frame)
     est_pose = jnp.stack([odom.x_est, odom.y_est, odom.yaw_est], axis=-1)
     zb = zone_boxes[ridx]
@@ -298,7 +339,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         [p.x_offset, jnp.zeros((n_loc,)), p.x_offset,
          jnp.zeros((n_loc,))], axis=-1)
     nav, cmd = navm.nav_step(
-        state.nav,
+        nav_in,
         navm.NavParams(wall_side=p.wall_side, motor_pwm=p.motor_pwm,
                        return_style=p.return_style,
                        home_x=p.home_x, home_y=p.home_y),
@@ -354,6 +395,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         pose_err=jax.lax.psum(jnp.sum(jnp.where(alive, err, 0.0)), axis) / n,
         mission_done=jax.lax.psum(
             jnp.sum(nav.mission_complete.astype(jnp.int32)), axis),
+        band_escapes=jax.lax.psum(band_esc_loc, axis),
         t=state.t,
         srv_x=rx_a, srv_y=ry_a, yaw_q=g(yaw_q),
         encoder=g(enc_tot), v2v=v2v,

@@ -163,6 +163,40 @@ class ScanPacket(NamedTuple):
                    v2v=u[6], ranges=np.asarray(u[8:], np.float32))
 
 
+class ScanPacketBridge(NamedTuple):
+    """181-ray scan, bridge layout '<4sBfffH181f' (udp_bridge.py:34) —
+    the QuasarPacket the esp32 PlatformIO firmware actually transmits
+    (esp32_firmware/src/main.cpp:30-41): no encoder/v2v fields."""
+    agent: int
+    x: float
+    y: float
+    yaw: float
+    ranges: np.ndarray    # [181] metres, -90..+90 deg
+
+    # Field-compatibility with ScanPacket consumers (CSV logger columns
+    # default to 0, per the standalone receiver's schema).
+    @property
+    def encoder(self) -> int:
+        return 0
+
+    @property
+    def v2v(self) -> int:
+        return 0
+
+    def pack(self) -> bytes:
+        return struct.pack(SCAN_FMT_BRIDGE, MAGIC_TELEMETRY, self.agent,
+                           self.x, self.y, self.yaw, len(self.ranges),
+                           *np.asarray(self.ranges, np.float32))
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "ScanPacketBridge":
+        u = struct.unpack(SCAN_FMT_BRIDGE, data)
+        if u[0] != MAGIC_TELEMETRY:
+            raise ValueError(f"bad magic {u[0]!r}")
+        return cls(agent=u[1], x=u[2], y=u[3], yaw=u[4],
+                   ranges=np.asarray(u[6:], np.float32))
+
+
 class ZonePacket(NamedTuple):
     """Forbidden-territory AABB; (999, 999, -999, -999) lifts the zone
     (dual_bot_mapper.py:675-688; AgentFirmware_Bot1.ino:110-125)."""
@@ -223,8 +257,8 @@ class CommandPacket(NamedTuple):
         return cls(*u[1:])
 
 
-AnyPacket = Union[QuasarPacketV2, QuasarPacketV1, ScanPacket, ZonePacket,
-                  TargetPacket, CommandPacket]
+AnyPacket = Union[QuasarPacketV2, QuasarPacketV1, ScanPacket,
+                  ScanPacketBridge, ZonePacket, TargetPacket, CommandPacket]
 
 
 def parse_packet(data: bytes) -> Optional[AnyPacket]:
@@ -239,6 +273,8 @@ def parse_packet(data: bytes) -> Optional[AnyPacket]:
             return QuasarPacketV1.unpack(data)
         if n == SCAN_SIZE:
             return ScanPacket.unpack(data)
+        if n == SCAN_SIZE_BRIDGE:
+            return ScanPacketBridge.unpack(data)
         if n == ZONE_SIZE:
             return ZonePacket.unpack(data)
         if n == TARGET_SIZE == CMD_SIZE:

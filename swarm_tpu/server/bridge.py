@@ -22,7 +22,8 @@ from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
-from swarm_tpu.proto.packets import CommandPacket, ScanPacket, parse_packet
+from swarm_tpu.proto.packets import (CommandPacket, ScanPacket,
+                                     ScanPacketBridge, parse_packet)
 
 SCAN_CSV_HEADER = (["timestamp", "idx", "x", "y", "yaw", "encoder",
                     "v2v_link"] + [f"r_{i}" for i in range(181)])
@@ -95,8 +96,11 @@ class ScanBridge:
                 data, addr = self.sock.recvfrom(65535)
             except BlockingIOError:
                 break
+            # Both scan layouts: 751 B (standalone receiver) and the 743 B
+            # bridge variant the PlatformIO firmware transmits
+            # (udp_bridge.py:34; esp32_firmware/src/main.cpp:30-41).
             pkt = parse_packet(data)
-            if not isinstance(pkt, ScanPacket):
+            if not isinstance(pkt, (ScanPacket, ScanPacketBridge)):
                 continue
             n += 1
             self.pkt_total += 1

@@ -212,6 +212,11 @@ class LiveServer:
         """The main loop. Ctrl-C or duration ends it; closes logs."""
         frame_dt = 1.0 / fps if fps > 0 else 0.0   # fps <= 0 = uncapped
         last_render = 0.0
+        # Coordination TX cadences (ref broadcasts ZONE every 2 s,
+        # dual_bot_mapper.py:921-945, and would send TARG every 3 s via the
+        # commented-out block :959-996).
+        last_zone_send = -1e30
+        last_target_send = -1e30
         run_t0 = time.time()
         pkt_at_start = self.pkt_total
         try:
@@ -221,6 +226,14 @@ class LiveServer:
                 if pkts:
                     self.ingest(pkts)
                 self.heartbeat_transitions()
+                now = self.now()
+                if now - last_zone_send >= self.cfg.coord.zone_interval_s:
+                    self.send_zones()
+                    last_zone_send = now
+                if (self.enable_targets and now - last_target_send
+                        >= self.cfg.coord.target_interval_s):
+                    self.send_targets()
+                    last_target_send = now
                 if render_png and self.now() - last_render > render_every_s:
                     self.render(render_png)
                     last_render = self.now()

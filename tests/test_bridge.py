@@ -77,6 +77,35 @@ def test_bridge_roundtrip(free_port, tmp_path):
         br.close()
 
 
+def test_bridge_accepts_743_byte_firmware_layout(free_port, tmp_path):
+    """The bridge must ingest the 743 B scan layout real firmware sends
+    (esp32_firmware/src/main.cpp QuasarPacket, udp_bridge.py:34) —
+    round-1 advisor: these datagrams were silently dropped."""
+    from swarm_tpu.proto.packets import ScanPacketBridge
+
+    seen = []
+    br = ScanBridge(port=free_port, log_dir=str(tmp_path),
+                    on_scan=lambda a, r: seen.append((a, r)))
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        ranges = np.full(181, 4.0, np.float32)
+        ranges[85:96] = 0.8
+        pkt = ScanPacketBridge(3, 0.1, 0.2, 0.3, ranges)
+        tx.sendto(pkt.pack(), ("127.0.0.1", free_port))
+        time.sleep(0.05)
+        assert br.poll() == 1
+        assert seen and seen[0][0] == 3
+        np.testing.assert_array_equal(seen[0][1], ranges)
+        # CSV row landed with encoder/v2v defaulted to 0
+        rows = (tmp_path / "agent_3_log.csv").read_text().splitlines()
+        assert len(rows) == 2
+        cols = rows[1].split(",")
+        assert cols[5] == "0" and cols[6] == "0"
+    finally:
+        tx.close()
+        br.close()
+
+
 def test_bridge_ignores_non_scan(free_port):
     br = ScanBridge(port=free_port)
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)

@@ -85,6 +85,28 @@ def test_live_server_ingest_and_zone_reply(free_port, tmp_path):
     assert len(tele) > 100
 
 
+def test_run_loop_broadcasts_zones_on_cadence(free_port):
+    """run() itself must TX ZONE packets every zone_interval_s (the
+    reference main loop broadcasts every 2 s, dual_bot_mapper.py:921-945)
+    — round-1 advisor finding: send_zones() was dead code outside tests."""
+    cfg = SwarmConfig(n_agents=2)
+    srv = LiveServer(cfg, port=free_port)
+
+    bot_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    bot_sock.bind(("127.0.0.1", 0))
+    bot_sock.settimeout(2.0)
+    bot_port = bot_sock.getsockname()[1]
+    srv.bot_addrs = {0: ("127.0.0.1", bot_port)}
+    try:
+        # duration is measured from server creation (includes the warm-up
+        # compile), so extend from now(); first zone cadence fires at once
+        srv.run(duration_s=srv.now() + 0.3, fps=60.0)
+        z = parse_packet(bot_sock.recv(64))
+        assert isinstance(z, ZonePacket)
+    finally:
+        bot_sock.close()
+
+
 def test_live_server_rejects_garbage(free_port):
     cfg = SwarmConfig(n_agents=2)
     srv = LiveServer(cfg, port=free_port)

@@ -43,6 +43,22 @@ def test_scan_roundtrip():
     np.testing.assert_array_equal(out.ranges, s.ranges)
 
 
+def test_scan_bridge_roundtrip():
+    """743-byte bridge layout (udp_bridge.py:34) — the QuasarPacket the
+    PlatformIO firmware transmits; round-1 advisor: parse_packet dropped it."""
+    from swarm_tpu.proto.packets import SCAN_SIZE_BRIDGE, ScanPacketBridge
+
+    s = ScanPacketBridge(2, 0.5, 1.0, 0.25,
+                         np.linspace(0.1, 4.0, 181).astype(np.float32))
+    wire = s.pack()
+    assert len(wire) == SCAN_SIZE_BRIDGE == 743
+    out = parse_packet(wire)
+    assert isinstance(out, ScanPacketBridge)
+    assert (out.agent, out.x, out.y, out.yaw) == (2, 0.5, 1.0, 0.25)
+    np.testing.assert_array_equal(out.ranges, s.ranges)
+    assert out.encoder == 0 and out.v2v == 0   # CSV-compat defaults
+
+
 def test_zone_lift_sentinel():
     """999/-999 lifts the zone (dual_bot_mapper.py:681; ino:117)."""
     assert ZonePacket(*ZonePacket.LIFT).lifted
