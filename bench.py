@@ -52,6 +52,10 @@ def main():
                     help="run frontier detection + greedy target assignment "
                          "at the reference's 3 s cadence (coarse swarm-scale "
                          "path for grids > 512)")
+    ap.add_argument("--merge-every", type=int, default=16,
+                    help="in-engine scan-merge cadence in steps (the "
+                         "reference merger runs continuously on every "
+                         "incoming submap, map_merger.py:35-62); 0 = off")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -77,6 +81,9 @@ def main():
             # scan variant maps with the lidar only (faithful to the
             # esp32 scan firmware); 4-way raster when no scan
             raster_4way=(args.scan_rays == 0)))
+    if args.merge_every > 0 and args.scan_rays > 0:
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine, merge_every=args.merge_every))
     walls = jnp.asarray(walls)
     state = sim_init(cfg, params)
 
@@ -90,23 +97,76 @@ def main():
                                 room_of_agent=rooms[1])
         # per-step int32 counts (each < 2^31); summed in int64 on host —
         # a whole chunk overflows int32 beyond ~8k agents
-        return final, ms.writes
+        return final, ms.writes, jnp.sum(ms.merges)
 
     # warmup / compile. Pulling w to host is the sync — NOT
     # block_until_ready, which does not sync on the tunnelled TPU backend.
-    state, w = chunk(state)
+    state, w, _ = chunk(state)
     int(np.asarray(w).sum())
 
     t0 = time.perf_counter()
     total_writes = 0
+    total_merges = 0
     for _ in range(args.chunks):
-        state, w = chunk(state)
+        state, w, nm = chunk(state)
         # per-chunk host pull = real sync
         total_writes += int(np.asarray(w).astype(np.int64).sum())
+        total_merges += int(nm)
     dt = time.perf_counter() - t0
 
     steps = args.steps * args.chunks
     value = total_writes / dt
+
+    # ------------------------------------------------------------------
+    # Write-metric reconciliation (VERDICT r1 item 3): the kernel tier
+    # counts floor(db/res)-1 LINE-EQUIVALENT path cells per beam, but the
+    # fused free-space evidence is carved from group-min ranges — where
+    # beams in a group differ, claimed > applied. Measure the actually-
+    # applied evidence (sum |delta| in unit updates) on sample steps and
+    # report BOTH counters.
+    from swarm_tpu.engine.sim import make_sim_step
+    single = make_sim_step(cfg, walls, params,
+                           enable_targets=args.frontiers, donate=False,
+                           walls_grouped=rooms[0], room_of_agent=rooms[1])
+    # measure on a FRESH map: at steady state the log-odds clamp saturates
+    # visited cells and |delta| under-counts the evidence the kernel
+    # applied; early steps have clamp headroom so the ratio is meaningful
+    st_i = sim_init(cfg, params)
+    for _ in range(2):
+        st_i, _ = single(st_i)
+    ratios = []
+    for _ in range(3):
+        lo0 = st_i.srv.logodds
+        st_i, m1 = single(st_i)
+        d = st_i.srv.logodds - lo0
+        applied = (jnp.sum(jnp.maximum(-d, 0.0)) /
+                   abs(cfg.grid.logodds_miss) +
+                   jnp.sum(jnp.maximum(d, 0.0)) / cfg.grid.logodds_hit)
+        ratios.append(float(applied) / max(int(m1.writes), 1))
+    applied_ratio = sum(ratios) / len(ratios)
+
+    # merge-solve latency: the batched scan-to-map matcher alone
+    merge_latency_ms = None
+    if cfg.engine.merge_every > 0:
+        from swarm_tpu.slam.livemerge import scan_merge
+        from swarm_tpu.models.scan import sense_scan
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, args.agents)
+        scan = jax.vmap(lambda kk, p, w_: sense_scan(
+            kk, p, w_, cfg.engine.scan_rays, cfg.sensors))(
+            ks, state.pose_true, rooms[0][rooms[1]])
+        alive = jnp.ones((args.agents,), bool)
+        sm = jax.jit(lambda lo, sd: scan_merge(
+            lo, state.odom.x_est, state.odom.y_est, state.odom.yaw_est,
+            sd, alive, cfg))
+        r = sm(state.srv.logodds, scan)
+        float(r.fitness.sum())           # compile + sync
+        t1 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            r = sm(state.srv.logodds, scan)
+            float(r.fitness.sum())       # per-rep host pull = real sync
+        merge_latency_ms = (time.perf_counter() - t1) / reps * 1e3
     print(json.dumps({
         "metric": "grid_cell_updates_per_s",
         "value": value,
@@ -131,6 +191,15 @@ def main():
             # scatter writes (see ops/beam_raster.py).
             "writes_semantics": ("scatter" if args.raster == "line"
                                  else "line-equivalent fused"),
+            # claimed (line-equivalent) vs actually-applied evidence:
+            # measured |delta| per unit update on sample steps
+            "applied_ratio": round(applied_ratio, 4),
+            "writes_applied_per_s": round(value * applied_ratio, 1),
+            # in-engine continuous merge (map_merger.py semantics)
+            "merge_every": cfg.engine.merge_every,
+            "merges_total": total_merges,
+            "merge_latency_ms": (round(merge_latency_ms, 3)
+                                 if merge_latency_ms is not None else None),
         },
     }))
 

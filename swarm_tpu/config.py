@@ -134,6 +134,27 @@ class SlamConfig:
     # (occupied mass beyond K is dropped from matching — a room-sized
     # local map has a few hundred occupied cells)
     scanmatch_points: int = 2048
+    # In-engine continuous merge (engine.merge_every cadence): each agent's
+    # current scan matched against a window of the global map
+    # (slam/livemerge.py — the TPU-native form of map_merger.py's
+    # continuously re-aligning ICP node).
+    merge_window_cells: int = 64        # local splat image side
+    merge_search_cells: int = 8         # +/- translation search (cells)
+    merge_angles: int = 9               # rotation hypotheses
+    merge_angle_range: float = 0.15     # +/- radians
+    merge_damping: float = 0.5          # correction damping (ref closure 0.5)
+    # Fraction of the yaw correction accumulated into the persistent
+    # per-agent state. The reported yaw carries a +/-7.5 deg QUANTISATION
+    # oscillation (generate_fake_dual_session.py:468) on top of slow yaw
+    # drift; the full correction is always applied to the CURRENT step's
+    # raster (scan inserted aligned), but accumulating the oscillating
+    # part would inject noise into future steps — default 0.
+    merge_yaw_damping: float = 0.0
+    merge_fitness_min: float = 0.6      # map_merger.py:52-56 rejection gate
+    merge_min_points: int = 16          # trusted-hit floor (4-way can't merge)
+    merge_inlier_radius_cells: int = 2  # inlier radius for fitness
+    merge_prior_weight: float = 0.15    # zero-motion prior (aperture fix +
+    #                                     false-correction suppression)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +230,12 @@ class EngineConfig:
     # fraction weighted): cheaper than the exact scatter, placement
     # blurred to the sector's nearest wall. Overrides endpoint_hits.
     kernel_endpoints: bool = False
+    # In-engine merge cadence: every `merge_every` steps each agent's scan
+    # is matched against the global map and the correction folded into its
+    # ingest pose + this step's raster (slam/livemerge.py; reference runs
+    # its merger continuously, map_merger.py:35-62). 0 = off. Needs
+    # scan_rays > 0 (4 ultrasonic points are below merge_min_points).
+    merge_every: int = 0
     # Raster the 4-way ultrasonics in addition to the servo scan. The
     # reference scan-variant firmware maps with the lidar ONLY
     # (esp32_firmware/src/main.cpp has no ultrasonic raster), so False is

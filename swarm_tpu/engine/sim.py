@@ -124,6 +124,11 @@ class MapState(NamedTuple):
     frontier_centroids: jnp.ndarray  # [K, 2]
     n_frontiers: jnp.ndarray      # [] int32
     total_writes: jnp.ndarray     # [] int32
+    # accumulated scan-merge corrections (slam/livemerge.py) — the merge
+    # analogue of closure.drift_dx/dy (dual_bot_mapper.py:854-857)
+    merge_dx: jnp.ndarray         # [N] float32
+    merge_dy: jnp.ndarray         # [N]
+    merge_dyaw: jnp.ndarray       # [N]
 
 
 class SimState(NamedTuple):
@@ -150,6 +155,8 @@ class StepMetrics(NamedTuple):
     n_frontiers: jnp.ndarray   # [] frontier clusters known
     pose_err: jnp.ndarray      # [] mean |est+corr - true| position error
     mission_done: jnp.ndarray  # [] agents finished
+    merges: jnp.ndarray        # [] scan-merge corrections applied this step
+    merge_fitness: jnp.ndarray  # [] mean fitness of applied merges (0 if none)
     band_escapes: jnp.ndarray  # [] agents whose raster evidence could leave
     #                               their device's grid band this step (rows-
     #                               sharded engine only; always 0 elsewhere).
@@ -196,8 +203,11 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         n_frontiers=jnp.zeros((), jnp.int32),
         # float32: int32 wraps after ~600 swarm-scale steps (3.4M
         # writes/step); exact below 16.7M, metrics-grade beyond
-        total_writes=jnp.zeros((), jnp.float32))
-    return SimState(
+        total_writes=jnp.zeros((), jnp.float32),
+        merge_dx=jnp.zeros((n,), jnp.float32),
+        merge_dy=jnp.zeros((n,), jnp.float32),
+        merge_dyaw=jnp.zeros((n,), jnp.float32))
+    state = SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
         odom=odom_init(x0, y0, params.yaw0),
@@ -205,6 +215,10 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         nav=navm.nav_init(n),
         total_dist=jnp.zeros((n,)),
         srv=srv)
+    # force every leaf onto its own buffer: JAX deduplicates identical
+    # constants (all the zeros above), and a donating step (the default,
+    # donate=True) rejects the same buffer appearing twice in Execute()
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), state)
 
 
 def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
@@ -219,9 +233,48 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     sens = cfg.sensors
 
     # separation offset + accumulated SLAM drift correction (:851-857)
-    rx = est_x + params.x_offset + srv.closure.drift_dx
-    ry = est_y + srv.closure.drift_dy
-    ryaw = est_yaw
+    # + accumulated scan-merge correction (slam/livemerge.py)
+    rx = est_x + params.x_offset + srv.closure.drift_dx + srv.merge_dx
+    ry = est_y + srv.closure.drift_dy + srv.merge_dy
+    ryaw = est_yaw + srv.merge_dyaw
+
+    # continuous map merge at cadence (reference merger runs on every
+    # incoming submap, map_merger.py:35-62): match this step's scan
+    # against the map as of the PREVIOUS step, damp-accumulate the
+    # correction, and raster this step at the corrected pose — the
+    # insertion is the merge.
+    merge_dx, merge_dy, merge_dyaw = srv.merge_dx, srv.merge_dy, \
+        srv.merge_dyaw
+    n_merges = jnp.zeros((), jnp.int32)
+    merge_fit = jnp.zeros((), jnp.float32)
+    if cfg.engine.merge_every > 0 and scan_dist is not None and \
+            not cfg.engine.parity_mode:
+        # (parity mode has no log-odds accumulator to match against, and
+        # pose corrections would break reference bit-parity by design)
+        from swarm_tpu.slam.livemerge import merge_zero, scan_merge
+        do_merge = (step % cfg.engine.merge_every) == \
+            (cfg.engine.merge_every - 1)
+        m = jax.lax.cond(
+            do_merge,
+            lambda _: scan_merge(srv.logodds, rx, ry, ryaw, scan_dist,
+                                 alive, cfg),
+            lambda _: merge_zero(n), None)
+        upd = m.ok & alive
+        # full correction to THIS step's raster pose (the scan's evidence
+        # is inserted aligned — map_merger.py:87-127's re-rasterisation);
+        # only a damped fraction persists into future ingest.
+        fdx = jnp.where(upd, m.ddx, 0.0)
+        fdy = jnp.where(upd, m.ddy, 0.0)
+        fdth = jnp.where(upd, m.ddtheta, 0.0)
+        rx = rx + fdx
+        ry = ry + fdy
+        ryaw = ryaw + fdth
+        merge_dx = merge_dx + cfg.slam.merge_damping * fdx
+        merge_dy = merge_dy + cfg.slam.merge_damping * fdy
+        merge_dyaw = merge_dyaw + cfg.slam.merge_yaw_damping * fdth
+        n_merges = jnp.sum(upd.astype(jnp.int32))
+        merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
+            jnp.maximum(n_merges, 1).astype(jnp.float32)
 
     last_packet_t = jnp.where(alive, t, srv.last_packet_t)
     pkt_counts = srv.pkt_counts + alive.astype(jnp.int32)
@@ -406,9 +459,10 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.float32))
+        total_writes=srv.total_writes + writes.astype(jnp.float32),
+        merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw)
     return new_srv, closed, online, new_targets, new_has_target, \
-        (rx, ry, hx, hy, hit_valid)
+        (rx, ry, hx, hy, hit_valid), (n_merges, merge_fit)
 
 
 def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
@@ -467,19 +521,21 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                                          cfg.noise.yaw_quantize_deg))
 
     # 4. server ingest (batched packets)
-    srv, closed, online, new_targets, new_has, proj = _ingest_batched(
-        state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
-        state.t, state.step, cfg, params, enable_targets,
-        scan_dist=scan_dist)
+    srv, closed, online, new_targets, new_has, proj, merge_m = \
+        _ingest_batched(
+            state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
+            state.t, state.step, cfg, params, enable_targets,
+            scan_dist=scan_dist)
     rx_t, ry_t, hx_t, hy_t, hv_t = proj
+    n_merges, merge_fit = merge_m
 
     # TARG delivery (ino:126-139, enabled behind the flag)
     nav = state.nav
     if enable_targets:
         # targets arrive in server frame; agents navigate in odometry frame
         tgt_local = new_targets - jnp.stack(
-            [params.x_offset + srv.closure.drift_dx,
-             srv.closure.drift_dy], axis=-1)
+            [params.x_offset + srv.closure.drift_dx + srv.merge_dx,
+             srv.closure.drift_dy + srv.merge_dy], axis=-1)
         nav = navm.assign_target(nav, tgt_local, new_has & alive)
 
     # 5. navigate (est pose drives the FSM, the firmware convention)
@@ -534,8 +590,9 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
         total_dist=total_dist, srv=srv)
 
-    corr_x = odom.x_est + params.x_offset + srv.closure.drift_dx
-    corr_y = odom.y_est + srv.closure.drift_dy
+    corr_x = odom.x_est + params.x_offset + srv.closure.drift_dx + \
+        srv.merge_dx
+    corr_y = odom.y_est + srv.closure.drift_dy + srv.merge_dy
     true_x = pose_true[:, 0] + params.x_offset
     err = jnp.sqrt((corr_x - true_x) ** 2 + (corr_y - pose_true[:, 1]) ** 2)
 
@@ -556,6 +613,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         n_frontiers=srv.n_frontiers,
         pose_err=jnp.mean(jnp.where(alive, err, 0.0)),
         mission_done=jnp.sum(nav.mission_complete.astype(jnp.int32)),
+        merges=n_merges,
+        merge_fitness=merge_fit,
         band_escapes=jnp.zeros((), jnp.int32),
         t=state.t,
         srv_x=rx_t, srv_y=ry_t, yaw_q=yaw_q,

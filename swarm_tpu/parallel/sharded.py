@@ -71,7 +71,8 @@ def state_specs(axis: str = "agents",
             zone=ZoneState(*([rep] * 5)),
             last_packet_t=rep, pkt_counts=rep,
             zone_boxes=rep, zone_active=rep,
-            frontier_centroids=rep, n_frontiers=rep, total_writes=rep))
+            frontier_centroids=rep, n_frontiers=rep, total_writes=rep,
+            merge_dx=rep, merge_dy=rep, merge_dyaw=rep))
 
 
 def shard_state(state: SimState, mesh,
@@ -151,17 +152,10 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                          cfg.noise.yaw_quantize_deg))
 
     # 4. server ingest — local raster + psum, gathered coordination
-    rx = odom.x_est + p.x_offset + srv.closure.drift_dx[ridx]
-    ry = odom.y_est + srv.closure.drift_dy[ridx]
-    angles = yaw_q[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
-    hit_valid = (dist4 > sens.min_range) & (dist4 <= sens.max_range)
-    rng = jnp.where(hit_valid, dist4, sens.max_range)
-    hx = rx[:, None] + rng * jnp.cos(angles)
-    hy = ry[:, None] + rng * jnp.sin(angles)
-    rays = RayBatch(
-        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
-        hx=hx.reshape(-1), hy=hy.reshape(-1),
-        hit_valid=hit_valid.reshape(-1), active=jnp.repeat(alive, 4))
+    rx = odom.x_est + p.x_offset + srv.closure.drift_dx[ridx] + \
+        srv.merge_dx[ridx]
+    ry = odom.y_est + srv.closure.drift_dy[ridx] + srv.merge_dy[ridx]
+    ryaw = yaw_q + srv.merge_dyaw[ridx]
     beam_mode = cfg.engine.raster_mode == "beam" and \
         not cfg.engine.parity_mode
     scan_dist = None
@@ -171,10 +165,52 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         scan_dist = jax.vmap(
             lambda k, pp: sense_scan(k, pp, walls, cfg.engine.scan_rays,
                                      sens))(k_scan, state.pose_true)
+
+    # continuous map merge at cadence (mirrors engine.sim._ingest_batched):
+    # match against the PREVIOUS map — the full replicated grid, or this
+    # device's band (band containment keeps each agent's mass in-band).
+    n_merges_loc = jnp.zeros((), jnp.int32)
+    merge_fitsum_loc = jnp.zeros((), jnp.float32)
+    cdx = cdy = cdth = jnp.zeros((n_loc,), jnp.float32)
+    if cfg.engine.merge_every > 0 and scan_dist is not None:
+        from swarm_tpu.slam.livemerge import merge_zero, scan_merge
+        do_merge = (state.step % cfg.engine.merge_every) == \
+            (cfg.engine.merge_every - 1)
+        band_row0 = (shard * srv.logodds.shape[0]) if grid_rows else None
+        m = jax.lax.cond(
+            do_merge,
+            lambda _: scan_merge(srv.logodds, rx, ry, ryaw, scan_dist,
+                                 alive, cfg, band_row0=band_row0),
+            lambda _: merge_zero(n_loc), None)
+        upd = m.ok & alive
+        # full correction to THIS step's raster; damped fraction persists
+        # (mirrors engine.sim._ingest_batched)
+        fdx = jnp.where(upd, m.ddx, 0.0)
+        fdy = jnp.where(upd, m.ddy, 0.0)
+        fdth = jnp.where(upd, m.ddtheta, 0.0)
+        rx = rx + fdx
+        ry = ry + fdy
+        ryaw = ryaw + fdth
+        cdx = cfg.slam.merge_damping * fdx
+        cdy = cfg.slam.merge_damping * fdy
+        cdth = cfg.slam.merge_yaw_damping * fdth
+        n_merges_loc = jnp.sum(upd.astype(jnp.int32))
+        merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
+
+    angles = ryaw[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
+    hit_valid = (dist4 > sens.min_range) & (dist4 <= sens.max_range)
+    rng = jnp.where(hit_valid, dist4, sens.max_range)
+    hx = rx[:, None] + rng * jnp.cos(angles)
+    hy = ry[:, None] + rng * jnp.sin(angles)
+    rays = RayBatch(
+        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
+        hx=hx.reshape(-1), hy=hy.reshape(-1),
+        hit_valid=hit_valid.reshape(-1), active=jnp.repeat(alive, 4))
+    if cfg.engine.scan_rays > 0:
         if not beam_mode:
             # line mode: scan beams join the per-ray scatter batch
             r_scan = cfg.engine.scan_rays
-            sa = yaw_q[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
+            sa = ryaw[:, None] + scan_angles(r_scan, rx.dtype)[None, :]
             sv = (scan_dist > sens.min_range) & \
                 (scan_dist <= sens.max_range)
             sr = jnp.where(sv, scan_dist, sens.max_range)
@@ -236,12 +272,12 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                          sens.min_range)))
         for spec_b, (db, tb) in fans:
             d_free, w_free = free_raster_reference(
-                zero, axy_l, yaw_q, jnp.where(alive[:, None], db, 0.0),
+                zero, axy_l, ryaw, jnp.where(alive[:, None], db, 0.0),
                 alive, spec_b, cfg.grid,
                 n_groups=min(cfg.engine.beam_groups, spec_b.n_beams),
                 reach=reach, band=band)
             ep_delta, w_ep = logodds_delta(
-                endpoint_rays(axy_l, yaw_q, db, tb, alive, spec_b),
+                endpoint_rays(axy_l, ryaw, db, tb, alive, spec_b),
                 cfg.grid, k_max=1, band=band)
             delta = delta + d_free + ep_delta
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
@@ -320,15 +356,18 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.float32))
+        total_writes=srv.total_writes + writes.astype(jnp.float32),
+        merge_dx=srv.merge_dx + g(cdx),
+        merge_dy=srv.merge_dy + g(cdy),
+        merge_dyaw=srv.merge_dyaw + g(cdth))
 
     # TARG delivery (local rows of the replicated assignment; mirrors
     # engine.sim.sim_step — server frame back into the odometry frame)
     nav_in = state.nav
     if enable_targets:
         tgt_local = new_targets[ridx] - jnp.stack(
-            [p.x_offset + closure.drift_dx[ridx],
-             closure.drift_dy[ridx]], axis=-1)
+            [p.x_offset + closure.drift_dx[ridx] + new_srv.merge_dx[ridx],
+             closure.drift_dy[ridx] + new_srv.merge_dy[ridx]], axis=-1)
         nav_in = navm.assign_target(nav_in, tgt_local,
                                     new_has[ridx] & alive)
 
@@ -395,6 +434,10 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         pose_err=jax.lax.psum(jnp.sum(jnp.where(alive, err, 0.0)), axis) / n,
         mission_done=jax.lax.psum(
             jnp.sum(nav.mission_complete.astype(jnp.int32)), axis),
+        merges=jax.lax.psum(n_merges_loc, axis),
+        merge_fitness=(jax.lax.psum(merge_fitsum_loc, axis) /
+                       jnp.maximum(jax.lax.psum(n_merges_loc, axis),
+                                   1).astype(jnp.float32)),
         band_escapes=jax.lax.psum(band_esc_loc, axis),
         t=state.t,
         srv_x=rx_a, srv_y=ry_a, yaw_q=g(yaw_q),
@@ -441,6 +484,14 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         if band < pr:
             raise ValueError(f"band of {band} rows cannot hold the "
                              f"{pr}-row raster window")
+        if cfg.engine.merge_every > 0:
+            from swarm_tpu.slam.livemerge import merge_window_side
+            side = merge_window_side(cfg)
+            if band < side:
+                raise ValueError(
+                    f"band of {band} rows cannot hold the {side}-row "
+                    "scan-merge window (shrink slam.merge_window_cells "
+                    "or use grid_sharding='replicated')")
         if walls_grouped is None or room_of_agent is None:
             raise ValueError("grid_sharding='rows' needs walls_grouped + "
                              "room_of_agent for the static band-"

@@ -1,0 +1,103 @@
+"""Continuous in-engine map merging — scan-to-map realignment at a cadence.
+
+The reference's merger is a *continuously running* node: every incoming
+per-agent submap is re-aligned against the global map with ICP and folded
+in if fitness >= 0.6 (server_nodes/map_merger.py:35-62). The fused engine's
+equivalent: at a step cadence, each agent's CURRENT scan is correlatively
+matched (slam/scanmatch.match_scan_window — rotation x translation
+hypotheses scored as one MXU conv) against a window of the global map as of
+the previous step, and the resulting rigid correction is (a) accumulated
+into a per-agent drift correction applied to all subsequent ingest (like
+the loop-closure corrections, dual_bot_mapper.py:854-857) and (b) applied
+to THIS step's raster, so the scan's evidence is inserted at the aligned
+pose — the insertion *is* the merge (map_merger.py:87-127's
+re-rasterisation, fused with the mapping pass).
+
+Everything is batched over agents and fixed-shape; the whole stage lives
+inside a `lax.cond` on the merge cadence, so off-cadence steps pay nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from swarm_tpu.config import SwarmConfig
+from swarm_tpu.slam.scanmatch import WindowMatch, match_scan_window
+
+
+def merge_window_side(cfg: SwarmConfig) -> int:
+    """Full side length of the cropped global-map window, in cells."""
+    return cfg.slam.merge_window_cells + 2 * cfg.slam.merge_search_cells
+
+
+def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
+               cfg: SwarmConfig, band_row0: int | None = None
+               ) -> WindowMatch:
+    """Batched scan-to-map matching of every agent's current servo sweep
+    against `logodds` (the global map BEFORE this step's raster — a scan
+    must never match its own evidence).
+
+    rx, ry, ryaw: [N] reported pose (server frame, all corrections already
+      applied). scan_dist: [N, R] sweep ranges. Returns per-agent residual
+      corrections ([N] leaves); `ok` gates on the reference's 0.6 fitness
+      (map_merger.py:52-56) plus a minimum-trusted-points floor.
+
+    band_row0: row offset of `logodds` inside the full grid when the grid
+      is row-band sharded (parallel.sharded grid_sharding="rows"); the
+      window then crops in band-local rows. Band containment of agent
+      evidence (agent_evidence_rows) keeps all relevant mass inside the
+      band, so edge clamping only recentres the window, never loses it.
+    """
+    slam = cfg.slam
+    grid = cfg.grid
+    sens = cfg.sensors
+    inner = slam.merge_window_cells
+    search = slam.merge_search_cells
+    side = inner + 2 * search
+    res = grid.resolution
+
+    from swarm_tpu.models.scan import scan_angles
+    r_scan = scan_dist.shape[-1]
+    rel = scan_angles(r_scan, rx.dtype)
+    valid = ((scan_dist > sens.min_range) & (scan_dist <= sens.max_range)
+             & alive[:, None])
+    ang = ryaw[:, None] + rel[None, :]
+    off_x = scan_dist * jnp.cos(ang)
+    off_y = scan_dist * jnp.sin(ang)
+
+    # occupancy mass in [0, 1] (~saturates at 2 endpoint hits)
+    mass = jnp.clip(logodds / (2.0 * grid.logodds_hit), 0.0, 1.0)
+    n_rows = mass.shape[0]
+
+    gx = (rx - grid.origin_x) / res                     # float cell coords
+    gy = (ry - grid.origin_y) / res
+    gy_local = gy - (0.0 if band_row0 is None else band_row0)
+    sx = jnp.clip(jnp.floor(gx).astype(jnp.int32) - side // 2,
+                  0, grid.size - side)
+    sy = jnp.clip(jnp.floor(gy_local).astype(jnp.int32) - side // 2,
+                  0, n_rows - side)
+
+    def one(sx_i, sy_i, gx_i, gyl_i, ox, oy, v):
+        win = jax.lax.dynamic_slice(mass, (sy_i, sx_i), (side, side))
+        # agent float coords inside the INNER region; -0.5 aligns the
+        # splat's integer-centred cells with the raster's floor() binning
+        ax = gx_i - sx_i - search - 0.5
+        ay = gyl_i - sy_i - search - 0.5
+        return match_scan_window(
+            ox, oy, v, win, (ax, ay), inner, search,
+            n_theta=slam.merge_angles, theta_range=slam.merge_angle_range,
+            resolution=res,
+            inlier_radius_cells=slam.merge_inlier_radius_cells,
+            fitness_min=slam.merge_fitness_min,
+            min_points=slam.merge_min_points,
+            prior_weight=slam.merge_prior_weight)
+
+    return jax.vmap(one)(sx, sy, gx, gy_local, off_x, off_y, valid)
+
+
+def merge_zero(n: int) -> WindowMatch:
+    """The no-op result for off-cadence steps (lax.cond partner)."""
+    z = jnp.zeros((n,), jnp.float32)
+    return WindowMatch(ddx=z, ddy=z, ddtheta=z, fitness=z,
+                       ok=jnp.zeros((n,), bool))

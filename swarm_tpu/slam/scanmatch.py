@@ -194,6 +194,145 @@ def match_grids_batch(local_occs, global_occ, cfg: GridConfig = GridConfig(),
                                           fitness_min))(local_occs)
 
 
+class WindowMatch(NamedTuple):
+    """Result of one scan-to-window alignment (residual correction of the
+    reported pose)."""
+    ddx: jnp.ndarray       # [] metres — add to the reported x
+    ddy: jnp.ndarray
+    ddtheta: jnp.ndarray   # [] radians — add to the reported yaw
+    fitness: jnp.ndarray   # [] matched fraction of scan points
+    ok: jnp.ndarray        # [] bool — fitness gate (ref: >= 0.6)
+
+
+def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
+                      inner: int, search: int,
+                      n_theta: int = 9, theta_range: float = 0.15,
+                      resolution: float = 0.05,
+                      inlier_radius_cells: int = 2,
+                      fitness_min: float = 0.6,
+                      min_points: int = 16,
+                      prior_weight: float = 0.05) -> WindowMatch:
+    """Correlative scan-to-map matching of ONE agent's current scan against
+    a window of the global map — the continuously-running realignment the
+    reference's merger performs on every incoming submap
+    (map_merger.py:35-62: ICP, reject fitness < 0.6), reformulated for the
+    MXU: every (rotation, translation) hypothesis scored at once, the
+    translations of one rotation being a single 2-D cross-correlation.
+
+    off_x, off_y: [R] world-frame offsets of the scan hit points relative
+      to the agent's reported position (metres); `valid` [R] masks trusted
+      hits. The transform model is a rotation of the scan ABOUT THE AGENT
+      by dtheta followed by a translation — matching how a pose error
+      displaces the projected evidence.
+    window_mass: [inner + 2*search]² occupancy mass cropped from the
+      global map (previous step — the scan must not match itself).
+    agent_cell_xy: (ax, ay) float cell coords of the agent INSIDE the
+      window's inner region (normally its centre; off-centre after edge
+      clamping).
+
+    Returns the residual correction: reported pose + (ddx, ddy, ddtheta)
+    aligns the scan with the map. Fitness = fraction of scan mass landing
+    within `inlier_radius_cells` of occupied map mass — ICP's inlier
+    fraction (map_merger.py:52-56).
+    """
+    dtype = jnp.float32
+    w = search
+    s_in = inner
+    ax, ay = agent_cell_xy
+    vf = valid.astype(dtype)
+    n_pts = jnp.sum(vf)
+
+    thetas = jnp.linspace(-theta_range, theta_range, n_theta, dtype=dtype)
+    px = off_x.astype(dtype) / resolution
+    py = off_y.astype(dtype) / resolution
+
+    def splat(t):
+        ct, st = jnp.cos(t), jnp.sin(t)
+        x = ax + px * ct - py * st
+        y = ay + px * st + py * ct
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        out = jnp.zeros((s_in, s_in), dtype)
+        for yi, xi, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
+                            (y0, x0 + 1, fx * (1 - fy)),
+                            (y0 + 1, x0, (1 - fx) * fy),
+                            (y0 + 1, x0 + 1, fx * fy)):
+            ok = (xi >= 0) & (xi < s_in) & (yi >= 0) & (yi < s_in)
+            out = out.at[yi, xi].add(jnp.where(ok, vf * wgt, 0.0),
+                                     mode="drop")
+        return out
+
+    rot = jax.vmap(splat)(thetas)                          # [A, s_in, s_in]
+
+    # Score against the DILATED map mass (radius = the inlier radius).
+    # Rationale: the raster's free-space carving erodes the room side of a
+    # wall's mass (long-noise beams carve through it) while short-noise
+    # hits pile up behind it — the surviving mass centroid sits ~1 cell
+    # behind the true surface, and correlating against the raw mass pulls
+    # every match toward the wall (a runaway once corrections feed the
+    # raster). Dilation widens the wall plateau symmetrically over the
+    # true surface, the peak becomes a tie across the plateau, and the
+    # zero-motion prior resolves the tie to "no correction" — only real
+    # misalignments beyond the radius (>= 2 cells = 0.1 m here; the
+    # reference ICP gated at 1.0 m, map_merger.py:46) move the pose.
+    r = inlier_radius_cells
+    dil = jax.lax.reduce_window(window_mass.astype(dtype), -jnp.inf,
+                                jax.lax.max, (2 * r + 1, 1), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max,
+                                (1, 2 * r + 1), (1, 1), "SAME")
+
+    g = dil[None, None]                                    # [1,1,s_in+2w,..]
+    k = rot[:, None]                                       # [A,1,s_in,s_in]
+    scores = jax.lax.conv_general_dilated(
+        g, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)[0]             # [A, 2w+1, 2w+1]
+
+    # Zero-motion prior: straight walls constrain only their normal (the
+    # aperture problem) — the score is flat along the wall and a bare
+    # argmax snaps to the window edge. Penalising hypotheses by distance
+    # from zero correction resolves degenerate directions to "no change"
+    # while a real misalignment (score step ~ O(n_pts)) still wins.
+    ii = jnp.arange(2 * w + 1, dtype=dtype) - w
+    pen_xy = (ii[:, None] ** 2 + ii[None, :] ** 2) / max(w, 1) ** 2
+    pen_t = (thetas / max(theta_range, 1e-6)) ** 2
+    scores = scores - prior_weight * n_pts * (
+        pen_xy[None] + pen_t[:, None, None])
+
+    flat = jnp.argmax(scores)
+    side = 2 * w + 1
+    ai, rest = flat // (side * side), flat % (side * side)
+    di, dj = rest // side, rest % side
+
+    def refine(idx, line):
+        c = line[idx]
+        lo = line[jnp.clip(idx - 1, 0, side - 1)]
+        hi = line[jnp.clip(idx + 1, 0, side - 1)]
+        denom = lo - 2 * c + hi
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (lo - hi) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    off_j = refine(dj, scores[ai, di, :])
+    off_i = refine(di, scores[ai, :, dj])
+    dy_cells = di.astype(dtype) - w + off_i
+    dx_cells = dj.astype(dtype) - w + off_j
+
+    # inlier fraction against the same threshold-dilated map
+    win = jax.lax.dynamic_slice(dil, (di, dj), (s_in, s_in))
+    inliers = jnp.sum(rot[ai] * jnp.minimum(win, 1.0))
+    fitness = jnp.where(n_pts > 0, inliers / jnp.maximum(n_pts, 1e-6), 0.0)
+    fitness = jnp.minimum(fitness, 1.0)
+    return WindowMatch(
+        ddx=dx_cells * resolution,
+        ddy=dy_cells * resolution,
+        ddtheta=thetas[ai],
+        fitness=fitness,
+        ok=(fitness >= fitness_min) & (n_pts >= min_points))
+
+
 def occupancy_mass(tri_grid, cfg: GridConfig = GridConfig()):
     """Tri-state grid -> occupancy mass in [0, 1] (OCCUPIED cells only,
     matching map_merger's > 50 threshold, map_merger.py:67)."""
