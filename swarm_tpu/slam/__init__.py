@@ -8,3 +8,10 @@ from swarm_tpu.slam.scanmatch import MatchResult, match_grids, match_grids_batch
 from swarm_tpu.slam.posegraph import PoseGraph, gauss_newton, graph_from_trajectory, optimize_graphs_batch  # noqa: F401
 from swarm_tpu.slam.merge import MergeResult, merge_local_maps, warp_grid  # noqa: F401
 from swarm_tpu.slam.refine import refine_session, reraster_session  # noqa: F401
+from swarm_tpu.slam.tridiag import (  # noqa: F401
+    block_tridiag_solve,
+    structured_gn,
+    structured_gn_batch,
+)
+from swarm_tpu.slam.livemerge import scan_merge  # noqa: F401
+from swarm_tpu.slam.scanmatch import WindowMatch, match_scan_window  # noqa: F401

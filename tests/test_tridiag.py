@@ -1,0 +1,113 @@
+"""Structure-exploiting pose-graph GN (slam/tridiag.py + the trajectory-
+axis sharded accumulation, SURVEY §5 / VERDICT r1 item 6).
+
+Correctness anchor = the dense solver (slam/posegraph.py), which is itself
+oracle-tested; the structured solver must reproduce its poses while
+scaling to node counts the dense [3M, 3M] Cholesky cannot.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swarm_tpu.slam.posegraph import (gauss_newton, graph_from_trajectory)
+from swarm_tpu.slam.tridiag import (block_tridiag_solve, structured_gn,
+                                    structured_gn_batch)
+
+
+def _spd_tridiag(rng, m, k=2):
+    D = rng.normal(size=(m, 3, 3)).astype(np.float32)
+    D = np.einsum("mab,mcb->mac", D, D) + 3 * np.eye(3, dtype=np.float32)
+    O = 0.3 * rng.normal(size=(m - 1, 3, 3)).astype(np.float32)
+    F = rng.normal(size=(m, 3, k)).astype(np.float32)
+    T = np.zeros((3 * m, 3 * m), np.float32)
+    for i in range(m):
+        T[3 * i:3 * i + 3, 3 * i:3 * i + 3] = D[i]
+    for i in range(m - 1):
+        T[3 * i:3 * i + 3, 3 * i + 3:3 * i + 6] = O[i]
+        T[3 * i + 3:3 * i + 6, 3 * i:3 * i + 3] = O[i].T
+    return D, O, F, T
+
+
+def test_cyclic_reduction_matches_dense_solve(rng):
+    for m in (3, 8, 17, 64):
+        D, O, F, T = _spd_tridiag(rng, m)
+        X = block_tridiag_solve(jnp.asarray(D), jnp.asarray(O),
+                                jnp.asarray(F))
+        X_ref = np.linalg.solve(T.astype(np.float64),
+                                F.reshape(3 * m, -1).astype(np.float64))
+        np.testing.assert_allclose(np.asarray(X).reshape(3 * m, -1),
+                                   X_ref, rtol=1e-3, atol=1e-4)
+
+
+def _noisy_loop_graph(rng, m, closure_cap=4, n_closures=2):
+    t = np.linspace(0, 4 * np.pi, m)
+    truth = np.stack([np.cos(t), np.sin(t), t + np.pi / 2], -1)
+    noisy = (truth + 0.05 * rng.normal(size=truth.shape)).astype(np.float32)
+    noisy[0] = truth[0]
+    ci = np.zeros(closure_cap, np.int32)
+    cj = np.zeros(closure_cap, np.int32)
+    ci[:n_closures] = rng.integers(m // 2, m - 1, n_closures)
+    cj[:n_closures] = rng.integers(1, m // 4, n_closures)
+    cmeas = np.zeros((closure_cap, 3), np.float32)
+    return graph_from_trajectory(jnp.asarray(noisy), m, jnp.asarray(ci),
+                                 jnp.asarray(cj), jnp.asarray(cmeas),
+                                 n_closures)
+
+
+def test_structured_gn_matches_dense(rng):
+    g = _noisy_loop_graph(rng, 64)
+    gd, cost_d = gauss_newton(g, iterations=10)
+    gs, cost_s = structured_gn(g, n_chain=63, iterations=10)
+    np.testing.assert_allclose(np.asarray(gs.poses), np.asarray(gd.poses),
+                               atol=1e-3)
+    assert abs(float(cost_s[-1]) - float(cost_d[-1])) < 1e-3
+
+
+def test_structured_gn_no_closures(rng):
+    g = _noisy_loop_graph(rng, 32, n_closures=0)
+    gd, _ = gauss_newton(g, iterations=8)
+    gs, _ = structured_gn(g, n_chain=31, iterations=8)
+    np.testing.assert_allclose(np.asarray(gs.poses), np.asarray(gd.poses),
+                               atol=1e-3)
+
+
+def test_structured_gn_batch_matches_dense(rng):
+    graphs = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_noisy_loop_graph(rng, 48) for _ in range(4)])
+    gd, _ = jax.vmap(lambda gr: gauss_newton(gr, 6))(graphs)
+    gs, _ = structured_gn_batch(graphs, n_chain=47, iterations=6)
+    np.testing.assert_allclose(np.asarray(gs.poses), np.asarray(gd.poses),
+                               atol=1e-3)
+
+
+def test_structured_gn_large_graph_reduces_cost(rng):
+    """4096 nodes (VERDICT item 6 scale): the dense solver would build a
+    12288² Hessian (600 MB) per iteration — the structured solver runs it
+    and actually optimises."""
+    g = _noisy_loop_graph(rng, 4096, closure_cap=8, n_closures=6)
+    gs, costs = structured_gn(g, n_chain=4095, iterations=5)
+    assert float(costs[-1]) < 0.2 * float(costs[0])
+    assert np.isfinite(np.asarray(gs.poses)).all()
+
+
+def test_trajectory_sharded_gn_matches_single(rng):
+    """SURVEY §5 sequence-parallel analogue: chain-edge accumulation
+    chunked over an 8-device mesh, normal equations psum'd — identical
+    poses to the single-device structured solve."""
+    from swarm_tpu.parallel import make_mesh
+    from swarm_tpu.parallel.solve import make_trajectory_sharded_gn
+
+    m = 257                      # chain of 256 edges over 8 devices
+    g = _noisy_loop_graph(rng, m)
+    gs, cost_s = structured_gn(g, n_chain=m - 1, iterations=8)
+
+    mesh = make_mesh(8)
+    solve = make_trajectory_sharded_gn(mesh, n_chain=m - 1, iterations=8)
+    gp, cost_p = solve(g)
+    np.testing.assert_allclose(np.asarray(gp.poses), np.asarray(gs.poses),
+                               atol=1e-3)
+    # costs: psum chunk order vs single-device sum -> float rounding
+    np.testing.assert_allclose(np.asarray(cost_p), np.asarray(cost_s),
+                               rtol=1e-3, atol=1e-5)
