@@ -77,16 +77,46 @@ def playback(session_dir: str, out_dir: str, frame_dt: float = 5.0,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--session", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default=None,
+                    help="frame output dir (headless mode)")
     ap.add_argument("--frame-dt", type=float, default=5.0,
                     help="simulated seconds per frame")
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--gif", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--view", type=int, nargs="?", const=8800, default=None,
+                    metavar="PORT",
+                    help="interactive browser playback: pause / speed "
+                         "0.1-20x / reset / zoom / pan (the reference's "
+                         "PyGame replay controls, "
+                         "playback_dual_session.py:163-219)")
+    ap.add_argument("--speed", type=float, default=1.0)
+    ap.add_argument("--duration", type=float, default=None,
+                    help="--view: stop serving after this many wall "
+                         "seconds (default: until Ctrl-C)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.view is not None:
+        import time
+
+        from swarm_tpu.server.view import PlaybackSource
+
+        src = PlaybackSource(args.session, speed=args.speed)
+        view = src.serve(args.view)
+        print(f"[PLAYBACK] interactive viewer at "
+              f"http://localhost:{view.port}/ (Ctrl-C to stop)")
+        try:
+            t0 = time.time()
+            while args.duration is None or time.time() - t0 < args.duration:
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        view.stop()
+        return
+    if not args.out:
+        ap.error("--out is required without --view")
     frames = playback(args.session, args.out, args.frame_dt, args.scale,
                       args.gif)
     print(f"[PLAYBACK] wrote {len(frames)} frames to {args.out}"

@@ -226,6 +226,10 @@ class EngineConfig:
     # and whether endpoint hits are applied (exact sparse scatter).
     beam_groups: int = 16
     endpoint_hits: bool = True
+    # Weak-evidence tail: carve miss*this from the group-min to the group-
+    # MEAN range (fills the annulus the group-min carve leaves unknown;
+    # free-space IoU vs the exact per-beam model 0.75 -> ~0.9+). 0 = off.
+    beam_tail_weight: float = 0.25
     # In-kernel endpoint painting (hits on the group-min ring, trusted-
     # fraction weighted): cheaper than the exact scatter, placement
     # blurred to the sector's nearest wall. Overrides endpoint_hits.

@@ -355,13 +355,15 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                         n_groups=n_groups,
                         per_row=cfg.engine.room_tile_per_row,
                         trusted=(tb if cfg.engine.kernel_endpoints
-                                 else None), reach=reach)
+                                 else None), reach=reach,
+                        tail_weight=cfg.engine.beam_tail_weight)
                 else:
                     logodds = free_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,
                         n_groups=n_groups,
                         trusted=(tb if cfg.engine.kernel_endpoints
-                                 else None), reach=reach)
+                                 else None), reach=reach,
+                        tail_weight=cfg.engine.beam_tail_weight)
                 if cfg.engine.kernel_endpoints:
                     w_ep = jnp.sum(
                         (tb & alive[:, None]).astype(jnp.int32))
@@ -387,7 +389,7 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                                                    tb & alive[:, None],
                                                    spec_b, cfg.grid,
                                                    reach=reach)
-                writes = writes + w.astype(jnp.int32)
+                writes = writes + w.astype(jnp.int32)  # exact per-beam tier
         grid = srv.grid
         tri = tri_state_view(logodds, cfg.grid)
     else:

@@ -197,6 +197,32 @@ def group_min_ranges(ranges_cells, n_groups: int):
     return r.reshape(n, n_groups, per).min(axis=-1)
 
 
+def group_range_stats(ranges_cells, n_groups: int):
+    """[N, B] per-beam ranges -> (carve [N, G], tail [N, G]) group range
+    statistics for the fast free-space pass:
+
+    carve = the group's SECOND-smallest range — full-strength free space.
+      The plain minimum is hostile to the reference's 6 % spurious-short
+      sensor noise (generate_fake_dual_session.py:100-108): ONE spurious
+      beam collapses its whole sector's carve and sustains the phantom
+      endpoint it painted. The second-min tolerates one outlier per group
+      while staying conservative for real geometry (walls are continuous,
+      so true minima have a similar-range neighbour); an isolated true
+      short endpoint still survives via its +hit endpoint evidence
+      (hit > |miss|).
+    tail = the group's MEDIAN range — weak-evidence limit (see
+      free_raster_reference `tail_weight`), robust to the same outliers.
+    """
+    n, b = ranges_cells.shape
+    per = -(-b // n_groups)
+    pad = n_groups * per - b
+    r = jnp.pad(ranges_cells, ((0, 0), (0, pad)), mode="edge")
+    s = jnp.sort(r.reshape(n, n_groups, per), axis=-1)
+    carve = s[..., min(1, per - 1)]
+    tail = s[..., per // 2]
+    return carve, tail
+
+
 def crossing_count(r, dtheta: float):
     """How many beams of a uniform fan cross a cell at radius r (cells):
     the angular half-width a half-cell subtends is atan(0.5 / sqrt(r^2 -
@@ -210,14 +236,24 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                           spec: BeamSpec, cfg: GridConfig = GridConfig(),
                           n_groups: int = 16,
                           line_equivalent: bool = True,
-                          reach: int = REACH_CELLS, band=None):
+                          reach: int = REACH_CELLS, band=None,
+                          tail_weight: float = 0.25):
     """XLA reference of the FAST free-space pass (what the Pallas kernel
     computes): free cells from GROUP-MIN ranges (conservative — never
     carves past the nearest wall in the sector), evidence scaled by the
     analytic beam-crossing count when line_equivalent. Endpoint hits are
     NOT painted here — the engine applies them exactly via the endpoint
     scatter. Returns (new_logodds, writes) where writes counts the
-    line-equivalent ray-cell updates applied."""
+    line-equivalent ray-cell updates applied (tail cells at tail_weight).
+
+    tail_weight > 0 adds WEAK free evidence (miss * tail_weight) in the
+    annulus between the group min and the group MEAN range: the group-min
+    carve alone leaves every cell between the sector's nearest wall and
+    the per-beam ranges unobserved (free-space IoU vs the exact per-beam
+    model plateaus ~0.75 — the r2 quality finding); the weak tail
+    accumulates those cells to FREE over ~1/tail_weight observations
+    while wall cells, repainted by endpoint hits (+hit per step), shrug
+    off the occasional weak miss."""
     res = cfg.resolution
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
@@ -228,7 +264,7 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         # spatially-sharded engine verifies containment statically).
         ay = ay - band[0]
     ranges_cells = dist_m / res
-    gmins = group_min_ranges(ranges_cells, n_groups)       # [N, G]
+    gmins, gtails = group_range_stats(ranges_cells, n_groups)  # [N, G] x2
     pr, pc = patch_dims(cfg.size, reach)
     row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach,
                               n_rows=None if band is None else band[1])
@@ -236,7 +272,7 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
                      dtheta=group_dtheta, wrap=spec.wrap)
 
-    def one(a, b, y, gm, act, r0, c0):
+    def one(a, b, y, gm, gmean, act, r0, c0):
         rows = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
         cy = (r0 + rows).astype(jnp.float32) + 0.5
@@ -268,11 +304,19 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         # sparse fans (4-way): only cells within a beam's half-cell width
         resid = rel - g.astype(jnp.float32) * group_dtheta
         on_any = covered | (jnp.abs(r * resid) <= 0.6)
-        free = in_fan & on_any & (r > 1e-3) & (r < rb - 0.5)
+        base_ok = in_fan & on_any & (r > 1e-3)
+        free = base_ok & (r < rb - 0.5)
         delta = jnp.where(free, cfg.logodds_miss * cnt, 0.0) * act
-        return delta, jnp.sum(jnp.where(free, cnt, 0.0))
+        w = jnp.sum(jnp.where(free, cnt, 0.0))
+        if tail_weight > 0:
+            rt = gmean[g]
+            tail = base_ok & ~free & (r < rt - 0.5)
+            delta = delta + jnp.where(
+                tail, cfg.logodds_miss * tail_weight * cnt, 0.0) * act
+            w = w + tail_weight * jnp.sum(jnp.where(tail, cnt, 0.0))
+        return delta, w
 
-    deltas, writes = jax.vmap(one)(ax, ay, yaw, gmins,
+    deltas, writes = jax.vmap(one)(ax, ay, yaw, gmins, gtails,
                                    active.astype(jnp.float32), row0, col0)
 
     def add_one(gr, args):

@@ -151,7 +151,8 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
                  sem_in, sem_out, *, spec: BeamSpec, n_groups: int,
                  group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
-                 line_equivalent: bool, paint_hits: bool, dense: bool):
+                 line_equivalent: bool, paint_hits: bool, dense: bool,
+                 tail_weight: float):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
     evidence. Endpoint hits are applied outside via the exact scatter."""
@@ -193,18 +194,21 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         g = jnp.clip(g, 0, n_groups - 1)
 
     def gather_group(k, carry):
-        # table block is [1, G_pad, 2]: k indexes SUBLANES (dynamic lane
+        # table block is [1, G_pad, 3]: k indexes SUBLANES (dynamic lane
         # indexing is not supported by Mosaic)
-        rbk, tfk = carry
+        rbk, tfk, rtk = carry
         is_k = g == k
         rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
         if paint_hits:
             tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
-        return rbk, tfk
+        if tail_weight > 0:
+            rtk = jnp.where(is_k, table_ref[0, k, 2], rtk)
+        return rbk, tfk, rtk
 
-    rb, tf = jax.lax.fori_loop(
+    rb, tf, rt = jax.lax.fori_loop(
         0, n_groups, gather_group,
         (jnp.zeros((rows, cols), jnp.float32),
+         jnp.zeros((rows, cols), jnp.float32),
          jnp.zeros((rows, cols), jnp.float32)))
 
     # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count) and
@@ -224,6 +228,13 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         base_ok = in_fan & on_any & (r2 > 1e-6)
     free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
+    if tail_weight > 0:
+        # weak free evidence in the (group-min, group-mean) annulus — the
+        # quality fix for group-min under-carving (see
+        # beam_raster.free_raster_reference docstring)
+        tail = base_ok & ~free & (r < rt - 0.5)
+        delta = delta + jnp.where(tail, miss * tail_weight * cnt,
+                                  0.0) * act
     if paint_hits:
         # endpoint ring at the group's min range, weighted by the group's
         # trusted fraction (in-kernel endpoints: placement blurred to the
@@ -243,13 +254,16 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        n_groups: int = 16, line_equivalent: bool = True,
                        trusted=None, reach: int = REACH_CELLS,
+                       tail_weight: float = 0.25,
                        interpret: bool = False):
     """Kernel entry for the fast free-space pass. Returns new_logodds;
     the caller computes the equivalent-write count analytically.
     `trusted` [N, B] enables IN-KERNEL endpoint painting (hits placed on
     the group-min ring, weighted by the group's trusted fraction) —
-    cheaper than the exact endpoint scatter, slightly blurred placement."""
-    from swarm_tpu.ops.beam_raster import group_min_ranges
+    cheaper than the exact endpoint scatter, slightly blurred placement.
+    tail_weight: weak-evidence carve to the group median (see
+    beam_raster.group_range_stats / free_raster_reference)."""
+    from swarm_tpu.ops.beam_raster import group_range_stats
 
     n = agent_xy.shape[0]
     rows, cols = patch_dims(cfg.size)
@@ -261,15 +275,17 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
-    gmins = group_min_ranges((dist_m / res).astype(jnp.float32), n_groups)
-    # group axis as SUBLANES: [N, G_pad, 2] blocked per agent
+    ranges_cells = (dist_m / res).astype(jnp.float32)
+    gmins, gmeans = group_range_stats(ranges_cells, n_groups)
+    # group axis as SUBLANES: [N, G_pad, 3] blocked per agent
     if paint_hits:
         tfrac = _group_trusted_frac(trusted, spec, n_groups)
     else:
         tfrac = jnp.zeros_like(gmins)
     table = jnp.stack([
         jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups))),
-        jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
+        jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups))),
+        jnp.pad(gmeans, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
     meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
                       jnp.zeros_like(ax), jnp.zeros_like(ax),
                       jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
@@ -281,7 +297,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         miss=cfg.logodds_miss, hit=cfg.logodds_hit,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
-        dense=_dense_fan(spec, reach))
+        dense=_dense_fan(spec, reach), tail_weight=tail_weight)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -289,7 +305,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
             pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
-            pl.BlockSpec((1, g_pad, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, g_pad, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),            # table
             pl.BlockSpec(memory_space=pl.ANY),                # grid (HBM)
         ],
@@ -314,7 +330,8 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
                  spec: BeamSpec, n_groups: int, group_dtheta: float,
                  agents_per_room: int, hit: float, miss: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
-                 win_rows: int, tile_rows: int, tile_cols: int):
+                 win_rows: int, tile_rows: int, tile_cols: int,
+                 tail_weight: float):
     """Room-block pass: one program per grid TILE; the tile's resident
     agents' fans paint it in VMEM. The grid pipelines through VMEM as
     blocked in/out operands — no manual DMA and no per-agent program
@@ -359,16 +376,19 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
             g = jnp.clip(g, 0, n_groups - 1)
 
         def gather_group(k, carry, g=g, a=a):
-            rbk, tfk = carry
+            rbk, tfk, rtk = carry
             is_k = g == k
             rbk = jnp.where(is_k, table_ref[0, 0, a, k, 0], rbk)
             if paint_hits:
                 tfk = jnp.where(is_k, table_ref[0, 0, a, k, 1], tfk)
-            return rbk, tfk
+            if tail_weight > 0:
+                rtk = jnp.where(is_k, table_ref[0, 0, a, k, 2], rtk)
+            return rbk, tfk, rtk
 
-        rb, tf = jax.lax.fori_loop(
+        rb, tf, rt = jax.lax.fori_loop(
             0, n_groups, gather_group,
             (jnp.zeros((win_rows, tile_cols), jnp.float32),
+             jnp.zeros((win_rows, tile_cols), jnp.float32),
              jnp.zeros((win_rows, tile_cols), jnp.float32)))
 
         # small-angle forms, identical to _free_kernel / the XLA reference
@@ -385,6 +405,9 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
             base_ok = in_fan & on_any & (r2 > 1e-6)
         free = base_ok & (r < rb - 0.5)
         delta = jnp.where(free, miss * cnt, 0.0)
+        if tail_weight > 0:
+            tail = base_ok & ~free & (r < rt - 0.5)
+            delta = delta + jnp.where(tail, miss * tail_weight * cnt, 0.0)
         if paint_hits:
             on_ring = base_ok & (jnp.abs(r - rb) <= 0.71)
             delta = delta + jnp.where(on_ring, hit * cnt * tf, 0.0)
@@ -398,6 +421,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        n_groups: int = 16, agents_per_room: int = 2,
                        per_row: int = None, line_equivalent: bool = True,
                        trusted=None, reach: int = REACH_CELLS,
+                       tail_weight: float = 0.25,
                        interpret: bool = False):
     """Room-block raster for TILE-ALIGNED worlds
     (geom.world.make_tiled_rooms): agents 2k, 2k+1 live in room k = grid
@@ -420,10 +444,12 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         per_row = bc_n
     paint_hits = trusted is not None
 
+    from swarm_tpu.ops.beam_raster import group_range_stats
+
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
-    gmins = group_min_ranges_import()(
-        (dist_m / res).astype(jnp.float32), n_groups)
+    ranges_cells = (dist_m / res).astype(jnp.float32)
+    gmins, gmeans = group_range_stats(ranges_cells, n_groups)
     if paint_hits:
         tfrac = _group_trusted_frac(trusted, spec, n_groups)
     else:
@@ -454,9 +480,10 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     vals = jnp.stack([ax, ay, yaw, active.astype(jnp.float32), r_loc] +
                      [jnp.zeros_like(ax)] * 3, axis=-1)
     meta = meta.at[tile_r, tile_c, slot].set(vals)
-    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, 2), jnp.float32)
+    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, 3), jnp.float32)
     table = table.at[tile_r, tile_c, slot, :n_groups, 0].set(gmins)
     table = table.at[tile_r, tile_c, slot, :n_groups, 1].set(tfrac)
+    table = table.at[tile_r, tile_c, slot, :n_groups, 2].set(gmeans)
 
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     kernel = functools.partial(
@@ -466,7 +493,8 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
         dense=_dense_fan(spec, reach), win_rows=win_rows,
-        tile_rows=TILE_ROWS, tile_cols=TILE_COLS)
+        tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
+        tail_weight=tail_weight)
 
     return pl.pallas_call(
         kernel,
@@ -476,7 +504,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
             pl.BlockSpec((1, 1, agents_per_room, 8),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, agents_per_room, g_pad, 2),
+            pl.BlockSpec((1, 1, agents_per_room, g_pad, 3),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, TILE_COLS), lambda i, j: (i, j),

@@ -275,7 +275,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                 zero, axy_l, ryaw, jnp.where(alive[:, None], db, 0.0),
                 alive, spec_b, cfg.grid,
                 n_groups=min(cfg.engine.beam_groups, spec_b.n_beams),
-                reach=reach, band=band)
+                reach=reach, band=band,
+                tail_weight=cfg.engine.beam_tail_weight)
             ep_delta, w_ep = logodds_delta(
                 endpoint_rays(axy_l, ryaw, db, tb, alive, spec_b),
                 cfg.grid, k_max=1, band=band)

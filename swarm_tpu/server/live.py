@@ -251,6 +251,44 @@ class LiveServer:
                   f"({got / el:.0f} pkt/s)")
             self.close()
 
+    # -- interactive view ----------------------------------------------------
+
+    def view_snapshot(self):
+        """Numpy state snapshot for server.view.MapView (the reference's
+        live dashboard state, dual_bot_mapper.py:380-668)."""
+        from swarm_tpu.coord.heartbeat import heartbeat_update
+
+        st = self.state
+        online = np.asarray(heartbeat_update(
+            st.last_packet_t, self.now(),
+            self.cfg.coord.heartbeat_timeout_s))
+        poses = np.concatenate(
+            [np.asarray(st.agent_xy),
+             np.asarray(st.agent_yaw)[:, None]], axis=1)
+        return {
+            "grid": np.asarray(st.grid),
+            "resolution": self.cfg.grid.resolution,
+            "origin": (self.cfg.grid.origin_x, self.cfg.grid.origin_y),
+            "poses": poses,
+            "online": online,
+            "pkt_counts": np.asarray(st.pkt_counts),
+            "zones": np.asarray(st.zone_boxes),
+            "zone_active": np.asarray(st.zone_active),
+            "frontiers": np.asarray(st.frontier_centroids),
+            "n_frontiers": int(st.n_frontiers),
+            "closures": int(st.closure.cl_count),
+            "pkt_total": self.pkt_total,
+            "t": self.now(),
+        }
+
+    def start_view(self, port: int = 8800):
+        """Launch the HTTP operator view (zoom/pan/HUD) on a daemon
+        thread; the ingest loop is untouched."""
+        from swarm_tpu.server.view import MapView
+
+        self._view = MapView(self.view_snapshot, port=port).start()
+        return self._view
+
     def render(self, path: str) -> str:
         from swarm_tpu.render import render_map, save_png
 
@@ -295,6 +333,11 @@ def main(argv=None):
     ap.add_argument("--fps", type=float, default=30.0,
                     help="frame-rate cap (reference renders at 30 FPS, "
                          ":474); ingest ceiling = fps x max-packets")
+    ap.add_argument("--view", type=int, nargs="?", const=8800, default=None,
+                    metavar="PORT",
+                    help="serve the interactive operator view (zoom/pan/"
+                         "HUD — the reference's PyGame dashboard, "
+                         "dual_bot_mapper.py:380-668) at this HTTP port")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -309,6 +352,8 @@ def main(argv=None):
                      log_dir=args.log_dir, enable_targets=args.enable_targets)
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
           f"({args.agents} agents, separation {args.separation})")
+    if args.view is not None:
+        srv.start_view(args.view)
     srv.run(duration_s=args.duration, fps=args.fps,
             render_png=args.render_png)
 
