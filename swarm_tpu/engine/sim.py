@@ -65,6 +65,11 @@ class AgentParams(NamedTuple):
     trans_scale: jnp.ndarray     # [N] odometry scale bias (0.998 / 1.002)
     yaw_bias_per_m: jnp.ndarray  # [N] signed yaw drift (-0.008 / +0.008)
     x_offset: jnp.ndarray        # [N] server-side separation offset (:851-852)
+    ekf_yaw: jnp.ndarray         # [N] bool — v1 firmware personality: the
+    #                               EKF yaw DRIVES robot_yaw every loop
+    #                               (AgentFirmware.ino.ino:429-436), unlike
+    #                               Bot1/Bot2's commanded-yaw convention
+    #                               (AgentFirmware_Bot1.ino:704-707)
 
 
 def make_agent_params(n: int, separation: float = 5.0,
@@ -87,7 +92,8 @@ def make_agent_params(n: int, separation: float = 5.0,
         yaw0=jnp.where(is_b2, jnp.pi, 0.0).astype(jnp.float32),
         trans_scale=jnp.where(is_b2, 1.002, 0.998).astype(jnp.float32),
         yaw_bias_per_m=jnp.where(is_b2, 0.008, -0.008).astype(jnp.float32),
-        x_offset=jnp.where(is_b2, separation, 0.0).astype(jnp.float32))
+        x_offset=jnp.where(is_b2, separation, 0.0).astype(jnp.float32),
+        ekf_yaw=jnp.zeros((n,), bool))
 
 
 class FaultSchedule(NamedTuple):
@@ -586,6 +592,12 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     omega = turn / dt
     v = drive / dt
     ekf = ekf_step_batch(state.ekf, omega, v, jnp.full((n,), t_new), cfg.ekf)
+
+    # v1 firmware personality: EKF yaw drives robot_yaw each loop
+    # (AgentFirmware.ino.ino:429-436) — close the loop for flagged agents;
+    # Bot1/Bot2 agents keep the commanded-yaw odometry (ino:704-707).
+    odom = odom._replace(yaw_est=jnp.where(
+        params.ekf_yaw, wrap_pi(ekf.x[:, 2]), odom.yaw_est))
 
     new_state = SimState(
         t=t_new, step=state.step + 1, key=key,

@@ -412,6 +412,10 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     ekf = ekf_step_batch(state.ekf, omega, v, jnp.full((n_loc,), t_new),
                          cfg.ekf)
 
+    # v1 EKF-yaw personality (mirrors engine.sim.sim_step stage 7)
+    odom = odom._replace(yaw_est=jnp.where(
+        p.ekf_yaw, wrap_pi(ekf.x[:, 2]), odom.yaw_est))
+
     new_state = SimState(
         t=t_new, step=state.step + 1, key=key,
         pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
