@@ -354,7 +354,9 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 from swarm_tpu.ops.beam_raster_pallas import (
                     free_raster_pallas, room_raster_pallas)
                 from swarm_tpu.ops.raster import logodds_delta
-                n_groups = min(cfg.engine.beam_groups, spec_b.n_beams)
+                n_groups = (spec_b.n_beams if cfg.engine.beam_groups <= 0
+                            else min(cfg.engine.beam_groups,
+                                     spec_b.n_beams))
                 if cfg.engine.room_tile_per_row > 0:
                     logodds = room_raster_pallas(
                         logodds, axy, ryaw, db, alive, spec_b, cfg.grid,

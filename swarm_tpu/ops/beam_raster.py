@@ -91,19 +91,21 @@ def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
 
 def patch_origin(ax_cell, ay_cell, size: int,
                  rows: int = 64, cols: int = 256,
-                 reach: int = REACH_CELLS, n_rows: int = None):
+                 reach: int = REACH_CELLS, n_rows: int = None,
+                 n_cols: int = None):
     """Aligned window origin (row0, col0): floor-based asymmetric placement
     origin = align_down(agent - reach) guarantees >= reach margin on the
     low side by construction and >= reach on the high side by the
-    patch_dims sizing; clamped to the grid (or to `n_rows` when the target
-    is a horizontal band of the grid)."""
+    patch_dims sizing; clamped to the grid (or to `n_rows` x `n_cols` when
+    the target is a band / tile window of the grid)."""
+    w = size if n_cols is None else n_cols
     row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach) // 8) * 8
     row0 = jnp.clip(row0, 0, (size if n_rows is None else n_rows) - rows)
-    if cols >= size:
+    if cols >= w:
         col0 = jnp.zeros_like(row0)
     else:
         col0 = ((jnp.floor(ax_cell).astype(jnp.int32) - reach) // 128) * 128
-        col0 = jnp.clip(col0, 0, size - cols)
+        col0 = jnp.clip(col0, 0, w - cols)
     return row0, col0
 
 
@@ -223,6 +225,46 @@ def group_range_stats(ranges_cells, n_groups: int):
     return carve, tail
 
 
+def group_range_stats_rotated(ranges_cells, n_groups: int, phase,
+                              tail_margin: float = 1.5):
+    """Group range statistics with a ROTATED group partition: group g
+    covers beams [phase + g*per, phase + (g+1)*per) (mod padded length).
+
+    Rotating `phase` through [0, per) across steps (step % per) makes the
+    group-min carve CONVERGE to the exact per-beam carve: a cell whose own
+    beam reads r_b is under-carved only on phases where its group contains
+    a shorter beam; every phase that excludes that beam carves it at full
+    strength, so systematically under-carved cells (the r2 quality
+    finding — IoU plateau ~0.75-0.83) accumulate to FREE over ~per
+    observations at ZERO extra per-step cost. With rotation the carve is
+    the plain group MIN (conservative: never carves past the nearest
+    in-group wall; the legacy second-min outlier tolerance is no longer
+    needed because a spurious-short beam only blanks the phases whose
+    group contains it).
+
+    Returns (carve [N, G], tail [N, G]) like `group_range_stats`; tail is
+    the carve (window MIN) plus `tail_margin` cells — weak evidence that
+    closes the NOISE annulus: the exact per-beam model marks boundary
+    cells FREE on occasional noise-high readings (one miss crosses the
+    tri-state threshold), while a window min is biased low by ~the noise
+    sigma; the weak tail lets those cells accumulate over a few steps at
+    a rate comparable to the exact model's own noise-driven carve, while
+    staying anchored to the window min so it cannot carve through a
+    nearby wall (a max- or median-based tail can, across an in-window
+    depth discontinuity). `phase` may be traced (shapes static)."""
+    n, b = ranges_cells.shape
+    per = -(-b // n_groups)
+    pad = n_groups * per - b
+    r = jnp.pad(ranges_cells, ((0, 0), (0, pad)), mode="edge")
+    r = jnp.roll(r, -phase, axis=1)
+    mn = r.reshape(n, n_groups, per).min(axis=-1)
+    return mn, mn + tail_margin
+
+
+ROT_TAIL_MARGIN = 1.5   # cells past the window max (~2 sigma of the
+#                         3.5 cm ultrasonic noise at 5 cm resolution)
+
+
 def crossing_count(r, dtheta: float):
     """How many beams of a uniform fan cross a cell at radius r (cells):
     the angular half-width a half-cell subtends is atan(0.5 / sqrt(r^2 -
@@ -237,7 +279,8 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                           n_groups: int = 16,
                           line_equivalent: bool = True,
                           reach: int = REACH_CELLS, band=None,
-                          tail_weight: float = 0.25):
+                          band_cols=None, tail_weight: float = 0.25,
+                          phase=None):
     """XLA reference of the FAST free-space pass (what the Pallas kernel
     computes): free cells from GROUP-MIN ranges (conservative — never
     carves past the nearest wall in the sector), evidence scaled by the
@@ -253,7 +296,13 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     model plateaus ~0.75 — the r2 quality finding); the weak tail
     accumulates those cells to FREE over ~1/tail_weight observations
     while wall cells, repainted by endpoint hits (+hit per step), shrug
-    off the occasional weak miss."""
+    off the occasional weak miss.
+
+    phase (traced scalar or None) rotates the group partition by `phase`
+    beams (see `group_range_stats_rotated`): cycling it across steps makes
+    the group carve converge to the exact per-beam carve with no extra
+    per-step cost. With phase set the carve is the rotated group MIN and
+    the per-cell sector lookup goes through the cell's own BEAM index."""
     res = cfg.resolution
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
@@ -263,11 +312,23 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         # cell rows shift together; windows must fit the band (the
         # spatially-sharded engine verifies containment statically).
         ay = ay - band[0]
+    if band_cols is not None:
+        # band_cols=(col_offset_cells, n_cols): the column analogue — with
+        # `band` this targets a 2-D tile window (tiles+halo decomposition).
+        ax = ax - band_cols[0]
     ranges_cells = dist_m / res
-    gmins, gtails = group_range_stats(ranges_cells, n_groups)  # [N, G] x2
+    per = -(-spec.n_beams // n_groups)
+    if phase is not None and per > 1:
+        gmins, gtails = group_range_stats_rotated(ranges_cells, n_groups,
+                                                  phase)
+    else:
+        phase = None
+        gmins, gtails = group_range_stats(ranges_cells, n_groups)
     pr, pc = patch_dims(cfg.size, reach)
     row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach,
-                              n_rows=None if band is None else band[1])
+                              n_rows=None if band is None else band[1],
+                              n_cols=None if band_cols is None
+                              else band_cols[1])
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
                      dtheta=group_dtheta, wrap=spec.wrap)
@@ -281,17 +342,35 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         dy = cy - b
         r = jnp.sqrt(dx * dx + dy * dy)
         theta = jnp.arctan2(dy, dx)
-        # group index of the cell's angle (group centre = mean beam angle)
-        rel = theta - y - spec.theta0 - group_dtheta / 2.0 + spec.dtheta / 2.0
-        rel = (rel + jnp.pi) % (2 * jnp.pi) - jnp.pi
-        g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
-        if spec.wrap:
-            g = jnp.mod(g, n_groups)
-            in_fan = jnp.ones_like(r, bool)
+        if phase is not None:
+            # rotated partition: cell -> own BEAM index -> rotated group
+            relb = theta - y - spec.theta0
+            relb = (relb + jnp.pi) % (2 * jnp.pi) - jnp.pi
+            bi = jnp.round(relb / spec.dtheta).astype(jnp.int32)
+            if spec.wrap:
+                bi = jnp.mod(bi, spec.n_beams)
+                in_fan = jnp.ones_like(r, bool)
+            else:
+                in_fan = (bi >= 0) & (bi < spec.n_beams)
+                bi = jnp.clip(bi, 0, spec.n_beams - 1)
+            slot = jnp.mod(bi - phase, n_groups * per)
+            g = (slot.astype(jnp.float32) *
+                 jnp.float32(1.0 / per)).astype(jnp.int32)
+            resid = relb - bi.astype(jnp.float32) * spec.dtheta
         else:
-            in_fan = (rel >= -group_dtheta / 2.0) & \
-                (rel < (n_groups - 0.5) * group_dtheta)
-            g = jnp.clip(g, 0, n_groups - 1)
+            # static partition: group centre = mean beam angle
+            rel = (theta - y - spec.theta0 - group_dtheta / 2.0
+                   + spec.dtheta / 2.0)
+            rel = (rel + jnp.pi) % (2 * jnp.pi) - jnp.pi
+            g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
+            if spec.wrap:
+                g = jnp.mod(g, n_groups)
+                in_fan = jnp.ones_like(r, bool)
+            else:
+                in_fan = (rel >= -group_dtheta / 2.0) & \
+                    (rel < (n_groups - 0.5) * group_dtheta)
+                g = jnp.clip(g, 0, n_groups - 1)
+            resid = rel - g.astype(jnp.float32) * group_dtheta
         rb = gm[g]
         # a cell is on SOME beam when the fan is dense enough locally;
         # count = crossing beams (>=1 within the fan's angular support).
@@ -302,7 +381,6 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         cnt = (jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
                if line_equivalent else jnp.ones_like(r))
         # sparse fans (4-way): only cells within a beam's half-cell width
-        resid = rel - g.astype(jnp.float32) * group_dtheta
         on_any = covered | (jnp.abs(r * resid) <= 0.6)
         base_ok = in_fan & on_any & (r > 1e-3)
         free = base_ok & (r < rb - 0.5)

@@ -152,10 +152,17 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
                  group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
-                 tail_weight: float):
+                 tail_weight: float, per_beam: bool):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
-    evidence. Endpoint hits are applied outside via the exact scatter."""
+    evidence. Endpoint hits are applied outside via the exact scatter.
+
+    per_beam (n_groups == n_beams): the EXACT per-beam carve. The gather
+    sweep drops to ONE packed table value per beam (range + trusted flag
+    in one f32 — `rb + 2048*tb`, lossless for ranges < 2048 cells)
+    and unrolls fully: 2 vector ops per beam instead of the generic
+    6-op 3-carry loop whose fori overhead dominated the r2 per-beam
+    measurement (44 ms/step -> see BASELINE.md for the optimized tier)."""
     i = pl.program_id(0)
     r0 = pl.multiple_of(origin_ref[i, 0], 8)
     c0 = pl.multiple_of(origin_ref[i, 1], 128)
@@ -193,23 +200,35 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
             (rel < (n_groups - 0.5) * group_dtheta)
         g = jnp.clip(g, 0, n_groups - 1)
 
-    def gather_group(k, carry):
-        # table block is [1, G_pad, 3]: k indexes SUBLANES (dynamic lane
-        # indexing is not supported by Mosaic)
-        rbk, tfk, rtk = carry
-        is_k = g == k
-        rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
+    if per_beam:
+        # packed single-carry sweep, fully unrolled
+        acc = jnp.zeros((rows, cols), jnp.float32)
+        for k in range(n_groups):
+            acc = jnp.where(g == k, table_ref[0, k, 0], acc)
         if paint_hits:
-            tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
-        if tail_weight > 0:
-            rtk = jnp.where(is_k, table_ref[0, k, 2], rtk)
-        return rbk, tfk, rtk
+            tf = jnp.where(acc >= 2048.0, 1.0, 0.0)
+            rb = acc - 2048.0 * tf
+        else:
+            rb, tf = acc, jnp.zeros((rows, cols), jnp.float32)
+        rt = rb                                    # tail statically off
+    else:
+        def gather_group(k, carry):
+            # table block is [1, G_pad, 3]: k indexes SUBLANES (dynamic
+            # lane indexing is not supported by Mosaic)
+            rbk, tfk, rtk = carry
+            is_k = g == k
+            rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
+            if paint_hits:
+                tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
+            if tail_weight > 0:
+                rtk = jnp.where(is_k, table_ref[0, k, 2], rtk)
+            return rbk, tfk, rtk
 
-    rb, tf, rt = jax.lax.fori_loop(
-        0, n_groups, gather_group,
-        (jnp.zeros((rows, cols), jnp.float32),
-         jnp.zeros((rows, cols), jnp.float32),
-         jnp.zeros((rows, cols), jnp.float32)))
+        rb, tf, rt = jax.lax.fori_loop(
+            0, n_groups, gather_group,
+            (jnp.zeros((rows, cols), jnp.float32),
+             jnp.zeros((rows, cols), jnp.float32),
+             jnp.zeros((rows, cols), jnp.float32)))
 
     # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count) and
     # sin(resid) ~ resid (resid <= group_dtheta/2) — <1 % error in range
@@ -228,10 +247,11 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         base_ok = in_fan & on_any & (r2 > 1e-6)
     free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
-    if tail_weight > 0:
+    if tail_weight > 0 and not per_beam:
         # weak free evidence in the (group-min, group-mean) annulus — the
         # quality fix for group-min under-carving (see
-        # beam_raster.free_raster_reference docstring)
+        # beam_raster.free_raster_reference docstring); per-beam carve is
+        # exact, so the tail is statically skipped (rt == rb)
         tail = base_ok & ~free & (r < rt - 0.5)
         delta = delta + jnp.where(tail, miss * tail_weight * cnt,
                                   0.0) * act
@@ -268,6 +288,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     n = agent_xy.shape[0]
     rows, cols = patch_dims(cfg.size)
     res = cfg.resolution
+    n_groups = min(n_groups, spec.n_beams)
+    per_beam = n_groups == spec.n_beams
     g_pad = _round_up(n_groups, 8)
     paint_hits = trusted is not None
 
@@ -276,16 +298,27 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
     ranges_cells = (dist_m / res).astype(jnp.float32)
-    gmins, gmeans = group_range_stats(ranges_cells, n_groups)
-    # group axis as SUBLANES: [N, G_pad, 3] blocked per agent
-    if paint_hits:
-        tfrac = _group_trusted_frac(trusted, spec, n_groups)
+    if per_beam:
+        # exact per-beam carve: one packed component (range + 64*trusted)
+        tail_weight = 0.0
+        packed = ranges_cells
+        if paint_hits:
+            packed = packed + 2048.0 * trusted.astype(jnp.float32)
+        table = jnp.pad(packed,
+                        ((0, 0), (0, g_pad - n_groups)))[..., None]
+        n_comp = 1
     else:
-        tfrac = jnp.zeros_like(gmins)
-    table = jnp.stack([
-        jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups))),
-        jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups))),
-        jnp.pad(gmeans, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
+        gmins, gmeans = group_range_stats(ranges_cells, n_groups)
+        # group axis as SUBLANES: [N, G_pad, 3] blocked per agent
+        if paint_hits:
+            tfrac = _group_trusted_frac(trusted, spec, n_groups)
+        else:
+            tfrac = jnp.zeros_like(gmins)
+        table = jnp.stack([
+            jnp.pad(gmins, ((0, 0), (0, g_pad - n_groups))),
+            jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups))),
+            jnp.pad(gmeans, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
+        n_comp = 3
     meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
                       jnp.zeros_like(ax), jnp.zeros_like(ax),
                       jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
@@ -297,7 +330,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         miss=cfg.logodds_miss, hit=cfg.logodds_hit,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
-        dense=_dense_fan(spec, reach), tail_weight=tail_weight)
+        dense=_dense_fan(spec, reach), tail_weight=tail_weight,
+        per_beam=per_beam)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -305,7 +339,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # origins
             pl.BlockSpec(memory_space=pltpu.VMEM),            # meta
-            pl.BlockSpec((1, g_pad, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, g_pad, n_comp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),            # table
             pl.BlockSpec(memory_space=pl.ANY),                # grid (HBM)
         ],
@@ -331,7 +365,7 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
                  agents_per_room: int, hit: float, miss: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
                  win_rows: int, tile_rows: int, tile_cols: int,
-                 tail_weight: float):
+                 tail_weight: float, per_beam: bool):
     """Room-block pass: one program per grid TILE; the tile's resident
     agents' fans paint it in VMEM. The grid pipelines through VMEM as
     blocked in/out operands — no manual DMA and no per-agent program
@@ -375,21 +409,34 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
                 (rel < (n_groups - 0.5) * group_dtheta)
             g = jnp.clip(g, 0, n_groups - 1)
 
-        def gather_group(k, carry, g=g, a=a):
-            rbk, tfk, rtk = carry
-            is_k = g == k
-            rbk = jnp.where(is_k, table_ref[0, 0, a, k, 0], rbk)
+        if per_beam:
+            # packed single-carry sweep, fully unrolled (see _free_kernel)
+            acc = jnp.zeros((win_rows, tile_cols), jnp.float32)
+            for k in range(n_groups):
+                acc = jnp.where(g == k, table_ref[0, 0, a, k, 0], acc)
             if paint_hits:
-                tfk = jnp.where(is_k, table_ref[0, 0, a, k, 1], tfk)
-            if tail_weight > 0:
-                rtk = jnp.where(is_k, table_ref[0, 0, a, k, 2], rtk)
-            return rbk, tfk, rtk
+                tf = jnp.where(acc >= 2048.0, 1.0, 0.0)
+                rb = acc - 2048.0 * tf
+            else:
+                rb = acc
+                tf = jnp.zeros((win_rows, tile_cols), jnp.float32)
+            rt = rb
+        else:
+            def gather_group(k, carry, g=g, a=a):
+                rbk, tfk, rtk = carry
+                is_k = g == k
+                rbk = jnp.where(is_k, table_ref[0, 0, a, k, 0], rbk)
+                if paint_hits:
+                    tfk = jnp.where(is_k, table_ref[0, 0, a, k, 1], tfk)
+                if tail_weight > 0:
+                    rtk = jnp.where(is_k, table_ref[0, 0, a, k, 2], rtk)
+                return rbk, tfk, rtk
 
-        rb, tf, rt = jax.lax.fori_loop(
-            0, n_groups, gather_group,
-            (jnp.zeros((win_rows, tile_cols), jnp.float32),
-             jnp.zeros((win_rows, tile_cols), jnp.float32),
-             jnp.zeros((win_rows, tile_cols), jnp.float32)))
+            rb, tf, rt = jax.lax.fori_loop(
+                0, n_groups, gather_group,
+                (jnp.zeros((win_rows, tile_cols), jnp.float32),
+                 jnp.zeros((win_rows, tile_cols), jnp.float32),
+                 jnp.zeros((win_rows, tile_cols), jnp.float32)))
 
         # small-angle forms, identical to _free_kernel / the XLA reference
         if line_equivalent:
@@ -405,7 +452,7 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
             base_ok = in_fan & on_any & (r2 > 1e-6)
         free = base_ok & (r < rb - 0.5)
         delta = jnp.where(free, miss * cnt, 0.0)
-        if tail_weight > 0:
+        if tail_weight > 0 and not per_beam:
             tail = base_ok & ~free & (r < rt - 0.5)
             delta = delta + jnp.where(tail, miss * tail_weight * cnt, 0.0)
         if paint_hits:
@@ -437,6 +484,8 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
 
     n = agent_xy.shape[0]
     res = cfg.resolution
+    n_groups = min(n_groups, spec.n_beams)
+    per_beam = n_groups == spec.n_beams
     g_pad = _round_up(n_groups, 8)
     br_n = cfg.size // TILE_ROWS
     bc_n = cfg.size // TILE_COLS
@@ -449,11 +498,20 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
     ranges_cells = (dist_m / res).astype(jnp.float32)
-    gmins, gmeans = group_range_stats(ranges_cells, n_groups)
-    if paint_hits:
-        tfrac = _group_trusted_frac(trusted, spec, n_groups)
+    if per_beam:
+        # exact per-beam carve: one packed component (see _free_kernel)
+        tail_weight = 0.0
+        gvals = [ranges_cells + (2048.0 * trusted.astype(jnp.float32)
+                                 if paint_hits else 0.0)]
+        n_comp = 1
     else:
-        tfrac = jnp.zeros_like(gmins)
+        gmins, gmeans = group_range_stats(ranges_cells, n_groups)
+        if paint_hits:
+            tfrac = _group_trusted_frac(trusted, spec, n_groups)
+        else:
+            tfrac = jnp.zeros_like(gmins)
+        gvals = [gmins, tfrac, gmeans]
+        n_comp = 3
 
     # scatter room data into the [BR, BC] tile table
     room = jnp.arange(n) // agents_per_room
@@ -480,10 +538,10 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     vals = jnp.stack([ax, ay, yaw, active.astype(jnp.float32), r_loc] +
                      [jnp.zeros_like(ax)] * 3, axis=-1)
     meta = meta.at[tile_r, tile_c, slot].set(vals)
-    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, 3), jnp.float32)
-    table = table.at[tile_r, tile_c, slot, :n_groups, 0].set(gmins)
-    table = table.at[tile_r, tile_c, slot, :n_groups, 1].set(tfrac)
-    table = table.at[tile_r, tile_c, slot, :n_groups, 2].set(gmeans)
+    table = jnp.zeros((br_n, bc_n, agents_per_room, g_pad, n_comp),
+                      jnp.float32)
+    for ci, gv in enumerate(gvals):
+        table = table.at[tile_r, tile_c, slot, :n_groups, ci].set(gv)
 
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     kernel = functools.partial(
@@ -494,7 +552,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
         dense=_dense_fan(spec, reach), win_rows=win_rows,
         tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
-        tail_weight=tail_weight)
+        tail_weight=tail_weight, per_beam=per_beam)
 
     return pl.pallas_call(
         kernel,
@@ -504,7 +562,7 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
             pl.BlockSpec((1, 1, agents_per_room, 8),
                          lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, agents_per_room, g_pad, 3),
+            pl.BlockSpec((1, 1, agents_per_room, g_pad, n_comp),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, TILE_COLS), lambda i, j: (i, j),

@@ -107,7 +107,8 @@ def parity_raster(grid, rays: RayBatch, cfg: GridConfig = GridConfig(),
 
 
 def logodds_delta(rays: RayBatch, cfg: GridConfig = GridConfig(),
-                  k_max: int = 32, dtype=jnp.float32, band=None):
+                  k_max: int = 32, dtype=jnp.float32, band=None,
+                  band_cols=None):
     """Unclamped log-odds evidence of one ray batch, scatter-added into a
     fresh [size, size] grid. Additive and order-independent, so shards can
     compute local deltas and `psum` them over the mesh — the TPU-native
@@ -118,24 +119,30 @@ def logodds_delta(rays: RayBatch, cfg: GridConfig = GridConfig(),
     return a [n_rows, size] delta — the spatially-sharded grid path
     (each shard owns a band; evidence outside it is dropped AND counted
     out of `writes`, so callers with band-contained evidence get
-    identical totals)."""
+    identical totals). band_cols=(col_offset, n_cols) restricts columns
+    the same way — together they select a 2-D tile window (the tiles+halo
+    grid decomposition, parallel.sharded grid_sharding='tiles')."""
     flat, free, occ = _traced_cells(rays, cfg, k_max)
-    if band is not None:
-        row_off, n_rows = band
+    if band is not None or band_cols is not None:
+        row_off, n_rows = band if band is not None else (0, cfg.size)
+        col_off, n_cols = band_cols if band_cols is not None \
+            else (0, cfg.size)
         row = flat // cfg.size
-        inb = (row >= row_off) & (row < row_off + n_rows)
+        col = flat - row * cfg.size
+        inb = (row >= row_off) & (row < row_off + n_rows) & \
+            (col >= col_off) & (col < col_off + n_cols)
         free = free & inb
         occ = occ & inb
-        flat = flat - row_off * cfg.size
+        flat = (row - row_off) * n_cols + (col - col_off)
     else:
-        n_rows = cfg.size
+        n_rows = n_cols = cfg.size
     delta = jnp.where(occ, cfg.logodds_hit,
                       jnp.where(free, cfg.logodds_miss, 0.0)).astype(dtype)
     flat_r = jnp.where((free | occ), flat, 0).reshape(-1)
-    out = jnp.zeros((n_rows * cfg.size,), dtype).at[flat_r].add(
+    out = jnp.zeros((n_rows * n_cols,), dtype).at[flat_r].add(
         delta.reshape(-1), mode="drop")
     writes = jnp.sum(free) + jnp.sum(occ)
-    return out.reshape(n_rows, cfg.size), writes
+    return out.reshape(n_rows, n_cols), writes
 
 
 def logodds_raster(logodds, rays: RayBatch, cfg: GridConfig = GridConfig(),

@@ -48,16 +48,21 @@ from swarm_tpu.slam.closure import ClosureState, closure_add_poses_batch
 from swarm_tpu.utils.angles import wrap_pi
 
 
-def state_specs(axis: str = "agents",
-                grid_rows_sharded: bool = False) -> SimState:
+def state_specs(axis="agents", grid_rows_sharded: bool = False,
+                lo_spec=None) -> SimState:
     """PartitionSpec pytree for SimState: agent-batched leaves shard over
-    `axis`, server/scalar state is replicated. With grid_rows_sharded the
+    `axis` (a mesh axis name, or a tuple of names for 2-D meshes),
+    server/scalar state is replicated. With grid_rows_sharded the
     log-odds grid is additionally SPATIALLY sharded by row bands over the
     same axis (SURVEY §2 parallelism table row 2 — grid tiles = shards);
     each shard then rasters only its own agents into its own band and the
-    map needs NO collective at all."""
+    map needs NO collective at all. `lo_spec` overrides the log-odds
+    spec directly — the 2-D tile decomposition passes P(rows_ax, cols_ax)."""
     ag, rep = P(axis), P()
-    lo = P(axis, None) if grid_rows_sharded else rep
+    if lo_spec is not None:
+        lo = lo_spec
+    else:
+        lo = P(axis, None) if grid_rows_sharded else rep
     return SimState(
         t=rep, step=rep, key=rep,
         pose_true=ag,
@@ -76,9 +81,14 @@ def state_specs(axis: str = "agents",
 
 
 def shard_state(state: SimState, mesh,
-                grid_rows_sharded: bool = False) -> SimState:
+                grid_rows_sharded: bool = False,
+                grid_tiles_sharded: bool = False) -> SimState:
     """Place a host SimState onto the mesh with the engine's shardings."""
-    specs = state_specs(mesh.axis_names[0], grid_rows_sharded)
+    if grid_tiles_sharded:
+        specs = state_specs(tuple(mesh.axis_names),
+                            lo_spec=P(*mesh.axis_names))
+    else:
+        specs = state_specs(mesh.axis_names[0], grid_rows_sharded)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
@@ -274,7 +284,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             d_free, w_free = free_raster_reference(
                 zero, axy_l, ryaw, jnp.where(alive[:, None], db, 0.0),
                 alive, spec_b, cfg.grid,
-                n_groups=min(cfg.engine.beam_groups, spec_b.n_beams),
+                n_groups=(spec_b.n_beams if cfg.engine.beam_groups <= 0
+                          else min(cfg.engine.beam_groups,
+                                   spec_b.n_beams)),
                 reach=reach, band=band,
                 tail_weight=cfg.engine.beam_tail_weight)
             ep_delta, w_ep = logodds_delta(

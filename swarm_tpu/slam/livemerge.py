@@ -32,8 +32,8 @@ def merge_window_side(cfg: SwarmConfig) -> int:
 
 
 def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
-               cfg: SwarmConfig, band_row0: int | None = None
-               ) -> WindowMatch:
+               cfg: SwarmConfig, band_row0: int | None = None,
+               band_col0: int | None = None) -> WindowMatch:
     """Batched scan-to-map matching of every agent's current servo sweep
     against `logodds` (the global map BEFORE this step's raster — a scan
     must never match its own evidence).
@@ -48,6 +48,8 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
       window then crops in band-local rows. Band containment of agent
       evidence (agent_evidence_rows) keeps all relevant mass inside the
       band, so edge clamping only recentres the window, never loses it.
+    band_col0: the column analogue, for the 2-D tile decomposition
+      (grid_sharding="tiles" — `logodds` is then the device's core tile).
     """
     slam = cfg.slam
     grid = cfg.grid
@@ -68,13 +70,14 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
 
     # occupancy mass in [0, 1] (~saturates at 2 endpoint hits)
     mass = jnp.clip(logodds / (2.0 * grid.logodds_hit), 0.0, 1.0)
-    n_rows = mass.shape[0]
+    n_rows, n_cols = mass.shape
 
     gx = (rx - grid.origin_x) / res                     # float cell coords
     gy = (ry - grid.origin_y) / res
+    gx_local = gx - (0.0 if band_col0 is None else band_col0)
     gy_local = gy - (0.0 if band_row0 is None else band_row0)
-    sx = jnp.clip(jnp.floor(gx).astype(jnp.int32) - side // 2,
-                  0, grid.size - side)
+    sx = jnp.clip(jnp.floor(gx_local).astype(jnp.int32) - side // 2,
+                  0, n_cols - side)
     sy = jnp.clip(jnp.floor(gy_local).astype(jnp.int32) - side // 2,
                   0, n_rows - side)
 
@@ -93,7 +96,7 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
             min_points=slam.merge_min_points,
             prior_weight=slam.merge_prior_weight)
 
-    return jax.vmap(one)(sx, sy, gx, gy_local, off_x, off_y, valid)
+    return jax.vmap(one)(sx, sy, gx_local, gy_local, off_x, off_y, valid)
 
 
 def merge_zero(n: int) -> WindowMatch:
