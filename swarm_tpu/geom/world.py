@@ -86,6 +86,38 @@ def make_tiled_rooms(n_rooms: int, per_row: int, res: float = 0.05,
             np.asarray(origins, np.float32))
 
 
+def make_tiled_rooms_blocks(dev_rows: int, dev_cols: int, size: int,
+                            res: float = 0.05, room_w: float = 6.0,
+                            room_h: float = 4.0):
+    """Tiled rooms emitted in DEVICE-MAJOR order for a (dev_rows x
+    dev_cols) tile mesh over a [size, size] grid: device (dr, dc) owns
+    the contiguous block of room tiles inside its grid tile, and rooms
+    are listed device by device, so the natural agent order (agents
+    2k, 2k+1 -> room k) lands each device's agent block inside its own
+    tile — the layout the 2-D "tiles" grid decomposition's static
+    containment proof requires. Returns (walls [n_rooms*4, 4],
+    origins [n_rooms, 2]); n_rooms = (size/128) * (size/256)."""
+    tiles_r, tiles_c = size // TILE_ROWS, size // TILE_COLS
+    if tiles_r % dev_rows or tiles_c % dev_cols:
+        raise ValueError(f"{tiles_r}x{tiles_c} room tiles do not split "
+                         f"over a ({dev_rows}, {dev_cols}) device grid")
+    k_r, k_c = tiles_r // dev_rows, tiles_c // dev_cols
+    pitch_x, pitch_y = TILE_COLS * res, TILE_ROWS * res
+    mx, my = (pitch_x - room_w) / 2.0, (pitch_y - room_h) / 2.0
+    rooms, origins = [], []
+    for dr in range(dev_rows):
+        for dc in range(dev_cols):
+            for jr in range(k_r):
+                for jc in range(k_c):
+                    tr, tc = dr * k_r + jr, dc * k_c + jc
+                    ox, oy = tc * pitch_x, tr * pitch_y
+                    rooms.append(make_rect_room(ox + mx, oy + my,
+                                                ox + mx + room_w,
+                                                oy + my + room_h))
+                    origins.append((ox + mx, oy + my))
+    return np.concatenate(rooms, axis=0), np.asarray(origins, np.float32)
+
+
 def walls_by_group(walls: np.ndarray, segs_per_group: int = 4) -> np.ndarray:
     """[S, 4] flat segments -> [G, segs_per_group, 4] grouped view for
     culled casting (rooms are emitted contiguously by make_multi_room)."""

@@ -93,37 +93,92 @@ def shard_state(state: SimState, mesh,
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
 
-def agent_evidence_rows(walls_grouped, room_of_agent, cfg: SwarmConfig,
-                        margin_cells: int = 3,
-                        drift_margin_m: float = 1.0):
-    """Static per-agent grid-row bounds of possible raster evidence.
+def agent_evidence_box(walls_grouped, room_of_agent, cfg: SwarmConfig,
+                       margin_cells: int = 3,
+                       drift_margin_m: float = 1.0):
+    """Static per-agent grid (row, col) bounds of possible raster
+    evidence: (rmin, rmax, cmin, cmax), each [N] int.
 
     The agent's TRUE pose cannot leave its room (walls are solid and beams
     are wall-limited), but the raster origin is the drift-corrected
     odometry ESTIMATE — which walls do NOT bound. `drift_margin_m` budgets
-    that: the rows-sharded grid is bit-identical to the replicated
-    decomposition only while every agent's y-estimate error stays under
+    that: the spatially-sharded grids are bit-identical to the replicated
+    decomposition only while every agent's estimate error stays under
     it (loop closures keep drift bounded in practice; raise the margin —
-    or shrink rooms relative to bands — for longer uncorrected runs).
-    numpy, trace-free."""
+    or shrink rooms relative to bands/tiles — for longer uncorrected
+    runs). numpy, trace-free."""
     import numpy as np
     wg = np.asarray(walls_grouped)
     roa = np.asarray(room_of_agent)
     ys = wg[..., [1, 3]].reshape(wg.shape[0], -1)
-    ymin, ymax = ys.min(axis=1), ys.max(axis=1)
+    xs = wg[..., [0, 2]].reshape(wg.shape[0], -1)
     res = cfg.grid.resolution
     pad = margin_cells + int(np.ceil(drift_margin_m / res))
-    rmin = np.floor((ymin[roa] - cfg.grid.origin_y) / res) - pad
-    rmax = np.ceil((ymax[roa] - cfg.grid.origin_y) / res) + pad
-    return rmin.astype(int), rmax.astype(int)
+    rmin = np.floor((ys.min(1)[roa] - cfg.grid.origin_y) / res) - pad
+    rmax = np.ceil((ys.max(1)[roa] - cfg.grid.origin_y) / res) + pad
+    cmin = np.floor((xs.min(1)[roa] - cfg.grid.origin_x) / res) - pad
+    cmax = np.ceil((xs.max(1)[roa] - cfg.grid.origin_x) / res) + pad
+    return (rmin.astype(int), rmax.astype(int),
+            cmin.astype(int), cmax.astype(int))
+
+
+def agent_evidence_rows(walls_grouped, room_of_agent, cfg: SwarmConfig,
+                        margin_cells: int = 3,
+                        drift_margin_m: float = 1.0):
+    """Row bounds only (the rows-band decomposition's static proof)."""
+    rmin, rmax, _, _ = agent_evidence_box(
+        walls_grouped, room_of_agent, cfg, margin_cells, drift_margin_m)
+    return rmin, rmax
+
+
+def _halo_exchange(ext, R: int, C: int, halo_r: int, halo_c: int,
+                   core_r: int, core_c: int, axis_r: str, axis_c: str):
+    """Two-phase halo merge of an extended-tile delta over the (R, C)
+    device grid, returning the device's CORE [core_r, core_c] delta.
+
+    `ext` is [core_r + 2*halo_r, core_c + 2*halo_c]: the device rasters
+    its agents into its tile plus a halo ring; evidence an agent painted
+    past its tile border lands in the halo and is shipped to the owning
+    neighbour over ICI with `ppermute` (row phase first, full-width
+    strips, so corner evidence propagates through the column phase —
+    the classic 2-D halo pattern). Grid-edge strips have no partner:
+    ppermute's unpaired destinations receive zeros, and out-of-grid
+    ghost evidence is simply discarded with the halo ring. Log-odds
+    evidence is additive, so the merged map equals the replicated psum
+    decomposition wherever each cell's contributions arrive in the same
+    order (exactly true when every cell is painted by one device)."""
+    if R > 1:
+        top = ext[:halo_r]
+        bot = ext[core_r + halo_r:]
+        from_south = jax.lax.ppermute(
+            top, axis_r, [(i, i - 1) for i in range(1, R)])
+        from_north = jax.lax.ppermute(
+            bot, axis_r, [(i, i + 1) for i in range(R - 1)])
+        ext = ext.at[core_r:core_r + halo_r].add(from_south)
+        ext = ext.at[halo_r:2 * halo_r].add(from_north)
+    if C > 1:
+        left = ext[:, :halo_c]
+        right = ext[:, core_c + halo_c:]
+        from_east = jax.lax.ppermute(
+            left, axis_c, [(i, i - 1) for i in range(1, C)])
+        from_west = jax.lax.ppermute(
+            right, axis_c, [(i, i + 1) for i in range(C - 1)])
+        ext = ext.at[:, core_c:core_c + halo_c].add(from_east)
+        ext = ext.at[:, halo_c:2 * halo_c].add(from_west)
+    return ext[halo_r:halo_r + core_r, halo_c:halo_c + core_c]
 
 
 def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                        params: AgentParams, faults: FaultSchedule,
-                       enable_targets: bool, axis: str,
-                       grid_rows: bool = False):
+                       enable_targets: bool, axis,
+                       grid_rows: bool = False, tiles=None):
     """shard_map body: agent leaves arrive as [N/D] local rows, server state
-    replicated. Mirrors engine.sim.sim_step stage-for-stage."""
+    replicated. Mirrors engine.sim.sim_step stage-for-stage.
+
+    axis: mesh axis name for the agent decomposition — a tuple of two
+    names when the grid is 2-D tile-sharded (`tiles` set).
+    tiles: (R, C, halo_r, halo_c) static tuple for the tiles+halo grid
+    decomposition; axis is then (row_axis, col_axis)."""
     n = cfg.n_agents
     navc = cfg.nav
     sens = cfg.sensors
@@ -131,7 +186,14 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     srv = state.srv
 
     n_loc = state.pose_true.shape[0]
-    shard = jax.lax.axis_index(axis)
+    if tiles is not None:
+        axis_r, axis_c = axis
+        R, C, halo_r, halo_c = tiles
+        tr = jax.lax.axis_index(axis_r)
+        tc = jax.lax.axis_index(axis_c)
+        shard = tr * C + tc
+    else:
+        shard = jax.lax.axis_index(axis)
     ridx = shard * n_loc + jnp.arange(n_loc, dtype=jnp.int32)  # global ids
 
     # per-agent params for this shard (params are replicated closures)
@@ -187,10 +249,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         do_merge = (state.step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
         band_row0 = (shard * srv.logodds.shape[0]) if grid_rows else None
+        band_col0 = None
+        if tiles is not None:
+            band_row0 = tr * srv.logodds.shape[0]
+            band_col0 = tc * srv.logodds.shape[1]
         m = jax.lax.cond(
             do_merge,
             lambda _: scan_merge(srv.logodds, rx, ry, ryaw, scan_dist,
-                                 alive, cfg, band_row0=band_row0),
+                                 alive, cfg, band_row0=band_row0,
+                                 band_col0=band_col0),
             lambda _: merge_zero(n_loc), None)
         upd = m.ok & alive
         # full correction to THIS step's raster; damped fraction persists
@@ -236,10 +303,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                 active=jnp.concatenate([rays.active,
                                         jnp.repeat(alive, r_scan)]))
     # grid decomposition: replicated (each shard's full-grid delta psum'd
-    # over ICI) or spatially row-sharded (grid_rows: each shard owns a
+    # over ICI), spatially row-sharded (grid_rows: each shard owns a
     # horizontal band and its agents are band-contained by the static
-    # check in make_sharded_sim_step — the map needs NO collective).
+    # check in make_sharded_sim_step — the map needs NO collective), or
+    # 2-D tile-sharded (tiles: each device owns a [size/R, size/C] tile
+    # and rasters into an extended tile whose halo ring is exchanged
+    # with the 4 neighbours via ppermute — SURVEY §2 "grid tiles =
+    # shards" with border exchange).
     band = None
+    band_cols = None
     band_esc_loc = jnp.zeros((), jnp.int32)
     if grid_rows:
         from swarm_tpu.ops.beam_raster import reach_cells as _reach_cells
@@ -257,12 +329,37 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         in_band = ((ay_cell - reach_g >= band[0]) &
                    (ay_cell + reach_g <= band[0] + band_rows))
         band_esc_loc = jnp.sum((~in_band & alive).astype(jnp.int32))
+    elif tiles is not None:
+        from swarm_tpu.ops.beam_raster import reach_cells as _reach_cells
+        core_r, core_c = srv.logodds.shape
+        band = (tr * core_r - halo_r, core_r + 2 * halo_r)
+        band_cols = (tc * core_c - halo_c, core_c + 2 * halo_c)
+        # Tile-escape guard (rows-mode analogue, both dims): evidence
+        # must stay exchangeable — within the tile's halo ring minus the
+        # raster-window alignment slack (see make_sharded_sim_step's
+        # static proof for the margins).
+        reach_g = _reach_cells(cfg)
+        ay_cell = (ry - cfg.grid.origin_y) / cfg.grid.resolution
+        ax_cell = (rx - cfg.grid.origin_x) / cfg.grid.resolution
+        r_lo, r_hi = tr * core_r, (tr + 1) * core_r
+        c_lo, c_hi = tc * core_c, (tc + 1) * core_c
+        in_band = ((ay_cell - reach_g >= r_lo - halo_r) &
+                   (ay_cell + reach_g <= r_hi + halo_r - 8) &
+                   (ax_cell - reach_g >= c_lo - halo_c) &
+                   (ax_cell + reach_g <= c_hi + halo_c))
+        band_esc_loc = jnp.sum((~in_band & alive).astype(jnp.int32))
     if beam_mode:
         from swarm_tpu.ops.beam_raster import (
             BeamSpec, beams_from_4way, beams_from_scan, endpoint_rays,
             free_raster_reference, reach_cells)
         reach = reach_cells(cfg)
-        zero = jnp.zeros_like(srv.logodds)
+        if tiles is not None:
+            # raster into the EXTENDED tile (core + halo ring)
+            zero = jnp.zeros((srv.logodds.shape[0] + 2 * halo_r,
+                              srv.logodds.shape[1] + 2 * halo_c),
+                             srv.logodds.dtype)
+        else:
+            zero = jnp.zeros_like(srv.logodds)
         delta = zero
         writes_loc = jnp.zeros((), jnp.int32)
         axy_l = jnp.stack([rx, ry], axis=-1)
@@ -287,17 +384,24 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                 n_groups=(spec_b.n_beams if cfg.engine.beam_groups <= 0
                           else min(cfg.engine.beam_groups,
                                    spec_b.n_beams)),
-                reach=reach, band=band,
+                reach=reach, band=band, band_cols=band_cols,
                 tail_weight=cfg.engine.beam_tail_weight)
             ep_delta, w_ep = logodds_delta(
                 endpoint_rays(axy_l, ryaw, db, tb, alive, spec_b),
-                cfg.grid, k_max=1, band=band)
+                cfg.grid, k_max=1, band=band, band_cols=band_cols)
             delta = delta + d_free + ep_delta
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
                 w_ep.astype(jnp.int32)
     else:
-        delta, writes_loc = logodds_delta(rays, cfg.grid, band=band)
-    if not grid_rows:
+        delta, writes_loc = logodds_delta(rays, cfg.grid, band=band,
+                                          band_cols=band_cols)
+    if tiles is not None:
+        # ship halo-ring evidence to the owning neighbours over ICI and
+        # keep this device's core tile
+        delta = _halo_exchange(delta, R, C, halo_r, halo_c,
+                               srv.logodds.shape[0], srv.logodds.shape[1],
+                               axis_r, axis_c)
+    elif not grid_rows:
         delta = jax.lax.psum(delta, axis)                # ICI map merge
     writes = jax.lax.psum(writes_loc, axis)
     logodds = jnp.clip(srv.logodds + delta,
@@ -341,8 +445,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             # gather the band only on refresh steps (the predicate is the
             # replicated step counter, so every device takes this branch
             # together and the collective matches)
-            lo_full = (jax.lax.all_gather(logodds, axis, tiled=True)
-                       if grid_rows else logodds)
+            if tiles is not None:
+                lo_full = jax.lax.all_gather(
+                    jax.lax.all_gather(logodds, axis_r, axis=0,
+                                       tiled=True),
+                    axis_c, axis=1, tiled=True)
+            elif grid_rows:
+                lo_full = jax.lax.all_gather(logodds, axis, tiled=True)
+            else:
+                lo_full = logodds
             tri = tri_state_view(lo_full, cfg.grid)
             cents, _, cnt = (frontier_clusters if cfg.grid.size <= 512
                              else frontier_targets_coarse)(
@@ -474,22 +585,94 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
     """Build the jitted multi-chip step. `cfg.n_agents` must be divisible by
     the mesh size and `cfg.engine.parity_mode` must be False.
 
-    grid_sharding: "replicated" (each shard full-grid delta + psum) or
-    "rows" (the grid row-band-sharded over the mesh: zero map collectives;
-    requires `walls_grouped`/`room_of_agent` so each agent's possible
-    evidence rows can be statically proven to lie in its device's band —
-    the tiled-room layouts with per-device room rows satisfy this)."""
+    grid_sharding:
+      "replicated" — each shard computes a full-grid delta, merged with
+        one psum over ICI.
+      "rows" — the grid row-band-sharded over the (1-D) mesh: zero map
+        collectives; requires `walls_grouped`/`room_of_agent` so each
+        agent's possible evidence rows can be statically proven to lie
+        in its device's band (tiled per-row room layouts satisfy this).
+      "tiles" — 2-D (rows x cols) tile decomposition over a 2-D mesh
+        with HALO EXCHANGE (SURVEY §2 "grid tiles = shards"): each
+        device rasters its agents into its tile plus a halo ring;
+        border-crossing evidence is shipped to the owning neighbour via
+        ppermute (row phase then column phase). The static proof only
+        requires each agent's evidence box to stay within its tile's
+        exchangeable region (tile + halo, minus window-alignment slack)
+        — agents MAY paint across tile borders, unlike "rows"."""
     if cfg.engine.parity_mode:
         raise ValueError("sharded step requires throughput mode "
                          "(cfg.engine.parity_mode=False)")
-    if grid_sharding not in ("replicated", "rows"):
+    if grid_sharding not in ("replicated", "rows", "tiles"):
         raise ValueError(f"unknown grid_sharding {grid_sharding!r}")
-    axis = mesh.axis_names[0]
+    grid_tiles = grid_sharding == "tiles"
+    if grid_tiles:
+        if mesh.devices.ndim != 2 or len(mesh.axis_names) != 2:
+            raise ValueError("grid_sharding='tiles' needs a 2-D mesh "
+                             "(rows axis x cols axis)")
+        axis = tuple(mesh.axis_names)
+    else:
+        axis = mesh.axis_names[0]
     d = mesh.devices.size
     if cfg.n_agents % d != 0:
         raise ValueError(f"n_agents={cfg.n_agents} not divisible by "
                          f"mesh size {d}")
     grid_rows = grid_sharding == "rows"
+    tiles = None
+    if grid_tiles:
+        import numpy as np
+        from swarm_tpu.ops.beam_raster import patch_dims, reach_cells
+        R, C = mesh.devices.shape
+        size = cfg.grid.size
+        if size % R or size % C:
+            raise ValueError(f"grid size {size} not divisible by mesh "
+                             f"({R}, {C})")
+        wr, wc = size // R, size // C
+        reach = reach_cells(cfg)
+        pr, pc = patch_dims(size, reach)
+        if pc >= size:
+            raise ValueError("tiles sharding needs size >= 512 (windowed "
+                             "raster patches; smaller grids fit one chip)")
+        if wc % 128:
+            raise ValueError(f"tile width {wc} not 128-aligned")
+        halo_c = 128
+        if reach > halo_c:
+            raise ValueError(f"beam reach {reach} exceeds the {halo_c}-"
+                             "column halo")
+        # smallest 8-aligned row halo whose extended tile provably holds
+        # every in-tile agent's raster window (alignment included)
+        halo_r = -(-reach // 8) * 8
+        while 8 * ((halo_r - reach) // 8) + pr > 2 * halo_r:
+            halo_r += 8
+        if wr < max(halo_r, pr - 2 * halo_r) or wc < halo_c:
+            raise ValueError(f"tile [{wr}, {wc}] too small for halo "
+                             f"[{halo_r}, {halo_c}] / window {pr} rows")
+        if cfg.engine.merge_every > 0:
+            from swarm_tpu.slam.livemerge import merge_window_side
+            side = merge_window_side(cfg)
+            if wr < side or wc < side:
+                raise ValueError(
+                    f"tile [{wr}, {wc}] cannot hold the {side}-cell "
+                    "scan-merge window (shrink slam.merge_window_cells "
+                    "or use grid_sharding='replicated')")
+        if walls_grouped is None or room_of_agent is None:
+            raise ValueError("grid_sharding='tiles' needs walls_grouped "
+                             "+ room_of_agent for the static containment "
+                             "proof")
+        rmin, rmax, cmin, cmax = agent_evidence_box(
+            walls_grouped, room_of_agent, cfg)
+        dev = np.arange(cfg.n_agents) // (cfg.n_agents // d)
+        dr, dc = dev // C, dev % C
+        bad = ((rmin < dr * wr - halo_r) |
+               (rmax > (dr + 1) * wr + halo_r - 8) |
+               (cmin < dc * wc - halo_c) |
+               (cmax > (dc + 1) * wc + halo_c))
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} agents' evidence boxes escape their "
+                "device tile's exchangeable region — order agent blocks "
+                "device-major over the (rows, cols) tile grid")
+        tiles = (R, C, halo_r, halo_c)
     if grid_rows:
         import numpy as np
         from swarm_tpu.ops.beam_raster import patch_dims, reach_cells
@@ -529,8 +712,10 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis,
-        grid_rows=grid_rows)
-    specs = state_specs(axis, grid_rows)
+        grid_rows=grid_rows, tiles=tiles)
+    specs = state_specs(axis, grid_rows,
+                        lo_spec=P(*mesh.axis_names) if grid_tiles
+                        else None)
     mspec = StepMetrics(*([P()] * len(StepMetrics._fields)))
     # check_vma off: coordination outputs are replicated by construction
     # (derived from all_gather/psum results), which the static VMA check
