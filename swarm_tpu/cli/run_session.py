@@ -99,7 +99,8 @@ def run_closed_loop(args):
     import numpy as np
 
     from swarm_tpu.config import EngineConfig, SwarmConfig
-    from swarm_tpu.engine.sim import make_agent_params, sim_init, sim_rollout
+    from swarm_tpu.engine.sim import (make_agent_params, sim_init,
+                                     sim_rollout, total_writes_value)
     from swarm_tpu.geom.world import BEDROOM_WALLS
     from swarm_tpu.proto.csvio import write_session
     from swarm_tpu.render import render_map, save_png
@@ -167,7 +168,7 @@ def run_closed_loop(args):
         "preset": args.preset, "agents": cfg.n_agents, "steps": args.steps,
         "elapsed_s": round(elapsed, 3),
         "steps_per_s": round(args.steps / elapsed, 2),
-        "total_cell_writes": int(final.srv.total_writes),
+        "total_cell_writes": total_writes_value(final.srv.total_writes),
         "closures": int(np.asarray(ms.closures).sum()),
         "online_at_end": int(np.asarray(ms.online)[-1]),
         "mission_done": int(np.asarray(ms.mission_done)[-1]),
@@ -186,6 +187,7 @@ def run_scripted(args):
 
     from swarm_tpu.config import SwarmConfig
     from swarm_tpu.engine.replay import replay_session
+    from swarm_tpu.engine.sim import total_writes_value
     from swarm_tpu.proto.csvio import (load_session,
                                        packet_stream_from_telemetry,
                                        write_session)
@@ -230,7 +232,7 @@ def run_scripted(args):
     metrics = {
         "preset": args.preset, "packets": int(len(res.t)),
         "replay_elapsed_s": round(elapsed, 3),
-        "total_cell_writes": int(state.total_writes),
+        "total_cell_writes": total_writes_value(state.total_writes),
         "closures": int(state.closure.cl_count),
         "refined_closures_per_agent": refined_stats,
     }

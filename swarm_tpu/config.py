@@ -150,6 +150,13 @@ class SlamConfig:
     # raster (scan inserted aligned), but accumulating the oscillating
     # part would inject noise into future steps — default 0.
     merge_yaw_damping: float = 0.0
+    # Rotating merge chunk: each merge event matches only this many
+    # agents (round-robin over the fleet) — the reference merger aligns
+    # ONE incoming submap at a time (map_merger.py:35-62), not the whole
+    # fleet at once, and the full-fleet batched match dominated the step
+    # at swarm scale (76 ms/event at 1024 agents, r2). <= 0 or >= n, or
+    # a size that doesn't divide the fleet/shard evenly, merges everyone.
+    merge_chunk: int = 128
     merge_fitness_min: float = 0.6      # map_merger.py:52-56 rejection gate
     merge_min_points: int = 16          # trusted-hit floor (4-way can't merge)
     merge_inlier_radius_cells: int = 2  # inlier radius for fitness

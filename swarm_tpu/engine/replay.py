@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from swarm_tpu.engine.sim import writes_accumulate
 from swarm_tpu.config import SwarmConfig
 from swarm_tpu.coord.assign import greedy_assign
 from swarm_tpu.coord.heartbeat import heartbeat_update
@@ -63,7 +64,7 @@ class ServerState(NamedTuple):
     n_frontiers: jnp.ndarray     # [] int32
     last_zone_t: jnp.ndarray     # []
     last_target_t: jnp.ndarray   # []
-    total_writes: jnp.ndarray    # [] int64-ish counter (int32 ok per session)
+    total_writes: jnp.ndarray    # [2] int32 (hi, lo) — engine.sim counter
 
 
 class ReplayOutputs(NamedTuple):
@@ -100,7 +101,7 @@ def server_init(cfg: SwarmConfig, t0: float = 0.0) -> ServerState:
         n_frontiers=jnp.zeros((), jnp.int32),
         last_zone_t=jnp.asarray(t0, jnp.float32),
         last_target_t=jnp.asarray(t0, jnp.float32),
-        total_writes=jnp.zeros((), jnp.float32))
+        total_writes=jnp.zeros((2,), jnp.int32))
 
 
 def ingest_packet(state: ServerState, pkt, cfg: SwarmConfig,
@@ -186,7 +187,8 @@ def ingest_packet(state: ServerState, pkt, cfg: SwarmConfig,
         targets=targets, has_target=has_target,
         frontier_centroids=cents, n_frontiers=n_fr,
         last_zone_t=last_zone_t, last_target_t=last_target_t,
-        total_writes=state.total_writes + writes.astype(jnp.float32))
+        total_writes=writes_accumulate(state.total_writes,
+                                       writes.astype(jnp.int32)))
     out = ReplayOutputs(
         rx=rx, ry=ry, yaw=ryaw,
         hits=jnp.stack([hx, hy], axis=-1), hit_valid=hit_valid & valid,

@@ -129,12 +129,40 @@ class MapState(NamedTuple):
     zone_active: jnp.ndarray      # [N] bool
     frontier_centroids: jnp.ndarray  # [K, 2]
     n_frontiers: jnp.ndarray      # [] int32
-    total_writes: jnp.ndarray     # [] int32
+    # Exact big-integer write counter as an int32 (hi, lo) pair, lo in
+    # [0, 2^30): a float32 total quantizes above 2^24 (the r1 weak-spot —
+    # 16,384 agents write ~5.4e7 cells/STEP) and int64 needs x64 mode.
+    # Use writes_accumulate / total_writes_value.
+    total_writes: jnp.ndarray     # [2] int32 (hi, lo)
     # accumulated scan-merge corrections (slam/livemerge.py) — the merge
     # analogue of closure.drift_dx/dy (dual_bot_mapper.py:854-857)
     merge_dx: jnp.ndarray         # [N] float32
     merge_dy: jnp.ndarray         # [N]
     merge_dyaw: jnp.ndarray       # [N]
+
+
+WRITES_RADIX = 1 << 30
+
+
+def writes_accumulate(tw, w):
+    """tw [2] int32 (hi, lo) + w int32 (one step's writes, < 2^30 by the
+    per-step int32 metrics bound) -> exact running total."""
+    lo = tw[1] + w
+    carry = lo // WRITES_RADIX
+    return jnp.stack([tw[0] + carry, lo - carry * WRITES_RADIX])
+
+
+def writes_delta(tw_new, tw_old):
+    """One step's writes from two counter states (int32-exact: a single
+    step never exceeds the radix)."""
+    return (tw_new[0] - tw_old[0]) * WRITES_RADIX + (tw_new[1] - tw_old[1])
+
+
+def total_writes_value(tw) -> int:
+    """Host-side exact value of the (hi, lo) counter."""
+    import numpy as np
+    a = np.asarray(tw).astype(np.int64)
+    return int(a[0]) * WRITES_RADIX + int(a[1])
 
 
 class SimState(NamedTuple):
@@ -207,9 +235,7 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         zone_active=jnp.zeros((n,), bool),
         frontier_centroids=jnp.zeros((cfg.coord.max_frontiers, 2), jnp.float32),
         n_frontiers=jnp.zeros((), jnp.int32),
-        # float32: int32 wraps after ~600 swarm-scale steps (3.4M
-        # writes/step); exact below 16.7M, metrics-grade beyond
-        total_writes=jnp.zeros((), jnp.float32),
+        total_writes=jnp.zeros((2,), jnp.int32),
         merge_dx=jnp.zeros((n,), jnp.float32),
         merge_dy=jnp.zeros((n,), jnp.float32),
         merge_dyaw=jnp.zeros((n,), jnp.float32))
@@ -257,13 +283,14 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
             not cfg.engine.parity_mode:
         # (parity mode has no log-odds accumulator to match against, and
         # pose corrections would break reference bit-parity by design)
-        from swarm_tpu.slam.livemerge import merge_zero, scan_merge
+        from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
         do_merge = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
         m = jax.lax.cond(
             do_merge,
-            lambda _: scan_merge(srv.logodds, rx, ry, ryaw, scan_dist,
-                                 alive, cfg),
+            lambda _: scan_merge_chunked(
+                srv.logodds, rx, ry, ryaw, scan_dist, alive, cfg,
+                event=step // cfg.engine.merge_every, n_global=n),
             lambda _: merge_zero(n), None)
         upd = m.ok & alive
         # full correction to THIS step's raster pose (the scan's evidence
@@ -469,7 +496,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.float32),
+        total_writes=writes_accumulate(srv.total_writes,
+                                       writes.astype(jnp.int32)),
         merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw)
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, hx, hy, hit_valid), (n_merges, merge_fit)
@@ -622,8 +650,7 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                     jnp.sqrt(jnp.min(d2, 1)) * 100.0, 0.0).astype(jnp.int32)
 
     metrics = StepMetrics(
-        writes=(srv.total_writes - state.srv.total_writes)
-        .astype(jnp.int32),
+        writes=writes_delta(srv.total_writes, state.srv.total_writes),
         closures=jnp.sum(closed.astype(jnp.int32)),
         online=jnp.sum(online.astype(jnp.int32)),
         n_frontiers=srv.n_frontiers,

@@ -383,6 +383,15 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         # sparse fans (4-way): only cells within a beam's half-cell width
         on_any = covered | (jnp.abs(r * resid) <= 0.6)
         base_ok = in_fan & on_any & (r > 1e-3)
+        if band_cols is not None:
+            # tile windows can extend past the GLOBAL grid at edge tiles
+            # (the halo ring); ghost cells there are discarded by the
+            # halo merge, so don't count or paint them — keeps `writes`
+            # identical to the replicated decomposition's in-grid total
+            gy = cy + (band[0] if band is not None else 0)
+            gx = cx + band_cols[0]
+            base_ok = base_ok & (gy >= 0.0) & (gy < cfg.size) & \
+                (gx >= 0.0) & (gx < cfg.size)
         free = base_ok & (r < rb - 0.5)
         delta = jnp.where(free, cfg.logodds_miss * cnt, 0.0) * act
         w = jnp.sum(jnp.where(free, cnt, 0.0))

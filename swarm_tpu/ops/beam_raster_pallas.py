@@ -54,6 +54,35 @@ def _group_trusted_frac(trusted, spec: BeamSpec, n_groups: int):
         n, n_groups, per).mean(axis=-1)
 
 
+def _octet_gather(b, read, n_beams: int, shape):
+    """EXACT per-beam table gather as an octet select tree.
+
+    The naive sweep costs 2 vector ops per beam (compare + select); this
+    groups beams in octets and selects within each octet by b's low 3
+    bits through a select tree of broadcast scalars — 9 vector ops per 8
+    beams (4+2+1 selects + 1 octet compare + 1 accumulate), 1.78x fewer.
+    Pure selects, no arithmetic recombination, so the result is
+    bit-identical to a true gather. `read(k)` returns the (static-k)
+    scalar table value; `b` must be pre-clipped to [0, n_beams)."""
+    o = jax.lax.shift_right_logical(b, 3)
+    l0 = (b & 1) == 1
+    l1 = (b & 2) == 2
+    l2 = (b & 4) == 4
+    acc = jnp.zeros(shape, jnp.float32)
+    for q in range(-(-n_beams // 8)):
+        t = [read(8 * q + j) if 8 * q + j < n_beams else jnp.float32(0.0)
+             for j in range(8)]
+        w01 = jnp.where(l0, t[1], t[0])
+        w23 = jnp.where(l0, t[3], t[2])
+        w45 = jnp.where(l0, t[5], t[4])
+        w67 = jnp.where(l0, t[7], t[6])
+        x0 = jnp.where(l1, w23, w01)
+        x1 = jnp.where(l1, w67, w45)
+        v = jnp.where(l2, x1, x0)
+        acc = jnp.where(o == q, v, acc)
+    return acc
+
+
 def _wrap_pi_cheap(x):
     """(-pi, pi] wrap without jnp.mod: one round + fma (|x| < 4*pi here)."""
     two_pi = jnp.float32(2 * math.pi)
@@ -201,10 +230,9 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         g = jnp.clip(g, 0, n_groups - 1)
 
     if per_beam:
-        # packed single-carry sweep, fully unrolled
-        acc = jnp.zeros((rows, cols), jnp.float32)
-        for k in range(n_groups):
-            acc = jnp.where(g == k, table_ref[0, k, 0], acc)
+        # packed single-table gather via the octet select tree
+        acc = _octet_gather(g, lambda k: table_ref[0, k, 0], n_groups,
+                            (rows, cols))
         if paint_hits:
             tf = jnp.where(acc >= 2048.0, 1.0, 0.0)
             rb = acc - 2048.0 * tf
@@ -410,10 +438,9 @@ def _room_kernel(meta_ref, table_ref, grid_ref, out_ref, *,
             g = jnp.clip(g, 0, n_groups - 1)
 
         if per_beam:
-            # packed single-carry sweep, fully unrolled (see _free_kernel)
-            acc = jnp.zeros((win_rows, tile_cols), jnp.float32)
-            for k in range(n_groups):
-                acc = jnp.where(g == k, table_ref[0, 0, a, k, 0], acc)
+            # packed single-table gather via the octet select tree
+            acc = _octet_gather(g, lambda k, a=a: table_ref[0, 0, a, k, 0],
+                                n_groups, (win_rows, tile_cols))
             if paint_hits:
                 tf = jnp.where(acc >= 2048.0, 1.0, 0.0)
                 rb = acc - 2048.0 * tf

@@ -35,7 +35,8 @@ from swarm_tpu.coord.assign import greedy_assign
 from swarm_tpu.coord.heartbeat import heartbeat_update
 from swarm_tpu.coord.zones import ZoneState, zone_observe_rows, zones_for_agents
 from swarm_tpu.engine.sim import (
-    AgentParams, FaultSchedule, MapState, SimState, StepMetrics, no_faults)
+    AgentParams, FaultSchedule, MapState, SimState, StepMetrics, no_faults,
+    writes_accumulate)
 from swarm_tpu.models import nav as navm
 from swarm_tpu.models.ekf import EkfState, ekf_step_batch
 from swarm_tpu.models.landmarks import detect_landmark_sim
@@ -245,7 +246,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     merge_fitsum_loc = jnp.zeros((), jnp.float32)
     cdx = cdy = cdth = jnp.zeros((n_loc,), jnp.float32)
     if cfg.engine.merge_every > 0 and scan_dist is not None:
-        from swarm_tpu.slam.livemerge import merge_zero, scan_merge
+        from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
         do_merge = (state.step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
         band_row0 = (shard * srv.logodds.shape[0]) if grid_rows else None
@@ -255,9 +256,11 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             band_col0 = tc * srv.logodds.shape[1]
         m = jax.lax.cond(
             do_merge,
-            lambda _: scan_merge(srv.logodds, rx, ry, ryaw, scan_dist,
-                                 alive, cfg, band_row0=band_row0,
-                                 band_col0=band_col0),
+            lambda _: scan_merge_chunked(
+                srv.logodds, rx, ry, ryaw, scan_dist, alive, cfg,
+                event=state.step // cfg.engine.merge_every, n_global=n,
+                id0=shard * n_loc, band_row0=band_row0,
+                band_col0=band_col0),
             lambda _: merge_zero(n_loc), None)
         upd = m.ok & alive
         # full correction to THIS step's raster; damped fraction persists
@@ -480,7 +483,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
         zone_boxes=zone_boxes, zone_active=zone_active,
         frontier_centroids=cents, n_frontiers=n_fr,
-        total_writes=srv.total_writes + writes.astype(jnp.float32),
+        total_writes=writes_accumulate(srv.total_writes,
+                                       writes.astype(jnp.int32)),
         merge_dx=srv.merge_dx + g(cdx),
         merge_dy=srv.merge_dy + g(cdy),
         merge_dyaw=srv.merge_dyaw + g(cdth))

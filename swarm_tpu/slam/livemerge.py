@@ -99,6 +99,51 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
     return jax.vmap(one)(sx, sy, gx_local, gy_local, off_x, off_y, valid)
 
 
+def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
+                       cfg: SwarmConfig, event, n_global: int, id0=None,
+                       band_row0=None, band_col0=None) -> WindowMatch:
+    """Rotating-chunk scan merge: merge event `e` matches only the
+    global-agent chunk [(e mod K)*c, ...+c), c = slam.merge_chunk,
+    K = n_global/c — mirroring the reference merger's one-submap-at-a-
+    time cadence (map_merger.py:35-62) and amortising the match cost at
+    swarm scale. Returns a full-local-length WindowMatch with ok=False
+    outside the chunk.
+
+    Chunk membership is defined on GLOBAL agent ids (sharded callers
+    pass id0 = shard * n_local), so the merged set per step is identical
+    across mesh sizes. Falls back to the full-fleet match when c covers
+    the fleet or sizes don't divide evenly (small-swarm configs)."""
+    n_loc = rx.shape[0]
+    c = cfg.slam.merge_chunk
+    full = (c <= 0 or c >= n_global or n_global % c != 0 or
+            (n_loc < n_global and
+             (c % n_loc != 0 if c > n_loc else n_loc % c != 0)))
+    if full:
+        return scan_merge(logodds, rx, ry, ryaw, scan_dist, alive, cfg,
+                          band_row0, band_col0)
+    k = n_global // c
+    g0 = (event % k) * c
+    sl = min(c, n_loc)
+    base = jnp.zeros((), jnp.int32) if id0 is None else id0
+    lstart = jnp.clip(g0 - base, 0, n_loc - sl)
+
+    def sub(a):
+        return jax.lax.dynamic_slice_in_dim(a, lstart, sl, 0)
+
+    m = scan_merge(logodds, sub(rx), sub(ry), sub(ryaw), sub(scan_dist),
+                   sub(alive), cfg, band_row0, band_col0)
+    gids = base + jnp.arange(n_loc, dtype=jnp.int32)
+    mask = (gids >= g0) & (gids < g0 + c)
+
+    def put(v):
+        return jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros((n_loc,), v.dtype), v, lstart, 0)
+
+    return WindowMatch(ddx=put(m.ddx), ddy=put(m.ddy),
+                       ddtheta=put(m.ddtheta), fitness=put(m.fitness),
+                       ok=put(m.ok) & mask)
+
+
 def merge_zero(n: int) -> WindowMatch:
     """The no-op result for off-cadence steps (lax.cond partner)."""
     z = jnp.zeros((n,), jnp.float32)

@@ -39,9 +39,14 @@ def _rotated_mass_stack(local_occ, thetas, k_points: int):
     extract the top-`k_points` cells, rotate their COORDINATES, and
     bilinear-splat into [A, S, S]. Occupancy grids are mostly zero, so
     this replaces the dense bilinear gather (`_rotate_grid`, measured
-    ~48 ms for 17 rotations of a 256^2 map on the chip — gather-bound)
-    with a tiny scatter (~17 x 4k adds). Forward splat is the adjoint of
-    backward sampling; mass is conserved exactly per rotation."""
+    ~48 ms for 17 rotations of a 256^2 map on the chip — gather-bound).
+    The splat itself is a separable one-hot MATMUL (bilinear stamp =
+    outer product of a y-stamp and an x-stamp, so the image is
+    Yv^T @ X — see match_scan_window's splat): XLA serializes TPU
+    scatters, and the scatter form of this splat still cost ~4.7 ms per
+    256^2 pair. Forward splat is the adjoint of backward sampling; mass
+    is conserved exactly per rotation (out-of-window taps drop because
+    the one-hot compare never fires)."""
     s = local_occ.shape[0]
     c = (s - 1) / 2.0
     dtype = local_occ.dtype
@@ -56,17 +61,14 @@ def _rotated_mass_stack(local_occ, thetas, k_points: int):
         y = c + (px - c) * st + (py - c) * ct
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
-        fx = x - x0
-        fy = y - y0
-        out = jnp.zeros((s, s), dtype)
-        for yi, xi, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
-                            (y0, x0 + 1, fx * (1 - fy)),
-                            (y0 + 1, x0, (1 - fx) * fy),
-                            (y0 + 1, x0 + 1, fx * fy)):
-            ok = (xi >= 0) & (xi < s) & (yi >= 0) & (yi < s)
-            out = out.at[yi, xi].add(jnp.where(ok, vals * wgt, 0.0),
-                                     mode="drop")
-        return out
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        ii = jnp.arange(s, dtype=jnp.int32)[None, :]
+        yv = ((ii == y0[:, None]) * (1.0 - fy) +
+              (ii == y0[:, None] + 1) * fy) * vals[:, None]
+        xv = ((ii == x0[:, None]) * (1.0 - fx) +
+              (ii == x0[:, None] + 1) * fx)
+        return yv.astype(dtype).T @ xv.astype(dtype)
 
     return jax.vmap(one)(thetas)
 
@@ -247,22 +249,28 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     py = off_y.astype(dtype) / resolution
 
     def splat(t):
+        # Bilinear point splat as a separable one-hot MATMUL: the stamp
+        # of point p is an outer product (wy0*e_y0 + wy1*e_y1) x
+        # (wx0*e_x0 + wx1*e_x1), so the whole image is Yv^T @ X with
+        # Yv[p, :] = valid_p * y-stamp and X[p, :] = x-stamp — one
+        # [S, P] @ [P, S] MXU contraction instead of 4 scatter-adds per
+        # point (XLA serializes TPU scatters; the scatter splat was the
+        # in-engine merge's cost at swarm scale, ~190 us/agent). Out-of-
+        # window taps drop automatically (the one-hot compare never
+        # fires), matching the scatter's mode="drop" per-corner.
         ct, st = jnp.cos(t), jnp.sin(t)
         x = ax + px * ct - py * st
         y = ay + px * st + py * ct
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
-        fx = x - x0
-        fy = y - y0
-        out = jnp.zeros((s_in, s_in), dtype)
-        for yi, xi, wgt in ((y0, x0, (1 - fx) * (1 - fy)),
-                            (y0, x0 + 1, fx * (1 - fy)),
-                            (y0 + 1, x0, (1 - fx) * fy),
-                            (y0 + 1, x0 + 1, fx * fy)):
-            ok = (xi >= 0) & (xi < s_in) & (yi >= 0) & (yi < s_in)
-            out = out.at[yi, xi].add(jnp.where(ok, vf * wgt, 0.0),
-                                     mode="drop")
-        return out
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        ii = jnp.arange(s_in, dtype=jnp.int32)[None, :]
+        yv = ((ii == y0[:, None]) * (1.0 - fy) +
+              (ii == y0[:, None] + 1) * fy) * vf[:, None]
+        xv = ((ii == x0[:, None]) * (1.0 - fx) +
+              (ii == x0[:, None] + 1) * fx)
+        return yv.astype(dtype).T @ xv.astype(dtype)
 
     rot = jax.vmap(splat)(thetas)                          # [A, s_in, s_in]
 

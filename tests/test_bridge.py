@@ -117,3 +117,40 @@ def test_bridge_ignores_non_scan(free_port):
     finally:
         tx.close()
         br.close()
+
+
+def test_ros2_layer_fields_and_guard():
+    """DDS topic layer (server/ros2.py): message-field logic is pure and
+    matches the reference bridge's publications (udp_bridge.py:110-138);
+    without rclpy the node constructor fails with a clear error."""
+    import math
+
+    import pytest
+
+    from swarm_tpu.server import ros2
+
+    f = ros2.odom_msg_fields(2, 1.5, -0.5, math.pi / 2)
+    assert f["topic"] == "/agent_2/odom"
+    assert f["child_frame_id"] == "agent_2/base_link"
+    assert f["position"] == (1.5, -0.5, 0.0)
+    qx, qy, qz, qw = f["orientation"]
+    assert qx == qy == 0.0
+    assert abs(qz - math.sin(math.pi / 4)) < 1e-12
+    assert abs(qw - math.cos(math.pi / 4)) < 1e-12
+
+    s = ros2.scan_msg_fields(1, [0.5] * 181)
+    assert s["topic"] == "/agent_1/scan"
+    assert s["frame_id"] == "agent_1/laser"
+    assert abs(s["angle_min"] + math.pi / 2) < 1e-12
+    assert abs(s["angle_max"] - math.pi / 2) < 1e-9
+    assert abs(s["angle_increment"] - math.pi / 180) < 1e-12
+    assert len(s["ranges"]) == 181
+
+    if not ros2.have_rclpy():
+        from swarm_tpu.server.bridge import ScanBridge
+        b = ScanBridge(port=0)
+        try:
+            with pytest.raises(RuntimeError, match="rclpy"):
+                ros2.Ros2Bridge(b, agents=[1])
+        finally:
+            b.close()

@@ -65,7 +65,9 @@ def test_scan_mode_maps_faster_than_4way():
     fs, mss = jax.jit(lambda s: sim_rollout(
         s, 20, cfgs, walls, params4))(sim_init(cfgs, params4))
 
-    assert int(fs.srv.total_writes) > 20 * int(f4.srv.total_writes)
+    from swarm_tpu.engine.sim import total_writes_value
+    assert total_writes_value(fs.srv.total_writes) > \
+        20 * total_writes_value(f4.srv.total_writes)
     # scan mode must cover far more of the room in the same steps
     free4 = int((np.asarray(f4.srv.logodds) < -0.3).sum())
     frees = int((np.asarray(fs.srv.logodds) < -0.3).sum())

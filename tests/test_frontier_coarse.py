@@ -70,3 +70,67 @@ def test_grouped_casting_matches_full():
                                jnp.asarray(room, jnp.int32))
     np.testing.assert_allclose(np.asarray(culled), np.asarray(full),
                                rtol=1e-5)
+
+
+def test_exact_vs_coarse_divergence_on_engine_map():
+    """r1 weak #8: grids > 512 silently switch frontier_clusters ->
+    frontier_targets_coarse inside the engine. Bound the divergence of
+    the two paths ON THE SAME engine-produced map at the boundary size:
+    every coarse target must lie near some exact cluster, cover the same
+    regions, and the greedy TARG assignment computed from the coarse
+    targets must send every assigned agent toward a point close to an
+    exact-path target."""
+    import jax
+
+    from swarm_tpu.coord.assign import greedy_assign
+    from swarm_tpu.engine.sim import make_agent_params, sim_init, sim_rollout
+    from swarm_tpu.ops.raster import tri_state_view
+    from __graft_entry__ import _cfg_and_world
+
+    cfg, walls, params, rooms = _cfg_and_world(
+        8, frontiers=False, parity=False, raster_mode="beam",
+        scan_rays=37, tiled=True)
+    assert cfg.grid.size == 512          # the switchover boundary
+    st = sim_init(cfg, params)
+    final, _ = sim_rollout(st, 40, cfg, jnp.asarray(walls), params,
+                           walls_grouped=rooms[0], room_of_agent=rooms[1])
+    tri = tri_state_view(final.srv.logodds, cfg.grid)
+
+    from swarm_tpu.ops.frontier import frontier_mask
+
+    coord = cfg.coord
+    c_e, _, n_e = frontier_clusters(tri, cfg.grid, coord)
+    c_c, _, n_c = frontier_targets_coarse(tri, cfg.grid, coord)
+    n_e, n_c = int(n_e), int(n_c)
+    assert n_e > 0 and n_c > 0
+    ce = np.asarray(c_e)[:n_e]
+    cc = np.asarray(c_c)[:n_c]
+    mask = np.asarray(frontier_mask(tri, cfg.grid))
+    fy, fx = np.nonzero(mask)
+    fw = np.stack([cfg.grid.origin_x + (fx + 0.5) * cfg.grid.resolution,
+                   cfg.grid.origin_y + (fy + 0.5) * cfg.grid.resolution],
+                  -1)
+    # PRECISION: every coarse target sits on real frontier (within half a
+    # pooling block + centroid blur). Coarse may also keep block-level
+    # aggregates of sub-min_cluster fragments the exact path filters —
+    # that is the documented approximation, so exact-centroid distance is
+    # NOT bounded; on-frontier placement is.
+    for p in cc:
+        assert np.hypot(*(fw - p).T).min() <= 0.5, p
+    # RECALL: every exact cluster is covered by a coarse target within
+    # 2x the separation radius (pooling blurs <= 0.4 m; NMS merges
+    # clusters closer than the separation radius by design)
+    d = np.hypot(cc[None, :, 0] - ce[:, None, 0],
+                 cc[None, :, 1] - ce[:, None, 1]).min(axis=1)
+    assert (d <= 2.0 * coord.frontier_separation_m).all(), d.max()
+    # and the assignment built from coarse targets sends every assigned
+    # agent toward real frontier
+    axy = jnp.stack([final.odom.x_est + params.x_offset,
+                     final.odom.y_est], axis=-1)
+    online = jnp.ones((cfg.n_agents,), bool)
+    tg, has = greedy_assign(axy, online, jnp.asarray(c_c),
+                            jnp.asarray(n_c), coord)
+    tg, has = np.asarray(tg), np.asarray(has)
+    assert has.any()
+    for t in tg[has]:
+        assert np.hypot(*(fw - t).T).min() <= 0.5, t

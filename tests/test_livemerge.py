@@ -284,5 +284,77 @@ def test_rows_sharded_merge_runs():
         st, m = step(st)
         merges += int(m.merges)
     assert merges > 0
-    assert int(st.srv.total_writes) > 0
+    from swarm_tpu.engine.sim import total_writes_value
+    assert total_writes_value(st.srv.total_writes) > 0
     assert int(m.band_escapes) == 0
+
+
+def test_chunked_merge_rotates_and_matches_fused():
+    """merge_chunk < n: each event merges one rotating global chunk; the
+    merged set (and the corrections) are identical between the fused and
+    sharded engines, and every agent gets its turn across K events."""
+    from swarm_tpu.parallel import make_mesh, make_sharded_sim_step, shard_state
+    from swarm_tpu.slam.livemerge import scan_merge, scan_merge_chunked
+
+    n = 8
+    walls = make_multi_room(4, per_row=2)
+    cfg = _engine_cfg(merge_every=2, n=n)
+    cfg = cfg.replace(
+        engine=dataclasses.replace(cfg.engine, raster_mode="line"),
+        slam=dataclasses.replace(cfg.slam, merge_chunk=2))
+    params = make_agent_params(n, separation=2.0, cfg=cfg)
+    i = np.arange(n)
+    room = i // 2
+    params = params._replace(
+        home_x=jnp.asarray((room % 2) * 8.0, jnp.float32),
+        home_y=jnp.asarray((room // 2) * 6.0, jnp.float32),
+        x_offset=jnp.zeros((n,), jnp.float32))
+
+    steps = 10                     # 5 merge events > K=4 chunks: full rotation
+    f_step = make_sim_step(cfg, walls, params, donate=False)
+    st_f = sim_init(cfg, params)
+    merges_f = 0
+    for _ in range(steps):
+        st_f, m_f = f_step(st_f)
+        merges_f += int(m_f.merges)
+
+    mesh = make_mesh(4)
+    s_step = make_sharded_sim_step(cfg, walls, params, mesh, donate=False)
+    st_s = shard_state(sim_init(cfg, params), mesh)
+    merges_s = 0
+    for _ in range(steps):
+        st_s, m_s = s_step(st_s)
+        merges_s += int(m_s.merges)
+
+    assert merges_f > 0
+    assert merges_s == merges_f
+    np.testing.assert_allclose(np.asarray(st_s.srv.merge_dx),
+                               np.asarray(st_f.srv.merge_dx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_s.srv.merge_dy),
+                               np.asarray(st_f.srv.merge_dy), atol=1e-6)
+
+    # unit-level: chunk membership rotates over events and non-chunk
+    # agents are ok=False; the chunk's own results equal the full match
+    key = jax.random.PRNGKey(1)
+    lo = jax.random.uniform(key, (cfg.grid.size, cfg.grid.size),
+                            minval=-2.0, maxval=2.0)
+    rx = jnp.linspace(2.0, 12.0, n)
+    ry = jnp.full((n,), 3.0)
+    ryaw = jnp.zeros((n,))
+    scan = jnp.full((n, cfg.engine.scan_rays), 0.8)
+    alive = jnp.ones((n,), bool)
+    full = scan_merge(lo, rx, ry, ryaw, scan, alive, cfg)
+    seen = np.zeros(n, bool)
+    for e in range(4):
+        mc = scan_merge_chunked(lo, rx, ry, ryaw, scan, alive, cfg,
+                                event=jnp.int32(e), n_global=n)
+        sel = np.asarray(mc.ok)
+        inchunk = (np.arange(n) >= 2 * e) & (np.arange(n) < 2 * e + 2)
+        assert not sel[~inchunk].any()
+        np.testing.assert_array_equal(sel[inchunk],
+                                      np.asarray(full.ok)[inchunk])
+        np.testing.assert_allclose(np.asarray(mc.ddx)[inchunk],
+                                   np.asarray(full.ddx)[inchunk],
+                                   atol=1e-6)
+        seen |= inchunk
+    assert seen.all()

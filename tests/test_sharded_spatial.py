@@ -66,8 +66,10 @@ def test_rows_sharded_grid_matches_replicated():
     np.testing.assert_array_equal(np.asarray(st_row.srv.logodds),
                                   np.asarray(st_rep.srv.logodds))
     assert int(m_row.writes) == int(m_rep.writes)
-    assert float(st_row.srv.total_writes) == float(st_rep.srv.total_writes)
-    assert float(st_row.srv.total_writes) > 0
+    from swarm_tpu.engine.sim import total_writes_value
+    assert total_writes_value(st_row.srv.total_writes) == \
+        total_writes_value(st_rep.srv.total_writes)
+    assert total_writes_value(st_row.srv.total_writes) > 0
 
 
 def test_rows_sharding_rejects_band_escaping_agents():

@@ -176,7 +176,8 @@ def test_tiles_engine_bit_equal_replicated():
                                   np.asarray(st_rep.srv.logodds))
     assert int(m_til.writes) == int(m_rep.writes)
     assert int(m_til.band_escapes) == 0
-    assert float(st_til.srv.total_writes) > 0
+    from swarm_tpu.engine.sim import total_writes_value
+    assert total_writes_value(st_til.srv.total_writes) > 0
 
 
 def test_tiles_engine_with_frontiers_and_merge():

@@ -42,7 +42,8 @@ def test_total_writes_counts_match_metrics():
     st = sim_init(cfg, params)
     final, ms = jax.jit(lambda s: sim_rollout(
         s, 50, cfg, jnp.asarray(BEDROOM_WALLS), params))(st)
-    assert int(final.srv.total_writes) == int(jnp.sum(ms.writes))
+    from swarm_tpu.engine.sim import total_writes_value
+    assert total_writes_value(final.srv.total_writes) == int(jnp.sum(ms.writes))
 
 
 def test_fault_injection_heartbeat_offline():

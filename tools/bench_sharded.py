@@ -35,7 +35,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     from __graft_entry__ import _cfg_and_world
-    from swarm_tpu.engine.sim import sim_init
+    from swarm_tpu.engine.sim import sim_init, total_writes_value
     from swarm_tpu.parallel import (make_mesh, make_sharded_sim_step,
                                     shard_state)
 
@@ -56,7 +56,7 @@ def main():
             state, m = step(state)
             float(m.pose_err)           # host sync every step
         dt = (time.perf_counter() - t0) / args.steps
-        results[d] = (dt, float(state.srv.total_writes))
+        results[d] = (dt, float(total_writes_value(state.srv.total_writes)))
         print(f"devices={d:2d}  {dt * 1e3:8.2f} ms/step  "
               f"writes={results[d][1]:.0f}")
 

@@ -52,7 +52,7 @@ def main():
         use_pallas=True, scan_rays=181, tiled=True)
     import dataclasses
     cfg = cfg.replace(engine=dataclasses.replace(
-        cfg.engine, beam_groups=8, kernel_endpoints=True, raster_4way=False))
+        cfg.engine, raster_4way=False))   # r2 defaults: per-beam exact
     state = sim_init(cfg, params)
     walls_grouped, room_of_agent = rooms
     walls_agent = walls_grouped[room_of_agent]
@@ -199,7 +199,36 @@ def main():
             return free_raster_pallas(
                 lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
                 cfg.grid, n_groups=8, trusted=tb)
-        timed("raster kernel (beam fast)", raster_body, state.srv.logodds)
+        timed("raster window kernel groups=8", raster_body,
+              state.srv.logodds)
+
+        def raster_pb_body(lo, i):
+            return free_raster_pallas(
+                lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
+                cfg.grid, n_groups=spec.n_beams, trusted=tb)
+        timed("raster window kernel per-beam", raster_pb_body,
+              state.srv.logodds)
+
+        from swarm_tpu.ops.beam_raster_pallas import room_raster_pallas
+        pr_row = cfg.grid.size // 256
+
+        def raster_room_pb(lo, i):
+            return room_raster_pallas(
+                lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
+                cfg.grid, n_groups=spec.n_beams, per_row=pr_row,
+                trusted=tb)
+        timed("raster room kernel per-beam", raster_room_pb,
+              state.srv.logodds)
+
+    from swarm_tpu.ops.beam_raster import endpoint_rays
+    from swarm_tpu.ops.raster import logodds_delta
+
+    def ep_body(c, i):
+        d, w = logodds_delta(
+            endpoint_rays(pose[:, :2] + c * 1e-9, pose[:, 2], db, tb,
+                          alive, spec), cfg.grid, k_max=1)
+        return c + jnp.sum(d) * 1e-12 + w.astype(jnp.float32) * 1e-9
+    timed("endpoint scatter 181/agent", ep_body, jnp.zeros(()))
 
     # whole fused step for the total (pallas path: TPU only)
     if jax.devices()[0].platform == "tpu":

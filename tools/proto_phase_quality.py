@@ -24,10 +24,10 @@ sys.path.insert(0, "/root/repo")
 
 from swarm_tpu.config import GridConfig, SensorConfig  # noqa: E402
 from swarm_tpu.geom.world import BEDROOM_WALLS  # noqa: E402
-from swarm_tpu.models.scan import scan_angles, sense_scan  # noqa: E402
+from swarm_tpu.models.scan import sense_scan  # noqa: E402
 from swarm_tpu.ops.beam_raster import (  # noqa: E402
     BeamSpec, beam_raster_reference, beams_from_scan, endpoint_rays,
-    free_raster_reference, reach_cells)
+    free_raster_reference)
 from swarm_tpu.ops.raster import logodds_delta, tri_state_view  # noqa: E402
 
 
@@ -47,8 +47,6 @@ def main():
     spec = BeamSpec.scan(args.rays)
     per = -(-args.rays // args.groups)
 
-    class _C:  # reach_cells wants .sensors/.grid
-        sensors, grid_ = sens, grid
     reach = int(np.ceil(sens.max_range / grid.resolution)) + 2
 
     key = jax.random.PRNGKey(args.seed)
