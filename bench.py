@@ -48,9 +48,15 @@ def main():
                          "> 0 = grouped turbo tier (~3.3x faster, "
                          "group-min approximation)")
     ap.add_argument("--room-kernel", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="BlockSpec-pipelined room-tile raster kernel "
-                         "(default; --no-room-kernel = per-agent windows)")
+                    default=False,
+                    help="BlockSpec-pipelined room-tile raster kernel. "
+                         "Default OFF since the r2 per-beam tier: the "
+                         "octet-gather sweep dominates the per-program "
+                         "overhead the room kernel amortizes, and the "
+                         "per-agent window kernel measures 3.7x faster "
+                         "at per-beam (1.67 vs 6.19 ms / 1024 agents). "
+                         "The room kernel still wins for the grouped "
+                         "turbo tier (beam_groups > 0).")
     ap.add_argument("--frontiers", action="store_true",
                     help="run frontier detection + greedy target assignment "
                          "at the reference's 3 s cadence (coarse swarm-scale "

@@ -291,12 +291,24 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max,
                                 (1, 2 * r + 1), (1, 1), "SAME")
 
-    g = dil[None, None]                                    # [1,1,s_in+2w,..]
-    k = rot[:, None]                                       # [A,1,s_in,s_in]
-    scores = jax.lax.conv_general_dilated(
-        g, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[0]             # [A, 2w+1, 2w+1]
+    # Translation scoring as an im2col MATMUL instead of a conv: under
+    # the per-agent vmap the conv becomes a 128-group grouped
+    # convolution with per-example 80x80 kernels, which XLA lowers
+    # abysmally on TPU (~22 ms for ~2 GMAC measured — the whole merge
+    # stage's cost). Stacking the (2w+1)^2 shifted views and contracting
+    # [A_theta, s_in^2] @ [s_in^2, (2w+1)^2] is one well-shaped batched
+    # matmul (K = s_in^2 = 6400).
+    side_s = 2 * w + 1
+    patches = jnp.stack(
+        [dil[di:di + s_in, dj:dj + s_in].reshape(-1)
+         for di in range(side_s) for dj in range(side_s)], axis=1)
+    scores = jnp.dot(rot.reshape(n_theta, -1), patches,
+                     preferred_element_type=jnp.float32).reshape(
+        n_theta, side_s, side_s)                           # [A, 2w+1, 2w+1]
+    # (f32 ACCUMULATION pinned — same numerics as the conv this
+    # replaced, whose preferred_element_type was f32 over bf16 inputs;
+    # a full Precision.HIGHEST pin costs 3 matmul passes and measured
+    # ~2x the whole matcher)
 
     # Zero-motion prior: straight walls constrain only their normal (the
     # aperture problem) — the score is flat along the wall and a bare

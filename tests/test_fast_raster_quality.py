@@ -59,13 +59,21 @@ def _compare(exact, fast, cfg):
 
 
 def test_per_beam_kernel_matches_exact_engine():
-    """Engine-level: per-beam Pallas kernel + exact endpoint scatter vs
-    the XLA exact tier, same closed-loop run."""
+    """Engine-level: per-beam Pallas kernel vs the XLA exact tier, same
+    closed-loop run — with the exact endpoint scatter AND with in-kernel
+    endpoint painting (the bench default: per-beam trust is exact, hits
+    land on the |r - r_b| <= 0.71 ring)."""
     exact, cfg = _run({"raster_4way": False}, use_pallas=False)
     fast, _ = _run({"raster_4way": False, "beam_groups": 0})
     iou, p90 = _compare(exact, fast, cfg)
     assert iou >= 0.9, iou
     assert p90 <= 1.0, p90
+
+    fast_ke, _ = _run({"raster_4way": False, "beam_groups": 0,
+                       "kernel_endpoints": True})
+    iou, p90 = _compare(exact, fast_ke, cfg)
+    assert iou >= 0.9, ("kernel_endpoints", iou)
+    assert p90 <= 1.0, ("kernel_endpoints", p90)
 
 
 def test_group_turbo_structurally_matches_exact():
