@@ -17,13 +17,15 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "oracle.cpp")
+_SRC_CODEC = os.path.join(_DIR, "src", "codec.cpp")
 _SO = os.path.join(_DIR, "liboracle.so")
 _lock = threading.Lock()
 _lib = None
 
 
 def _build() -> str:
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+           _SRC_CODEC, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
@@ -34,7 +36,8 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_CODEC)):
             _build()
         lib = ctypes.CDLL(_SO)
 
@@ -58,6 +61,12 @@ def get_lib() -> ctypes.CDLL:
             f32p, f32p, i32p, i32p, ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_float, ctypes.c_float, f32p, f32p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.codec_is_little_endian.restype = ctypes.c_int
+        lib.parse_telemetry_batch.restype = ctypes.c_int
+        lib.parse_telemetry_batch.argtypes = [
+            u8p, i32p, i32p, ctypes.c_int,
+            i32p, i32p, f32p, f32p, f32p, i32p, i32p, f32p, i32p, f32p]
         _lib = lib
         return _lib
 
@@ -134,3 +143,54 @@ def closure_check(lm_x, lm_y, lm_type, lm_node, x, y, lm, node_idx,
         ctypes.c_float(radius), ctypes.c_float(damping),
         ctypes.byref(dx), ctypes.byref(dy))
     return slot, dx.value, dy.value
+
+
+def parse_telemetry_columns(datagrams):
+    """Native batch parse of raw UDP payloads -> column arrays.
+
+    datagrams: list of bytes. Returns a dict of [n]-arrays (scans
+    [n, 181], dist4 [n, 4]) plus 'kind' (0 unrecognised / 1 v1 / 2 v2 /
+    3 scan / 4 scan-bridge) — the server runtime's hot-path codec
+    (proto/packets.py layouts; see src/codec.cpp). Raises RuntimeError
+    on big-endian hosts (the wire format is little-endian)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    if not lib.codec_is_little_endian():
+        raise RuntimeError("native codec requires a little-endian host")
+    n = len(datagrams)
+    lens = np.asarray([len(d) for d in datagrams], np.int32)
+    off = np.zeros(n, np.int32)
+    if n:
+        off[1:] = np.cumsum(lens[:-1])
+    buf = np.frombuffer(b"".join(datagrams), np.uint8) if n else \
+        np.zeros(1, np.uint8)
+    out = {
+        "kind": np.zeros(n, np.int32),
+        "agent": np.zeros(n, np.int32),
+        "x": np.zeros(n, np.float32),
+        "y": np.zeros(n, np.float32),
+        "yaw": np.zeros(n, np.float32),
+        "encoder": np.zeros(n, np.int32),
+        "v2v": np.zeros(n, np.int32),
+        "dist4": np.zeros((n, 4), np.float32),
+        "landmark": np.zeros(n, np.int32),
+        "scans": np.zeros((n, 181), np.float32),
+    }
+    if n:
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        good = lib.parse_telemetry_batch(
+            buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            off.ctypes.data_as(i32), lens.ctypes.data_as(i32), n,
+            out["kind"].ctypes.data_as(i32),
+            out["agent"].ctypes.data_as(i32),
+            _fp(out["x"]), _fp(out["y"]), _fp(out["yaw"]),
+            out["encoder"].ctypes.data_as(i32),
+            out["v2v"].ctypes.data_as(i32),
+            _fp(out["dist4"]),
+            out["landmark"].ctypes.data_as(i32),
+            _fp(out["scans"]))
+        out["n_good"] = int(good)
+    else:
+        out["n_good"] = 0
+    return out

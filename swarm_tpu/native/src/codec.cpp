@@ -1,0 +1,117 @@
+// Native batch codec for the Quasar-Lite wire protocol (server runtime
+// hot path). The Python struct codec tops out around the reference's
+// design envelope; serving a swarm needs the datagram->column conversion
+// off the interpreter. One pass over a concatenated datagram buffer
+// classifies each payload by (magic, length) and writes column arrays
+// that feed the jitted batched ingest directly.
+//
+// Layouts (all little-endian, packed — proto/packets.py:36-78):
+//   v2     42 B  <4sBfffiIffffB   QSRL agent x y yaw enc v2v f l b r lm
+//   v1     41 B  <4sBfffiIffff    (no landmark byte)
+//   scan  751 B  <4sBfffiIH181f   enc/v2v + n_rays + 181 ranges
+//   bridge 743 B <4sBfffH181f     no enc/v2v (esp32 PlatformIO firmware)
+//
+// Kinds: 0 = unrecognised, 1 = v1, 2 = v2, 3 = scan, 4 = scan-bridge.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline float rd_f32(const uint8_t* p) {
+    float v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline int32_t rd_i32(const uint8_t* p) {
+    int32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t rd_u32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+constexpr int kV1 = 41, kV2 = 42, kScan = 751, kBridge = 743;
+constexpr int kRays = 181;
+
+}  // namespace
+
+extern "C" {
+
+// Returns 1 iff this build runs on a little-endian host (the wire
+// format is LE; the Python wrapper refuses the fast path otherwise).
+int codec_is_little_endian() {
+    const uint16_t probe = 1;
+    uint8_t b;
+    std::memcpy(&b, &probe, 1);
+    return b == 1;
+}
+
+// buf: concatenated datagrams; off/len: [n] byte offsets/lengths.
+// Outputs are [n] (scans [n*181], dist4 [n*4]); rows for unrecognised
+// payloads are zeroed with kind 0. Returns the number of recognised
+// telemetry payloads.
+int parse_telemetry_batch(const uint8_t* buf, const int32_t* off,
+                          const int32_t* len, int n, int32_t* kind,
+                          int32_t* agent, float* x, float* y, float* yaw,
+                          int32_t* encoder, int32_t* v2v, float* dist4,
+                          int32_t* landmark, float* scans) {
+    int good = 0;
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* p = buf + off[i];
+        const int L = len[i];
+        kind[i] = 0;
+        agent[i] = 0;
+        x[i] = y[i] = yaw[i] = 0.0f;
+        encoder[i] = 0;
+        v2v[i] = 0;
+        landmark[i] = 0;
+        std::memset(dist4 + 4 * i, 0, 4 * sizeof(float));
+        std::memset(scans + kRays * i, 0, kRays * sizeof(float));
+        if (L < 12 || std::memcmp(p, "QSRL", 4) != 0) continue;
+
+        if (L == kV2 || L == kV1) {
+            agent[i] = p[4];
+            x[i] = rd_f32(p + 5);
+            y[i] = rd_f32(p + 9);
+            yaw[i] = rd_f32(p + 13);
+            encoder[i] = rd_i32(p + 17);
+            v2v[i] = static_cast<int32_t>(rd_u32(p + 21));
+            for (int k = 0; k < 4; ++k)
+                dist4[4 * i + k] = rd_f32(p + 25 + 4 * k);
+            if (L == kV2) {
+                landmark[i] = p[41];
+                kind[i] = 2;
+            } else {
+                kind[i] = 1;
+            }
+            ++good;
+        } else if (L == kScan) {
+            agent[i] = p[4];
+            x[i] = rd_f32(p + 5);
+            y[i] = rd_f32(p + 9);
+            yaw[i] = rd_f32(p + 13);
+            encoder[i] = rd_i32(p + 17);
+            v2v[i] = static_cast<int32_t>(rd_u32(p + 21));
+            std::memcpy(scans + kRays * i, p + 27, kRays * sizeof(float));
+            kind[i] = 3;
+            ++good;
+        } else if (L == kBridge) {
+            agent[i] = p[4];
+            x[i] = rd_f32(p + 5);
+            y[i] = rd_f32(p + 9);
+            yaw[i] = rd_f32(p + 13);
+            std::memcpy(scans + kRays * i, p + 19, kRays * sizeof(float));
+            kind[i] = 4;
+            ++good;
+        }
+    }
+    return good;
+}
+
+}  // extern "C"

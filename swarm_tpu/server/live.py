@@ -36,10 +36,25 @@ class LiveServer:
     def __init__(self, cfg: SwarmConfig = SwarmConfig(), port: int = 8888,
                  separation: float = 5.0, log_dir: Optional[str] = None,
                  enable_targets: bool = False,
-                 bot_tx_port_base: int = 8888):
+                 bot_tx_port_base: int = 8888,
+                 native_codec: bool = True):
         import jax
         import jax.numpy as jnp
         from swarm_tpu.engine.replay import ingest_packet, server_init
+
+        # Native batch codec (swarm_tpu.native/src/codec.cpp): one C pass
+        # turns a frame's raw datagrams into column arrays, keeping the
+        # per-packet Python struct codec off the serve hot path. Falls
+        # back silently-but-loudly if the toolchain can't build it.
+        self._native = None
+        if native_codec:
+            try:
+                from swarm_tpu.native import parse_telemetry_columns
+                parse_telemetry_columns([b"QSRL"])     # build + load now
+                self._native = parse_telemetry_columns
+            except Exception as e:                     # pragma: no cover
+                print(f"[SERVER] native codec unavailable ({e}); using "
+                      "the Python struct codec")
 
         self.cfg = cfg
         self.enable_targets = enable_targets
@@ -110,32 +125,52 @@ class LiveServer:
 
     def ingest(self, pkts) -> None:
         """Apply one frame's packets through the jitted scan."""
+        n_real = min(len(pkts), self._batch_size)
+        agents = np.asarray([a for a, _ in pkts[:n_real]], np.int32)
+        cols = {
+            "x": np.asarray([p.x for _, p in pkts[:n_real]], np.float32),
+            "y": np.asarray([p.y for _, p in pkts[:n_real]], np.float32),
+            "yaw": np.asarray([p.yaw for _, p in pkts[:n_real]],
+                              np.float32),
+            "encoder": np.asarray([p.encoder for _, p in pkts[:n_real]],
+                                  np.int32),
+            "v2v": np.asarray([p.v2v for _, p in pkts[:n_real]],
+                              np.int32),
+            "dist4": np.asarray(
+                [[p.front, p.left, p.back, p.right]
+                 for _, p in pkts[:n_real]],
+                np.float32).reshape(n_real, 4),
+            "landmark": np.asarray(
+                [getattr(p, "landmark", 0) for _, p in pkts[:n_real]],
+                np.int32),
+        }
+        self.ingest_columns(agents, cols)
+
+    def ingest_columns(self, agents0, cols) -> None:
+        """Apply one frame's telemetry given as column arrays (what the
+        native codec produces; `ingest` adapts typed packets to this)."""
         from swarm_tpu.engine.replay import PacketStream
 
         jnp = self._jnp
         b = self._batch_size
         now = self.now()
-        n_real = min(len(pkts), b)
+        n_real = min(len(agents0), b)
 
-        def col(f, default, dtype):
-            vals = [f(p) for _, p in pkts[:n_real]]
-            vals += [default] * (b - n_real)
-            return jnp.asarray(np.asarray(vals, dtype))
+        def pad(a, dtype, tail=()):
+            out = np.zeros((b,) + tail, dtype)
+            out[:n_real] = a[:n_real]
+            return jnp.asarray(out)
 
-        agents = [a for a, _ in pkts[:n_real]] + [0] * (b - n_real)
-        lm = [getattr(p, "landmark", 0) for _, p in pkts[:n_real]]
-        lm += [0] * (b - n_real)
         batch = PacketStream(
             t=jnp.full((b,), np.float32(now)),
-            agent=jnp.asarray(np.asarray(agents, np.int32)),
-            x=col(lambda p: p.x, 0.0, np.float32),
-            y=col(lambda p: p.y, 0.0, np.float32),
-            yaw=col(lambda p: p.yaw, 0.0, np.float32),
-            encoder=col(lambda p: p.encoder, 0, np.int32),
-            v2v=col(lambda p: p.v2v, 0, np.int32),
-            dist=col(lambda p: [p.front, p.left, p.back, p.right],
-                     [0.0] * 4, np.float32),
-            landmark=jnp.asarray(np.asarray(lm, np.int32)),
+            agent=pad(agents0, np.int32),
+            x=pad(cols["x"], np.float32),
+            y=pad(cols["y"], np.float32),
+            yaw=pad(cols["yaw"], np.float32),
+            encoder=pad(cols["encoder"], np.int32),
+            v2v=pad(cols["v2v"], np.int32),
+            dist=pad(cols["dist4"], np.float32, (4,)),
+            landmark=pad(cols["landmark"], np.int32),
             valid=jnp.asarray(np.arange(b) < n_real))
         self.state, outs = self._frame(self.state, batch)
         self.pkt_total += n_real
@@ -146,12 +181,51 @@ class LiveServer:
             yaw = np.asarray(outs.yaw)[:n_real]
             hits = np.asarray(outs.hits)[:n_real]
             hv = np.asarray(outs.hit_valid)[:n_real]
-            for i, (a, p) in enumerate(pkts[:n_real]):
-                self.writer.telemetry(now, a + 1, rx[i], ry[i], yaw[i],
-                                      p.encoder, p.v2v,
-                                      [p.front, p.left, p.back, p.right],
-                                      getattr(p, "landmark", 0))
-                self.writer.points(now, a + 1, hits[i], hv[i])
+            for i in range(n_real):
+                self.writer.telemetry(
+                    now, int(agents0[i]) + 1, rx[i], ry[i], yaw[i],
+                    int(cols["encoder"][i]), int(cols["v2v"][i]),
+                    list(cols["dist4"][i]), int(cols["landmark"][i]))
+                self.writer.points(now, int(agents0[i]) + 1, hits[i],
+                                   hv[i])
+
+    def drain_ingest(self) -> int:
+        """One frame: drain the socket and ingest. With the native codec
+        the datagrams go straight to column arrays (no per-packet Python
+        objects); otherwise falls back to drain_socket + ingest.
+        Returns the number of telemetry packets applied."""
+        if self._native is None:
+            pkts = self.drain_socket()
+            if pkts:
+                self.ingest(pkts)
+            return len(pkts)
+        datagrams, addrs = [], []
+        for _ in range(self._batch_size):
+            try:
+                data, addr = self.sock.recvfrom(2048)
+            except BlockingIOError:
+                break
+            datagrams.append(data)
+            addrs.append(addr)
+        if not datagrams:
+            return 0
+        cols = self._native(datagrams)
+        agent0 = cols["agent"] - 1
+        # 4-way telemetry only (kinds 1/2), mirroring drain_socket's
+        # isinstance filter — scan payloads belong to the ScanBridge.
+        keep = ((cols["kind"] == 1) | (cols["kind"] == 2)) & \
+            (agent0 >= 0) & (agent0 < self.n)
+        idx = np.nonzero(keep)[0]
+        for i in idx:
+            a = int(agent0[i])
+            self.bot_addrs.setdefault(
+                a, (addrs[i][0], self.bot_tx_port_base + a))
+        if len(idx):
+            self.ingest_columns(agent0[idx],
+                                {k: v[idx] for k, v in cols.items()
+                                 if k not in ("kind", "agent", "n_good",
+                                              "scans")})
+        return int(len(idx))
 
     # -- TX ------------------------------------------------------------------
 
@@ -222,9 +296,7 @@ class LiveServer:
         try:
             while duration_s is None or self.now() < duration_s:
                 start = time.time()
-                pkts = self.drain_socket()
-                if pkts:
-                    self.ingest(pkts)
+                self.drain_ingest()
                 self.heartbeat_transitions()
                 now = self.now()
                 if now - last_zone_send >= self.cfg.coord.zone_interval_s:

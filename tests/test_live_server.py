@@ -163,3 +163,37 @@ def test_replay_udp_tool(free_port, tmp_path):
         stop.set()
         th.join(timeout=2)
         srv.close()
+
+
+def test_native_codec_drain_ingest(free_port, tmp_path):
+    """The native batch codec path (server runtime hot path): raw UDP
+    datagrams -> column arrays -> jitted ingest, same map as the Python
+    struct codec path, garbage datagrams dropped, bot addrs learned."""
+    import pytest
+
+    cfg = SwarmConfig(n_agents=2)
+    srv = LiveServer(cfg, port=free_port, separation=5.0,
+                     log_dir=str(tmp_path / "nat"))
+    if srv._native is None:
+        pytest.skip("native codec not built in this environment")
+
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.bind(("127.0.0.1", 0))
+    try:
+        pkts = make_packets(80)
+        applied = 0
+        for i in range(0, len(pkts), 10):
+            for p in pkts[i:i + 10]:
+                tx.sendto(p.pack(), ("127.0.0.1", free_port))
+            tx.sendto(b"garbage-not-a-packet", ("127.0.0.1", free_port))
+            time.sleep(0.01)
+            applied += srv.drain_ingest()
+        assert applied > 60                      # garbage dropped
+        assert srv.pkt_total == applied
+        assert set(srv.bot_addrs) == {0, 1}
+        g = np.asarray(srv.state.grid)
+        assert (g == cfg.grid.free).sum() > 50
+        assert (g == cfg.grid.occupied).sum() > 3
+    finally:
+        tx.close()
+        srv.close()
