@@ -154,20 +154,25 @@ def main():
         ratios.append(float(applied) / max(int(m1.writes), 1))
     applied_ratio = sum(ratios) / len(ratios)
 
-    # merge-solve latency: the batched scan-to-map matcher alone
+    # merge-solve latency: the batched scan-to-map matcher alone.
+    # Capped at 1024 agents: this probe batches the FULL matcher (the
+    # engine merges rotating slam.merge_chunk-agent chunks), and its
+    # im2col scoring buffer scales with the batch — 16k agents at once
+    # would be a 32 GB intermediate.
     merge_latency_ms = None
+    mla = min(args.agents, 1024)
     if cfg.engine.merge_every > 0:
         from swarm_tpu.slam.livemerge import scan_merge
         from swarm_tpu.models.scan import sense_scan
         k = jax.random.PRNGKey(0)
-        ks = jax.random.split(k, args.agents)
+        ks = jax.random.split(k, mla)
         scan = jax.vmap(lambda kk, p, w_: sense_scan(
             kk, p, w_, cfg.engine.scan_rays, cfg.sensors))(
-            ks, state.pose_true, rooms[0][rooms[1]])
-        alive = jnp.ones((args.agents,), bool)
+            ks, state.pose_true[:mla], rooms[0][rooms[1][:mla]])
+        alive = jnp.ones((mla,), bool)
         sm = jax.jit(lambda lo, sd: scan_merge(
-            lo, state.odom.x_est, state.odom.y_est, state.odom.yaw_est,
-            sd, alive, cfg))
+            lo, state.odom.x_est[:mla], state.odom.y_est[:mla],
+            state.odom.yaw_est[:mla], sd, alive, cfg))
         r = sm(state.srv.logodds, scan)
         float(r.fitness.sum())           # compile + sync
         t1 = time.perf_counter()
@@ -212,6 +217,8 @@ def main():
             "merges_total": total_merges,
             "merge_latency_ms": (round(merge_latency_ms, 3)
                                  if merge_latency_ms is not None else None),
+            "merge_latency_batch": (mla if merge_latency_ms is not None
+                                    else None),
         },
     }))
 
