@@ -17,7 +17,6 @@ learned from incoming packet source addresses.
 
 from __future__ import annotations
 
-import functools
 import socket
 import time
 from typing import Dict, Optional, Tuple
@@ -405,6 +404,10 @@ def main(argv=None):
     ap.add_argument("--fps", type=float, default=30.0,
                     help="frame-rate cap (reference renders at 30 FPS, "
                          ":474); ingest ceiling = fps x max-packets")
+    ap.add_argument("--no-native-codec", action="store_true",
+                    help="parse datagrams with the per-packet Python "
+                         "struct codec instead of the native C++ batch "
+                         "codec (native/src/codec.cpp, ~8x faster)")
     ap.add_argument("--view", type=int, nargs="?", const=8800, default=None,
                     metavar="PORT",
                     help="serve the interactive operator view (zoom/pan/"
@@ -421,7 +424,8 @@ def main(argv=None):
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine, max_packets_per_frame=args.max_packets))
     srv = LiveServer(cfg, port=args.port, separation=args.separation,
-                     log_dir=args.log_dir, enable_targets=args.enable_targets)
+                     log_dir=args.log_dir, enable_targets=args.enable_targets,
+                     native_codec=not args.no_native_codec)
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
           f"({args.agents} agents, separation {args.separation})")
     if args.view is not None:
