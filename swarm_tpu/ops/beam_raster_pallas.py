@@ -181,7 +181,7 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
                  group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
-                 tail_weight: float, per_beam: bool):
+                 tail_weight: float, per_beam: bool, grid_guard: int = 0):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
     evidence. Endpoint hits are applied outside via the exact scatter.
@@ -273,6 +273,14 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
         resid = rel - g.astype(jnp.float32) * group_dtheta
         on_any = covered | (jnp.abs(r * resid) <= 0.6)
         base_ok = in_fan & on_any & (r2 > 1e-6)
+    if grid_guard:
+        # tile windows can extend past the GLOBAL grid at edge tiles —
+        # ghost cells are discarded by the halo merge, don't paint them
+        gy = cy + meta_ref[i, 4]
+        gx = cx + meta_ref[i, 5]
+        sz = jnp.float32(grid_guard)
+        base_ok = base_ok & (gy >= 0.0) & (gy < sz) & \
+            (gx >= 0.0) & (gx < sz)
     free = base_ok & (r < rb - 0.5)
     delta = jnp.where(free, miss * cnt, 0.0) * act
     if tail_weight > 0 and not per_beam:
@@ -303,18 +311,24 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                        n_groups: int = 16, line_equivalent: bool = True,
                        trusted=None, reach: int = REACH_CELLS,
                        tail_weight: float = 0.25,
-                       interpret: bool = False):
+                       interpret: bool = False, band=None, band_cols=None):
     """Kernel entry for the fast free-space pass. Returns new_logodds;
     the caller computes the equivalent-write count analytically.
     `trusted` [N, B] enables IN-KERNEL endpoint painting (hits placed on
     the group-min ring, weighted by the group's trusted fraction) —
     cheaper than the exact endpoint scatter, slightly blurred placement.
     tail_weight: weak-evidence carve to the group median (see
-    beam_raster.group_range_stats / free_raster_reference)."""
+    beam_raster.group_range_stats / free_raster_reference).
+
+    band=(row_offset, n_rows) / band_cols=(col_offset, n_cols): `logodds`
+    is a row band or 2-D tile window of the global grid (the sharded
+    engine's decompositions — offsets may be traced, sizes static). With
+    band_cols the kernel additionally masks evidence to the GLOBAL grid
+    (tile halos extend past it at grid edges; see the XLA tier)."""
     from swarm_tpu.ops.beam_raster import group_range_stats
 
     n = agent_xy.shape[0]
-    rows, cols = patch_dims(cfg.size)
+    rows, cols = patch_dims(cfg.size, reach)
     res = cfg.resolution
     n_groups = min(n_groups, spec.n_beams)
     per_beam = n_groups == spec.n_beams
@@ -323,7 +337,17 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
 
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
-    row0, col0 = patch_origin(ax, ay, cfg.size, rows, cols)
+    row_off = col_off = None
+    if band is not None:
+        row_off = band[0]
+        ay = ay - row_off
+    if band_cols is not None:
+        col_off = band_cols[0]
+        ax = ax - col_off
+    row0, col0 = patch_origin(
+        ax, ay, cfg.size, rows, cols, reach,
+        n_rows=None if band is None else band[1],
+        n_cols=None if band_cols is None else band_cols[1])
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
     ranges_cells = (dist_m / res).astype(jnp.float32)
     if per_beam:
@@ -347,8 +371,16 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
             jnp.pad(tfrac, ((0, 0), (0, g_pad - n_groups))),
             jnp.pad(gmeans, ((0, 0), (0, g_pad - n_groups)))], axis=-1)
         n_comp = 3
+    # meta slots 4/5: the window's global (row, col) offset — the kernel
+    # reconstructs global cell coords for the grid-edge guard (tiles)
+    goff_r = (jnp.zeros_like(ax) if row_off is None
+              else jnp.broadcast_to(
+                  jnp.asarray(row_off, jnp.float32), ax.shape))
+    goff_c = (jnp.zeros_like(ax) if col_off is None
+              else jnp.broadcast_to(
+                  jnp.asarray(col_off, jnp.float32), ax.shape))
     meta = jnp.stack([ax, ay, yaw, active.astype(jnp.float32),
-                      jnp.zeros_like(ax), jnp.zeros_like(ax),
+                      goff_r, goff_c,
                       jnp.zeros_like(ax), jnp.zeros_like(ax)], axis=-1)
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
 
@@ -359,7 +391,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         clamp=cfg.logodds_clamp,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
         dense=_dense_fan(spec, reach), tail_weight=tail_weight,
-        per_beam=per_beam)
+        per_beam=per_beam,
+        grid_guard=cfg.size if band_cols is not None else 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

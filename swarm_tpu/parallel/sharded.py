@@ -381,18 +381,51 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                          beams_from_scan(scan_dist, sens.max_range,
                                          sens.min_range)))
         for spec_b, (db, tb) in fans:
-            d_free, w_free = free_raster_reference(
-                zero, axy_l, ryaw, jnp.where(alive[:, None], db, 0.0),
-                alive, spec_b, cfg.grid,
-                n_groups=(spec_b.n_beams if cfg.engine.beam_groups <= 0
-                          else min(cfg.engine.beam_groups,
-                                   spec_b.n_beams)),
-                reach=reach, band=band, band_cols=band_cols,
-                tail_weight=cfg.engine.beam_tail_weight)
-            ep_delta, w_ep = logodds_delta(
-                endpoint_rays(axy_l, ryaw, db, tb, alive, spec_b),
-                cfg.grid, k_max=1, band=band, band_cols=band_cols)
-            delta = delta + d_free + ep_delta
+            ngr = (spec_b.n_beams if cfg.engine.beam_groups <= 0
+                   else min(cfg.engine.beam_groups, spec_b.n_beams))
+            dbm = jnp.where(alive[:, None], db, 0.0)
+            if cfg.engine.use_pallas:
+                # per-shard Pallas kernels (the fused engine's fast
+                # tiers) — the XLA fast tier below stays the CPU-mesh /
+                # test path, but its per-cell range gather is gather-
+                # bound on real TPUs
+                from swarm_tpu.ops.beam_raster_pallas import (
+                    free_raster_pallas)
+                delta = free_raster_pallas(
+                    delta, axy_l, ryaw, dbm, alive, spec_b, cfg.grid,
+                    n_groups=ngr,
+                    trusted=(tb & alive[:, None]
+                             if cfg.engine.kernel_endpoints else None),
+                    reach=reach, band=band, band_cols=band_cols,
+                    tail_weight=cfg.engine.beam_tail_weight)
+                # analytic line-equivalent claim (mirrors the fused
+                # engine's accounting; bench reports applied_ratio)
+                path_cells = jnp.maximum(
+                    jnp.floor(db / cfg.grid.resolution) - 1.0, 0.0)
+                w_free = jnp.sum(jnp.where(alive[:, None], path_cells,
+                                           0.0))
+                if cfg.engine.kernel_endpoints:
+                    w_ep = jnp.sum((tb & alive[:, None]
+                                    ).astype(jnp.int32))
+                else:
+                    ep_delta, w_ep = logodds_delta(
+                        endpoint_rays(axy_l, ryaw, db, tb, alive,
+                                      spec_b),
+                        cfg.grid, k_max=1, band=band,
+                        band_cols=band_cols)
+                    delta = jnp.clip(delta + ep_delta,
+                                     -cfg.grid.logodds_clamp,
+                                     cfg.grid.logodds_clamp)
+            else:
+                d_free, w_free = free_raster_reference(
+                    zero, axy_l, ryaw, dbm, alive, spec_b, cfg.grid,
+                    n_groups=ngr, reach=reach, band=band,
+                    band_cols=band_cols,
+                    tail_weight=cfg.engine.beam_tail_weight)
+                ep_delta, w_ep = logodds_delta(
+                    endpoint_rays(axy_l, ryaw, db, tb, alive, spec_b),
+                    cfg.grid, k_max=1, band=band, band_cols=band_cols)
+                delta = delta + d_free + ep_delta
             writes_loc = writes_loc + w_free.astype(jnp.int32) + \
                 w_ep.astype(jnp.int32)
     else:
@@ -588,6 +621,12 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                           walls_grouped=None, room_of_agent=None):
     """Build the jitted multi-chip step. `cfg.n_agents` must be divisible by
     the mesh size and `cfg.engine.parity_mode` must be False.
+
+    With `cfg.engine.use_pallas` the beam raster runs the per-shard
+    Pallas window kernels on banded/tiled grid windows — the TPU
+    deployment path (the XLA fast tier's per-cell range gather is
+    gather-bound on real chips); without it the XLA tier serves the
+    virtual-CPU-mesh test path.
 
     grid_sharding:
       "replicated" — each shard computes a full-grid delta, merged with

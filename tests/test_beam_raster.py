@@ -116,3 +116,46 @@ def test_engine_pallas_mode_runs_interpret():
             st, m = sim_step(st, cfg, jnp.asarray(BEDROOM_WALLS), params)
     assert int(m.writes) > 0
     assert np.isfinite(np.asarray(st.srv.logodds)).all()
+
+
+def test_banded_window_kernel_bit_exact():
+    """free_raster_pallas on row-band and 2-D tile windows (traced
+    offsets, grid-edge ghost guard) is BIT-EXACT vs the XLA tier on the
+    same windows — the surface the sharded engine's use_pallas path
+    adds (parallel/sharded.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swarm_tpu.config import GridConfig
+    from swarm_tpu.ops.beam_raster import (BeamSpec,
+                                           free_raster_reference)
+    from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+
+    grid = GridConfig(size=512, origin_x=0.0, origin_y=0.0)
+    spec = BeamSpec.scan(61)
+    key = jax.random.PRNGKey(1)
+    pos_cells = jnp.asarray([[250.0, 120.0], [253.0, 253.0],
+                             [40.0, 300.0]])
+    xy = pos_cells[:, ::-1] * grid.resolution
+    yaw = jnp.asarray([0.3, -1.2, 2.0])
+    dist = jax.random.uniform(key, (3, 61), minval=0.15, maxval=1.19)
+    act = jnp.ones((3,), bool)
+
+    cases = [
+        ((jnp.int32(96), 256), None),                       # row band
+        ((jnp.int32(192), 320), (jnp.int32(0), 512)),       # tile + halo
+        ((jnp.int32(-32), 320), (jnp.int32(-128), 512)),    # grid-edge
+    ]
+    for band, band_cols in cases:
+        tgt = (band[1], band_cols[1] if band_cols else grid.size)
+        ref, w = free_raster_reference(
+            jnp.zeros(tgt), xy, yaw, dist, act, spec, grid,
+            n_groups=spec.n_beams, reach=26, band=band,
+            band_cols=band_cols, tail_weight=0.0)
+        ker = free_raster_pallas(
+            jnp.zeros(tgt), xy, yaw, dist, act, spec, grid,
+            n_groups=spec.n_beams, reach=26, band=band,
+            band_cols=band_cols, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+        assert float(w) > 0

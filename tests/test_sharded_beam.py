@@ -58,3 +58,46 @@ def test_sharded_beam_matches_single_chip():
     # writes: analytic path-cell count (kernel tier) vs painted-cell count
     # (XLA tier) — same order, different estimators
     assert 0.5 < int(m_sh.writes) / max(int(m_ref.writes), 1) < 2.0
+
+
+def test_sharded_pallas_kernels_match_xla_tier():
+    """cfg.engine.use_pallas routes the sharded body's raster through the
+    per-shard Pallas kernels on banded grid windows — the multi-chip
+    deployment path; the XLA fast tier remains the CPU-mesh reference.
+
+    Engine-level check on the rows decomposition (4 devices). The tiles
+    decomposition is covered by transitivity: tiles-XLA == replicated
+    (tests/test_sharded_tiles.py) and the banded/tiled window kernel is
+    BIT-EXACT vs the XLA tier on identical windows
+    (tests/test_beam_raster.py::test_banded_window_kernel_bit_exact) —
+    running the Mosaic interpreter inside an 8-device shard_map with
+    ppermute deadlocks in the interpreter's buffer io_callbacks (an
+    interpret-mode limitation; real-TPU lowering has no such layer)."""
+    import pytest
+
+    from tests.test_sharded_spatial import _vertical_world
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    vcfg, vwalls, vparams, vwg, vroa = _vertical_world(4)
+    outs = {}
+    for use_pallas in (False, True):
+        c = vcfg.replace(engine=dataclasses.replace(
+            vcfg.engine, use_pallas=use_pallas))
+        step = make_sharded_sim_step(
+            c, vwalls, vparams, make_mesh(4), donate=False,
+            grid_sharding="rows", walls_grouped=vwg, room_of_agent=vroa)
+        st = shard_state(sim_init(c, vparams), make_mesh(4),
+                         grid_rows_sharded=True)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(3):
+                st, m = step(st)
+        outs[use_pallas] = (np.asarray(st.srv.logodds), int(m.writes))
+    lo_x, w_x = outs[False]
+    lo_p, w_p = outs[True]
+    diff = np.abs(lo_p - lo_x)
+    assert (diff > 1e-3).sum() <= 64, (diff > 1e-3).sum()
+    # write semantics differ (painted count vs analytic claim) but stay
+    # the same order of magnitude
+    assert 0.4 < w_p / max(w_x, 1) < 2.5, (w_p, w_x)
