@@ -15,6 +15,7 @@ pass.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -57,7 +58,17 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
         closure_meas=jnp.zeros((c, 3), jnp.float32),
         n_closures=len(closure_pairs),
         closure_weight=(closure_weight,) * 3)
-    out, costs = jax.jit(gauss_newton, static_argnums=(1,))(g, iterations)
+    if cap > 256:
+        # long trajectories: the chain+closures structured solve
+        # (block cyclic reduction + Woodbury, slam/tridiag.py) — the
+        # dense [3M, 3M] Cholesky stops fitting/scaling past ~1k nodes
+        from swarm_tpu.slam.tridiag import structured_gn
+        out, costs = jax.jit(
+            functools.partial(structured_gn, n_chain=cap - 1,
+                              iterations=iterations))(g)
+    else:
+        out, costs = jax.jit(gauss_newton,
+                             static_argnums=(1,))(g, iterations)
     return np.asarray(out.poses[:t]), np.asarray(costs)
 
 

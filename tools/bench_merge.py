@@ -85,12 +85,22 @@ def main():
         return gg._replace(poses=gg.poses + (out.poses - gg.poses) * 1e-9)
     t_gn = timed(one_gn, g, args.inner)
 
+    # structured chain+closures solver (slam/tridiag.py): same graph
+    from swarm_tpu.slam.tridiag import structured_gn
+
+    def one_sgn(gg):
+        out, _costs = structured_gn(gg, n_chain=n - 1, iterations=10)
+        return gg._replace(poses=gg.poses + (out.poses - gg.poses) * 1e-9)
+    t_sgn = timed(one_sgn, g, args.inner)
+
     print(json.dumps({
         "scanmatch_ms": round(t_match * 1e3, 3),
         "posegraph_gn_1024n_10it_ms": round(t_gn * 1e3, 3),
+        "posegraph_structured_gn_1024n_10it_ms": round(t_sgn * 1e3, 3),
         "platform": jax.devices()[0].platform,
         "detail": {"scanmatch": "256^2 pair, 17 rotations, +/-16 cells",
-                   "gn": "1024 nodes, 1023 odom + 64 closure edges"},
+                   "gn": "1024 nodes, 1023 odom + 64 closure edges; "
+                         "structured = block cyclic reduction + Woodbury"},
     }))
 
 
