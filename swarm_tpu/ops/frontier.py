@@ -98,24 +98,33 @@ def frontier_targets_coarse(grid, cfg: GridConfig = GridConfig(),
 
     sep_blocks = max(1, int(round(coord.frontier_separation_m /
                                   (cfg.resolution * block))))
-    bi = jnp.arange(nb)
 
-    def pick(carry, _):
-        c, sx, sy = carry
-        flat = jnp.argmax(c)
-        by, bx = flat // nb, flat % nb
-        cnt = c.reshape(-1)[flat]
+    # One top_k prefilter, then greedy NMS over the CANDIDATE LIST: the
+    # original scan ran k_max sequential argmax+mask passes over the
+    # full [nb, nb] density (64 latency-bound reductions — ~20 ms of
+    # the frontier cadence at 4096 grids). Each pick suppresses at most
+    # (2*sep+1)^2 blocks, so every possible pick lies within the top
+    # k_max*(2*sep+1)^2 blocks by count — the candidate NMS is EXACTLY
+    # equivalent (top_k and argmax share the lowest-index tie-break).
+    cand = min(nb * nb, k_max * (2 * sep_blocks + 1) ** 2)
+    vals, idx = jax.lax.top_k(counts.reshape(-1), cand)
+    cby = idx // nb
+    cbx = idx % nb
+    csx = sum_x.reshape(-1)[idx]
+    csy = sum_y.reshape(-1)[idx]
+
+    def pick(v, _):
+        j = jnp.argmax(v)
+        cnt = v[j]
         ok = cnt >= coord.frontier_min_cluster
-        cx = sx.reshape(-1)[flat] / jnp.maximum(cnt, 1.0)
-        cy = sy.reshape(-1)[flat] / jnp.maximum(cnt, 1.0)
-        # suppress the separation neighbourhood
-        sup = (jnp.abs(bi[:, None] - by) <= sep_blocks) & \
-              (jnp.abs(bi[None, :] - bx) <= sep_blocks)
-        c = jnp.where(sup, 0.0, c)
-        return (c, sx, sy), (cx, cy, cnt, ok)
+        cx = csx[j] / jnp.maximum(cnt, 1.0)
+        cy = csy[j] / jnp.maximum(cnt, 1.0)
+        sup = (jnp.abs(cby - cby[j]) <= sep_blocks) & \
+              (jnp.abs(cbx - cbx[j]) <= sep_blocks)
+        return jnp.where(sup, 0.0, v), (cx, cy, cnt, ok)
 
-    (_, _, _), (cxs, cys, cnts, oks) = jax.lax.scan(
-        pick, (counts, sum_x, sum_y), None, length=k_max)
+    _, (cxs, cys, cnts, oks) = jax.lax.scan(
+        pick, vals, None, length=k_max)
     wx, wy = grid_to_world(cxs, cys, cfg)
     centroids = jnp.stack([jnp.where(oks, wx, 0.0),
                            jnp.where(oks, wy, 0.0)], axis=-1)

@@ -134,3 +134,54 @@ def test_exact_vs_coarse_divergence_on_engine_map():
     assert has.any()
     for t in tg[has]:
         assert np.hypot(*(fw - t).T).min() <= 0.5, t
+
+
+def test_candidate_nms_equals_full_grid_nms():
+    """The top-k candidate NMS must pick the same blocks as a full-grid
+    greedy NMS (numpy oracle) on random density fields — the r2
+    optimization's exactness claim."""
+    from swarm_tpu.config import CoordConfig, GridConfig
+    from swarm_tpu.ops.frontier import frontier_targets_coarse
+
+    rng = np.random.default_rng(5)
+    cfg = GridConfig(size=512)
+    coord = CoordConfig(max_frontiers=16)
+    for trial in range(3):
+        grid = np.full((512, 512), -1, np.int8)
+        # random free blobs bordered by unknown -> messy frontier field
+        for _ in range(40):
+            y, x = rng.integers(20, 480, 2)
+            h, w = rng.integers(4, 30, 2)
+            grid[y:y + h, x:x + w] = 0
+        g = jnp.asarray(grid)
+        c, s, n = frontier_targets_coarse(g, cfg, coord)
+        c, s, n = np.asarray(c), np.asarray(s), int(n)
+
+        # numpy oracle: full-grid greedy NMS on the same pooled stats
+        from swarm_tpu.ops.frontier import frontier_mask
+        mask = np.asarray(frontier_mask(g, cfg)).astype(np.float64)
+        nb = 512 // 8
+        m = mask.reshape(nb, 8, nb, 8)
+        counts = m.sum(axis=(1, 3))
+        gx = np.arange(512, dtype=np.float64)
+        sum_x = (mask * gx[None, :]).reshape(nb, 8, nb, 8).sum(axis=(1, 3))
+        sum_y = (mask * gx[:, None]).reshape(nb, 8, nb, 8).sum(axis=(1, 3))
+        sep = max(1, round(coord.frontier_separation_m / (0.05 * 8)))
+        cc = counts.copy()
+        got = []
+        for _ in range(coord.max_frontiers):
+            flat = int(np.argmax(cc))
+            by, bx = flat // nb, flat % nb
+            cnt = cc[by, bx]
+            if cnt >= coord.frontier_min_cluster:
+                got.append((sum_x[by, bx] / cnt, sum_y[by, bx] / cnt, cnt))
+            y0, y1 = max(0, by - sep), min(nb, by + sep + 1)
+            x0, x1 = max(0, bx - sep), min(nb, bx + sep + 1)
+            cc[y0:y1, x0:x1] = 0.0
+        assert n == len(got), (trial, n, len(got))
+        for k, (ox, oy, ocnt) in enumerate(got):
+            wx = cfg.origin_x + (ox + 0.5) * cfg.resolution
+            wy = cfg.origin_y + (oy + 0.5) * cfg.resolution
+            # picks come out in the same greedy order
+            assert abs(s[k] - ocnt) < 0.5, (trial, k)
+            assert abs(c[k, 0] - wx) < 1e-3 and abs(c[k, 1] - wy) < 1e-3
