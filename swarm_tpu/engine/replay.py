@@ -217,3 +217,147 @@ def replay_session(stream: PacketStream, cfg: SwarmConfig,
                              compute_frontiers=compute_frontiers)
 
     return jax.lax.scan(step, state, stream)
+
+
+def ingest_frame(state: ServerState, batch: PacketStream,
+                 cfg: SwarmConfig, offsets,
+                 enable_targets: bool = False,
+                 compute_frontiers: bool = False):
+    """THROUGHPUT serving mode: one FRAME of packets applied as a single
+    fused computation instead of the per-packet lax.scan (`ingest_packet`
+    — whose sequential body is the live server's cost at swarm packet
+    rates: ~100 us/packet of pure serialization).
+
+    Semantics vs the scan, all frame-coarse (frames are ~33 ms, the
+    affected cadences are seconds):
+      * the parity GRID stays ORDER-EXACT — parity_raster is sequence-
+        aware across the whole frame's rays;
+      * closure drift corrections apply from the NEXT frame on (the scan
+        applies a mid-frame closure to later packets of the same frame);
+      * closures/zone-snapshot/frontier cadences evaluate once per frame
+        at the frame's latest timestamp;
+      * closure matching uses each agent's LAST packet of the frame
+        (closure_add_poses_batch needs distinct agents; the reference's
+        >= 30-pose gap makes intra-frame matches impossible anyway).
+
+    Returns (new_state, ReplayOutputs [B]) — per-packet outputs carry
+    the frame-level closure/online results on each row.
+    """
+    from swarm_tpu.coord.zones import zone_observe_batch
+    from swarm_tpu.slam.closure import closure_add_poses_batch
+
+    sens = cfg.sensors
+    n = cfg.n_agents
+    t, agent, valid = batch.t, batch.agent, batch.valid
+    b = t.shape[0]
+
+    rx = batch.x + offsets[agent] + state.closure.drift_dx[agent]
+    ry = batch.y + state.closure.drift_dy[agent]
+    ryaw = batch.yaw
+
+    # per-agent LAST valid packet of the frame
+    pos = jnp.where(valid, jnp.arange(b, dtype=jnp.int32), -1)
+    pos_last = jnp.full((n,), -1, jnp.int32).at[agent].max(pos,
+                                                           mode="drop")
+    has = pos_last >= 0
+    pl = jnp.clip(pos_last, 0, b - 1)
+
+    last_packet_t = jnp.where(has, t[pl], state.last_packet_t)
+    pkt_counts = state.pkt_counts.at[agent].add(valid.astype(jnp.int32),
+                                                mode="drop")
+    agent_xy = jnp.where(has[:, None],
+                         jnp.stack([rx[pl], ry[pl]], axis=-1),
+                         state.agent_xy)
+    agent_yaw = jnp.where(has, ryaw[pl], state.agent_yaw)
+
+    # the whole frame's rays, order preserved (parity_raster resolves
+    # same-cell writes by sequence id — identical to the scan)
+    angles = ryaw[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
+    hit_valid = (batch.dist > sens.min_range) & \
+        (batch.dist <= sens.max_range)
+    rng = jnp.where(hit_valid, batch.dist, sens.max_range)
+    hx = rx[:, None] + rng * jnp.cos(angles)
+    hy = ry[:, None] + rng * jnp.sin(angles)
+    rays = RayBatch(
+        ox=jnp.repeat(rx, 4), oy=jnp.repeat(ry, 4),
+        hx=hx.reshape(-1), hy=hy.reshape(-1),
+        hit_valid=hit_valid.reshape(-1),
+        active=jnp.repeat(valid, 4))
+    grid, writes = parity_raster(state.grid, rays, cfg.grid)
+
+    zone = zone_observe_batch(
+        state.zone,
+        jnp.concatenate([agent, jnp.repeat(agent, 4)]),
+        jnp.concatenate([rx, hx.reshape(-1)]),
+        jnp.concatenate([ry, hy.reshape(-1)]),
+        jnp.concatenate([valid, (hit_valid & valid[:, None]).reshape(-1)]))
+
+    closure, closed_a, cdx_a, cdy_a = closure_add_poses_batch(
+        state.closure, rx[pl], ry[pl], jnp.arange(n, dtype=jnp.int32),
+        batch.landmark[pl], cfg.slam, valid=has)
+
+    t_frame = jnp.max(jnp.where(valid, t, -jnp.inf))
+    t_frame = jnp.where(jnp.isfinite(t_frame), t_frame,
+                        state.last_zone_t)
+    online = heartbeat_update(last_packet_t, t_frame,
+                              cfg.coord.heartbeat_timeout_s)
+
+    any_valid = jnp.any(valid)
+    do_zone = any_valid & ((t_frame - state.last_zone_t) >
+                           cfg.coord.zone_interval_s)
+    boxes, active = zones_for_agents(zone, agent_xy, online)
+    zone_boxes = jnp.where(do_zone, boxes, state.zone_boxes)
+    zone_active = jnp.where(do_zone, active, state.zone_active)
+    last_zone_t = jnp.where(do_zone, t_frame, state.last_zone_t)
+
+    do_target = any_valid & ((t_frame - state.last_target_t) >
+                             cfg.coord.target_interval_s)
+    if compute_frontiers:
+        def recompute(_):
+            cents, _, cnt = frontier_clusters(grid, cfg.grid, cfg.coord)
+            if enable_targets:
+                tgts, has_t = greedy_assign(agent_xy, online, cents, cnt,
+                                            cfg.coord)
+            else:
+                tgts = state.targets
+                has_t = jnp.zeros_like(state.has_target)
+            return cents, cnt, tgts, has_t
+
+        def keep(_):
+            return (state.frontier_centroids, state.n_frontiers,
+                    state.targets, state.has_target)
+
+        cents, n_fr, targets, has_target = jax.lax.cond(
+            do_target, recompute, keep, None)
+    else:
+        cents, n_fr = state.frontier_centroids, state.n_frontiers
+        targets, has_target = state.targets, state.has_target
+    last_target_t = jnp.where(do_target, t_frame, state.last_target_t)
+
+    new_state = ServerState(
+        grid=grid, closure=closure, zone=zone,
+        last_packet_t=last_packet_t, pkt_counts=pkt_counts,
+        agent_xy=agent_xy, agent_yaw=agent_yaw,
+        zone_boxes=zone_boxes, zone_active=zone_active,
+        targets=targets, has_target=has_target,
+        frontier_centroids=cents, n_frontiers=n_fr,
+        last_zone_t=last_zone_t, last_target_t=last_target_t,
+        total_writes=writes_accumulate(state.total_writes,
+                                       writes.astype(jnp.int32)))
+
+    # per-packet outputs: frame-level closure results land on each
+    # agent's LAST packet row; online broadcast per row
+    closed_b = jnp.zeros((b,), bool).at[pl].set(
+        closed_a & has, mode="drop")
+    corr_b = jnp.zeros((b, 2), jnp.float32).at[pl].set(
+        jnp.stack([cdx_a, cdy_a], axis=-1) *
+        (closed_a & has)[:, None].astype(jnp.float32), mode="drop")
+    out = ReplayOutputs(
+        rx=rx, ry=ry, yaw=ryaw,
+        hits=jnp.stack([hx, hy], axis=-1), hit_valid=hit_valid &
+        valid[:, None],
+        closed=closed_b, corr=corr_b,
+        online=jnp.broadcast_to(online[None, :], (b, n)),
+        writes=jnp.zeros((b,), jnp.int32).at[0].set(
+            writes.astype(jnp.int32)))
+    return new_state, out

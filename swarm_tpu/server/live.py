@@ -36,10 +36,16 @@ class LiveServer:
                  separation: float = 5.0, log_dir: Optional[str] = None,
                  enable_targets: bool = False,
                  bot_tx_port_base: int = 8888,
-                 native_codec: bool = True):
+                 native_codec: bool = True,
+                 ingest_mode: str = "parity"):
         import jax
         import jax.numpy as jnp
-        from swarm_tpu.engine.replay import ingest_packet, server_init
+        from swarm_tpu.engine.replay import (ingest_frame, ingest_packet,
+                                             server_init)
+
+        if ingest_mode not in ("parity", "throughput"):
+            raise ValueError(f"unknown ingest_mode {ingest_mode!r}")
+        self.ingest_mode = ingest_mode
 
         # Native batch codec (swarm_tpu.native/src/codec.cpp): one C pass
         # turns a frame's raw datagrams into column arrays, keeping the
@@ -84,12 +90,21 @@ class LiveServer:
 
         b = cfg.engine.max_packets_per_frame
 
-        def frame_fn(state, batch):
-            def step(st, pkt):
-                return ingest_packet(st, pkt, cfg, self.offsets,
-                                     enable_targets=enable_targets,
-                                     compute_frontiers=True)
-            return jax.lax.scan(step, state, batch)
+        if ingest_mode == "throughput":
+            # one fused application per frame (order-exact parity grid,
+            # frame-coarse closure/cadence semantics — engine.replay
+            # .ingest_frame): the per-packet scan serializes ~100 us/pkt
+            def frame_fn(state, batch):
+                return ingest_frame(state, batch, cfg, self.offsets,
+                                    enable_targets=enable_targets,
+                                    compute_frontiers=True)
+        else:
+            def frame_fn(state, batch):
+                def step(st, pkt):
+                    return ingest_packet(st, pkt, cfg, self.offsets,
+                                         enable_targets=enable_targets,
+                                         compute_frontiers=True)
+                return jax.lax.scan(step, state, batch)
 
         # No donation: freshly-initialised states can alias identical
         # zero-constant buffers across leaves, which donation rejects.
@@ -404,6 +419,12 @@ def main(argv=None):
     ap.add_argument("--fps", type=float, default=30.0,
                     help="frame-rate cap (reference renders at 30 FPS, "
                          ":474); ingest ceiling = fps x max-packets")
+    ap.add_argument("--ingest-mode", default="parity",
+                    choices=["parity", "throughput"],
+                    help="parity = per-packet ordered scan (reference "
+                         "drop-in); throughput = one fused application "
+                         "per frame (order-exact grid, frame-coarse "
+                         "closure timing) for swarm packet rates")
     ap.add_argument("--no-native-codec", action="store_true",
                     help="parse datagrams with the per-packet Python "
                          "struct codec instead of the native C++ batch "
@@ -425,7 +446,8 @@ def main(argv=None):
             cfg.engine, max_packets_per_frame=args.max_packets))
     srv = LiveServer(cfg, port=args.port, separation=args.separation,
                      log_dir=args.log_dir, enable_targets=args.enable_targets,
-                     native_codec=not args.no_native_codec)
+                     native_codec=not args.no_native_codec,
+                     ingest_mode=args.ingest_mode)
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
           f"({args.agents} agents, separation {args.separation})")
     if args.view is not None:

@@ -197,3 +197,32 @@ def test_native_codec_drain_ingest(free_port, tmp_path):
     finally:
         tx.close()
         srv.close()
+
+
+def test_throughput_ingest_matches_parity_grid(free_port, tmp_path):
+    """ingest_mode='throughput' (one fused frame application) produces
+    the SAME parity grid as the per-packet scan on closure-free streams
+    (parity_raster is order-exact across the frame), and the same
+    heartbeat/zone results."""
+    cfg = SwarmConfig(n_agents=2)
+    frames = [make_packets(120)[i:i + 10] for i in range(0, 120, 10)]
+
+    srvs = {}
+    for mode in ("parity", "throughput"):
+        srv = LiveServer(cfg, port=0, separation=5.0, ingest_mode=mode)
+        for f in frames:
+            srv.ingest([(p.agent - 1, p) for p in f])
+        srvs[mode] = srv
+    try:
+        gp = np.asarray(srvs["parity"].state.grid)
+        gt = np.asarray(srvs["throughput"].state.grid)
+        np.testing.assert_array_equal(gt, gp)
+        assert srvs["throughput"].pkt_total == srvs["parity"].pkt_total
+        np.testing.assert_allclose(
+            np.asarray(srvs["throughput"].state.agent_xy),
+            np.asarray(srvs["parity"].state.agent_xy), atol=1e-6)
+        onl = srvs["throughput"].heartbeat_transitions()
+        assert onl.sum() == 2
+    finally:
+        for s_ in srvs.values():
+            s_.close()
