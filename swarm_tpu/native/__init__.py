@@ -62,11 +62,15 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_float, ctypes.c_float, f32p, f32p]
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.codec_is_little_endian.restype = ctypes.c_int
         lib.parse_telemetry_batch.restype = ctypes.c_int
         lib.parse_telemetry_batch.argtypes = [
             u8p, i32p, i32p, ctypes.c_int,
             i32p, i32p, f32p, f32p, f32p, i32p, i32p, f32p, i32p, f32p]
+        lib.drain_udp.restype = ctypes.c_int
+        lib.drain_udp.argtypes = [ctypes.c_int, u8p, ctypes.c_int,
+                                  ctypes.c_int, i32p, u32p, i32p]
         _lib = lib
         return _lib
 
@@ -179,6 +183,69 @@ def parse_telemetry_columns(datagrams):
     }
     if n:
         i32 = ctypes.POINTER(ctypes.c_int32)
+        good = lib.parse_telemetry_batch(
+            buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            off.ctypes.data_as(i32), lens.ctypes.data_as(i32), n,
+            out["kind"].ctypes.data_as(i32),
+            out["agent"].ctypes.data_as(i32),
+            _fp(out["x"]), _fp(out["y"]), _fp(out["yaw"]),
+            out["encoder"].ctypes.data_as(i32),
+            out["v2v"].ctypes.data_as(i32),
+            _fp(out["dist4"]),
+            out["landmark"].ctypes.data_as(i32),
+            _fp(out["scans"]))
+        out["n_good"] = int(good)
+    else:
+        out["n_good"] = 0
+    return out
+
+
+def drain_udp_socket(fd: int, max_msgs: int = 1024, stride: int = 2048):
+    """Batch-drain a non-blocking UDP socket with recvmmsg(2) — one
+    syscall per <= 256 datagrams (src/codec.cpp::drain_udp; the
+    per-datagram Python recvfrom loop bounded the throughput serving
+    mode). Returns (buf [max_msgs, stride] u8, lens [n], ip4 [n] u32
+    host-order, port [n], n)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    buf = np.empty((max_msgs, stride), np.uint8)
+    lens = np.empty(max_msgs, np.int32)
+    ip4 = np.empty(max_msgs, np.uint32)
+    port = np.empty(max_msgs, np.int32)
+    i32 = ct.POINTER(ct.c_int32)
+    n = lib.drain_udp(fd, buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                      stride, max_msgs, lens.ctypes.data_as(i32),
+                      ip4.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+                      port.ctypes.data_as(i32))
+    return buf, lens[:n], ip4[:n], port[:n], n
+
+
+def parse_telemetry_buffer(buf: np.ndarray, lens: np.ndarray, n: int):
+    """parse_telemetry_columns over a strided drain buffer (zero-copy:
+    offsets are row strides of `buf`)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    if not lib.codec_is_little_endian():
+        raise RuntimeError("native codec requires a little-endian host")
+    stride = buf.shape[1]
+    off = (np.arange(n, dtype=np.int32) * stride)
+    lens = np.ascontiguousarray(lens[:n], np.int32)
+    out = {
+        "kind": np.zeros(n, np.int32),
+        "agent": np.zeros(n, np.int32),
+        "x": np.zeros(n, np.float32),
+        "y": np.zeros(n, np.float32),
+        "yaw": np.zeros(n, np.float32),
+        "encoder": np.zeros(n, np.int32),
+        "v2v": np.zeros(n, np.int32),
+        "dist4": np.zeros((n, 4), np.float32),
+        "landmark": np.zeros(n, np.int32),
+        "scans": np.zeros((n, 181), np.float32),
+    }
+    if n:
+        i32 = ct.POINTER(ct.c_int32)
         good = lib.parse_telemetry_batch(
             buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
             off.ctypes.data_as(i32), lens.ctypes.data_as(i32), n,

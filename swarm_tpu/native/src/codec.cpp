@@ -115,3 +115,48 @@ int parse_telemetry_batch(const uint8_t* buf, const int32_t* off,
 }
 
 }  // extern "C"
+
+#include <sys/socket.h>
+#include <netinet/in.h>
+#include <cerrno>
+
+extern "C" {
+
+// Drain a non-blocking UDP socket with recvmmsg(2): one syscall per
+// <=256 datagrams instead of one recvfrom per datagram (the Python
+// recv loop bounded the throughput serving mode at ~40k pkt/s).
+// buf is [max_msgs, stride] row-major; lens/ip4/port are [max_msgs].
+// Returns the number of datagrams read (0 on EAGAIN-empty).
+int drain_udp(int fd, uint8_t* buf, int stride, int max_msgs,
+              int32_t* lens, uint32_t* ip4, int32_t* port) {
+    constexpr int kBatch = 256;
+    mmsghdr hdrs[kBatch];
+    iovec iovs[kBatch];
+    sockaddr_in addrs[kBatch];
+    int total = 0;
+    while (total < max_msgs) {
+        const int want = max_msgs - total < kBatch ? max_msgs - total
+                                                   : kBatch;
+        for (int i = 0; i < want; ++i) {
+            iovs[i].iov_base = buf + (total + i) * stride;
+            iovs[i].iov_len = stride;
+            std::memset(&hdrs[i], 0, sizeof(mmsghdr));
+            hdrs[i].msg_hdr.msg_iov = &iovs[i];
+            hdrs[i].msg_hdr.msg_iovlen = 1;
+            hdrs[i].msg_hdr.msg_name = &addrs[i];
+            hdrs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+        }
+        const int got = recvmmsg(fd, hdrs, want, MSG_DONTWAIT, nullptr);
+        if (got <= 0) break;
+        for (int i = 0; i < got; ++i) {
+            lens[total + i] = static_cast<int32_t>(hdrs[i].msg_len);
+            ip4[total + i] = ntohl(addrs[i].sin_addr.s_addr);
+            port[total + i] = ntohs(addrs[i].sin_port);
+        }
+        total += got;
+        if (got < want) break;
+    }
+    return total;
+}
+
+}  // extern "C"

@@ -213,17 +213,16 @@ class LiveServer:
             if pkts:
                 self.ingest(pkts)
             return len(pkts)
-        datagrams, addrs = [], []
-        for _ in range(self._batch_size):
-            try:
-                data, addr = self.sock.recvfrom(2048)
-            except BlockingIOError:
-                break
-            datagrams.append(data)
-            addrs.append(addr)
-        if not datagrams:
+        from swarm_tpu.native import drain_udp_socket, \
+            parse_telemetry_buffer
+
+        # recvmmsg batch drain: one syscall per <= 256 datagrams (the
+        # per-datagram recvfrom loop capped the throughput mode)
+        buf, lens, ip4, _ports, n = drain_udp_socket(
+            self.sock.fileno(), max_msgs=self._batch_size)
+        if n == 0:
             return 0
-        cols = self._native(datagrams)
+        cols = parse_telemetry_buffer(buf, lens, n)
         agent0 = cols["agent"] - 1
         # 4-way telemetry only (kinds 1/2), mirroring drain_socket's
         # isinstance filter — scan payloads belong to the ScanBridge.
@@ -232,8 +231,10 @@ class LiveServer:
         idx = np.nonzero(keep)[0]
         for i in idx:
             a = int(agent0[i])
-            self.bot_addrs.setdefault(
-                a, (addrs[i][0], self.bot_tx_port_base + a))
+            if a not in self.bot_addrs:
+                ip = socket.inet_ntoa(
+                    int(ip4[i]).to_bytes(4, "big"))
+                self.bot_addrs[a] = (ip, self.bot_tx_port_base + a)
         if len(idx):
             self.ingest_columns(agent0[idx],
                                 {k: v[idx] for k, v in cols.items()
