@@ -66,3 +66,29 @@ def test_sharded_donation_matches_undonated():
         st_u, m_u = step_u(st_u)
     _assert_tree_equal(st_d, st_u)
     _assert_tree_equal(m_d, m_u)
+
+
+def test_tiles_donation_matches_undonated():
+    """Donation on the 2-D tiles decomposition (ppermute halo exchange +
+    tile-sharded state) — the r2 grid layout's donation hazard check."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from tests.test_sharded_tiles import _mesh2d, _tiled_world
+
+    cfg, walls, params, wg, roa = _tiled_world(8, per_row=2)
+    mesh = _mesh2d(4, 2)
+    results = {}
+    for donate in (False, True):
+        step = make_sharded_sim_step(cfg, walls, params, mesh,
+                                     donate=donate,
+                                     grid_sharding="tiles",
+                                     walls_grouped=wg, room_of_agent=roa)
+        st = shard_state(sim_init(cfg, params), mesh,
+                         grid_tiles_sharded=True)
+        for _ in range(4):
+            st, m = step(st)
+        results[donate] = (st, m)
+    _assert_tree_equal(results[False][0], results[True][0])
+    assert int(results[True][1].writes) == int(results[False][1].writes)
