@@ -117,6 +117,38 @@ def alive_mask(faults: FaultSchedule, n: int, t) -> jnp.ndarray:
     return ~jnp.any(hit, axis=1)
 
 
+def v2v_nearest_cm(txy, alive, chunk: int = 1024) -> jnp.ndarray:
+    """Distance to the nearest OTHER live agent, integer cm (the ESP-NOW
+    link model, generate_fake_dual_session.py:466); 0 when no other live
+    agent exists.
+
+    Above 2*chunk agents the pairwise [N, N] distance matrix is computed
+    in row blocks via lax.scan (one [chunk, N] block live at a time) —
+    the monolithic matrix is >1 GB of HBM at 16,384 agents for a metric
+    that reduces straight back to [N]."""
+    n = txy.shape[0]
+
+    def block_min(rows_xy, row_ids):
+        d2 = jnp.sum((rows_xy[:, None, :] - txy[None, :, :]) ** 2, -1)
+        self_or_dead = (jnp.arange(n)[None, :] == row_ids[:, None]) | \
+            ~alive[None, :]
+        d2 = jnp.where(self_or_dead, jnp.inf, d2)
+        return jnp.min(d2, axis=1)
+
+    if n <= 2 * chunk or n % chunk != 0:
+        d2min = block_min(txy, jnp.arange(n, dtype=jnp.int32))
+    else:
+        def body(_, i):
+            ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            return None, block_min(txy[ids], ids)
+
+        _, mins = jax.lax.scan(body, None,
+                               jnp.arange(n // chunk, dtype=jnp.int32))
+        d2min = mins.reshape(n)
+    return jnp.where(jnp.isfinite(d2min),
+                     jnp.sqrt(d2min) * 100.0, 0.0).astype(jnp.int32)
+
+
 class MapState(NamedTuple):
     """Server-side mapping + coordination state (dual_bot_mapper.py:755-789)."""
     grid: jnp.ndarray             # [S, S] int8 tri-state (parity mode)
@@ -644,10 +676,7 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     # link model; generate_fake_dual_session.py:466)
     txy = state.pose_true[:, :2] + jnp.stack(
         [params.x_offset, jnp.zeros((n,))], axis=-1)
-    d2 = jnp.sum((txy[:, None, :] - txy[None, :, :]) ** 2, -1)
-    d2 = jnp.where(jnp.eye(n, dtype=bool) | ~alive[None, :], jnp.inf, d2)
-    v2v = jnp.where(jnp.any(jnp.isfinite(d2), 1),
-                    jnp.sqrt(jnp.min(d2, 1)) * 100.0, 0.0).astype(jnp.int32)
+    v2v = v2v_nearest_cm(txy, alive)
 
     metrics = StepMetrics(
         writes=writes_delta(srv.total_writes, state.srv.total_writes),

@@ -584,12 +584,10 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     err = jnp.sqrt((rx - p.x_offset - x_true) ** 2 + (ry - y_true) ** 2)
 
     # v2v over gathered TRUE positions (pre-motion, matching sim_step)
+    from swarm_tpu.engine.sim import v2v_nearest_cm
     txy_a = jnp.stack([g(state.pose_true[:, 0] + p.x_offset),
                        g(state.pose_true[:, 1])], axis=-1)
-    d2v = jnp.sum((txy_a[:, None, :] - txy_a[None, :, :]) ** 2, -1)
-    d2v = jnp.where(jnp.eye(n, dtype=bool) | ~alive_a[None, :], jnp.inf, d2v)
-    v2v = jnp.where(jnp.any(jnp.isfinite(d2v), 1),
-                    jnp.sqrt(jnp.min(d2v, 1)) * 100.0, 0.0).astype(jnp.int32)
+    v2v = v2v_nearest_cm(txy_a, alive_a)
 
     metrics = StepMetrics(
         writes=writes.astype(jnp.int32),
