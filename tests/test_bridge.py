@@ -154,3 +154,59 @@ def test_ros2_layer_fields_and_guard():
                 ros2.Ros2Bridge(b, agents=[1])
         finally:
             b.close()
+
+
+def test_native_drain_and_buffer_parse():
+    """recvmmsg batch drain + zero-copy buffer parse (the serve hot
+    path's native pieces) against a real loopback socket."""
+    import socket
+    import time
+
+    import numpy as np
+    import pytest
+
+    try:
+        from swarm_tpu.native import (drain_udp_socket,
+                                      parse_telemetry_buffer)
+        from swarm_tpu.native import get_lib
+        get_lib()
+    except Exception as e:                       # pragma: no cover
+        pytest.skip(f"native codec unavailable: {e}")
+    from swarm_tpu.proto.packets import QuasarPacketV2, ScanPacket
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4 * 1024 * 1024)
+    rx.bind(("127.0.0.1", 0))
+    rx.setblocking(False)
+    port = rx.getsockname()[1]
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        sent = []
+        for i in range(400):
+            p = QuasarPacketV2(i % 8 + 1, 0.1 * i, -0.2, 0.3, i, 7,
+                               1.0, 0.5, 4.0, 0.5, i % 5)
+            sent.append(p)
+            tx.sendto(p.pack(), ("127.0.0.1", port))
+        tx.sendto(b"junk", ("127.0.0.1", port))
+        tx.sendto(ScanPacket(2, 1.0, 2.0, 0.5, 9, 3,
+                             np.full(181, 0.4, np.float32)).pack(),
+                  ("127.0.0.1", port))
+        time.sleep(0.05)
+        buf, lens, ip4, ports, n = drain_udp_socket(rx.fileno(),
+                                                    max_msgs=1024)
+        assert n == 402
+        assert int(ip4[0]) == 0x7F000001
+        cols = parse_telemetry_buffer(buf, lens, n)
+        assert cols["n_good"] == 401                  # junk dropped
+        assert (cols["kind"][:400] == 2).all()
+        assert cols["kind"][400] == 0
+        assert cols["kind"][401] == 3                 # the scan packet
+        k = 137
+        assert cols["agent"][k] == sent[k].agent
+        assert abs(cols["x"][k] - sent[k].x) < 1e-6
+        assert cols["encoder"][k] == sent[k].encoder
+        assert cols["landmark"][k] == sent[k].landmark
+        assert abs(cols["scans"][401][90] - 0.4) < 1e-6
+    finally:
+        tx.close()
+        rx.close()
