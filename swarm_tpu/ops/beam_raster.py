@@ -44,6 +44,24 @@ PATCH_ROWS = 80         # legacy defaults (patch_dims computes from reach)
 PATCH_COLS = 384
 REACH_CELLS = 26        # max beam reach: 1.2 m trust / 5 cm + ring margin
 
+# Beam ranges are quantized to 1/256 cell (0.2 mm at the 5 cm grid) and
+# clipped to < 128 cells (6.4 m — 5x the 1.2 m sensor trust range) before
+# ANY fast-tier carve: the Pallas kernel gathers ranges as 15-bit fixed
+# point packed two-per-int32 word (bit 15 carries the trusted flag), and
+# applying the identical quantization in the XLA tier keeps the two
+# implementations bit-equal (tests/test_beam_raster.py::
+# test_banded_window_kernel_bit_exact). Both the quantization step and the
+# 2^-8 scale are exact in float32, and round() is monotone, so group
+# minima/medians of quantized ranges == quantized group minima/medians.
+RANGE_QUANT = 256.0
+RANGE_MAX_CELLS = 127.0 + 255.0 / 256.0
+
+
+def quantize_ranges_cells(ranges_cells):
+    """Quantize beam ranges (cells) to the shared fast-tier fixed point."""
+    return jnp.round(jnp.clip(ranges_cells, 0.0, RANGE_MAX_CELLS)
+                     * RANGE_QUANT) * jnp.float32(1.0 / RANGE_QUANT)
+
 
 @dataclasses.dataclass(frozen=True)
 class BeamSpec:
@@ -316,7 +334,7 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
         # band_cols=(col_offset_cells, n_cols): the column analogue — with
         # `band` this targets a 2-D tile window (tiles+halo decomposition).
         ax = ax - band_cols[0]
-    ranges_cells = dist_m / res
+    ranges_cells = quantize_ranges_cells(dist_m / res)
     per = -(-spec.n_beams // n_groups)
     if phase is not None and per > 1:
         gmins, gtails = group_range_stats_rotated(ranges_cells, n_groups,

@@ -391,22 +391,19 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                 # bound on real TPUs
                 from swarm_tpu.ops.beam_raster_pallas import (
                     free_raster_pallas)
-                delta = free_raster_pallas(
+                delta, w_cnt = free_raster_pallas(
                     delta, axy_l, ryaw, dbm, alive, spec_b, cfg.grid,
                     n_groups=ngr,
                     trusted=(tb & alive[:, None]
                              if cfg.engine.kernel_endpoints else None),
                     reach=reach, band=band, band_cols=band_cols,
                     tail_weight=cfg.engine.beam_tail_weight)
-                # analytic line-equivalent claim (mirrors the fused
-                # engine's accounting; bench reports applied_ratio)
-                path_cells = jnp.maximum(
-                    jnp.floor(db / cfg.grid.resolution) - 1.0, 0.0)
-                w_free = jnp.sum(jnp.where(alive[:, None], path_cells,
-                                           0.0))
+                # honest in-kernel applied counter — same semantics as
+                # the fused engine and the XLA tier's painted count
+                w_free = jnp.sum(jnp.round(w_cnt).astype(jnp.int32))
                 if cfg.engine.kernel_endpoints:
-                    w_ep = jnp.sum((tb & alive[:, None]
-                                    ).astype(jnp.int32))
+                    # ring cells are inside the in-kernel counter
+                    w_ep = jnp.zeros((), jnp.int32)
                 else:
                     ep_delta, w_ep = logodds_delta(
                         endpoint_rays(axy_l, ryaw, db, tb, alive,

@@ -153,9 +153,12 @@ def test_banded_window_kernel_bit_exact():
             jnp.zeros(tgt), xy, yaw, dist, act, spec, grid,
             n_groups=spec.n_beams, reach=26, band=band,
             band_cols=band_cols, tail_weight=0.0)
-        ker = free_raster_pallas(
+        ker, kw = free_raster_pallas(
             jnp.zeros(tgt), xy, yaw, dist, act, spec, grid,
             n_groups=spec.n_beams, reach=26, band=band,
             band_cols=band_cols, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
         assert float(w) > 0
+        # the in-kernel applied counter equals the XLA tier's painted
+        # count (identical free masks + crossing counts, bit-exact)
+        np.testing.assert_allclose(float(jnp.sum(kw)), float(w), rtol=1e-6)

@@ -35,8 +35,8 @@ def test_room_kernel_matches_reference():
     ref, _ = free_raster_reference(lo, xy, yaw, d, active, spec, cfg,
                                    n_groups=16)
     with pltpu.force_tpu_interpret_mode():
-        out = room_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
-                                 n_groups=16, per_row=per_row)
+        out, cnt = room_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
+                                      n_groups=16, per_row=per_row)
     diff = np.abs(np.asarray(out) - np.asarray(ref))
     # identical except cells the per-agent window reaches beyond its tile
     assert (diff > 1e-4).sum() <= 32, (diff > 1e-4).sum()
@@ -56,9 +56,11 @@ def test_room_kernel_inactive_agents_noop():
     d = jnp.full((n, 37), 1.0, jnp.float32)
     lo = jnp.zeros((size, size), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        out = room_raster_pallas(lo, xy, yaw, d, jnp.zeros((n,), bool),
-                                 BeamSpec.scan(37), cfg, per_row=per_row)
+        out, cnt = room_raster_pallas(lo, xy, yaw, d, jnp.zeros((n,), bool),
+                                      BeamSpec.scan(37), cfg,
+                                      per_row=per_row)
     assert float(jnp.abs(out).max()) == 0.0
+    assert float(jnp.abs(cnt).max()) == 0.0
 
 
 def test_room_kernel_endpoint_painting_matches_window_kernel():
@@ -86,14 +88,18 @@ def test_room_kernel_endpoint_painting_matches_window_kernel():
     lo = jnp.zeros((size, size), jnp.float32)
 
     with pltpu.force_tpu_interpret_mode():
-        win = free_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
-                                 n_groups=8, trusted=t)
-        rm = room_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
-                                n_groups=8, per_row=per_row, trusted=t)
+        win, wcnt = free_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
+                                       n_groups=8, trusted=t)
+        rm, rcnt = room_raster_pallas(lo, xy, yaw, d, active, spec, cfg,
+                                      n_groups=8, per_row=per_row,
+                                      trusted=t)
     diff = np.abs(np.asarray(rm) - np.asarray(win))
     assert (diff > 1e-4).sum() <= 32, (diff > 1e-4).sum()
     # rings actually painted (positive evidence present)
     assert float(jnp.max(rm)) > 0.0
+    # both kernels report the same in-kernel applied counts
+    np.testing.assert_allclose(float(jnp.sum(rcnt)), float(jnp.sum(wcnt)),
+                               rtol=1e-6)
 
 
 def test_room_kernel_rejects_oversized_reach():

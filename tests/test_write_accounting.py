@@ -1,12 +1,12 @@
-"""Write-metric reconciliation (VERDICT r1 item 3).
+"""Write-metric reconciliation (VERDICT r1 item 3 / r2 item 1).
 
-The beam fast tier counts floor(db/res)-1 LINE-EQUIVALENT path cells per
-beam (engine.sim._ingest_batched), but the Pallas kernel carves free space
-from GROUP-MIN ranges — where beams in a group differ (corners, oblique
-walls) the claimed count exceeds the evidence actually applied. These
-tests measure the applied evidence (sum |delta| in unit updates, on a
-fresh unclamped map) against the claimed counter and bound the gap, so the
-headline throughput number's semantics stay pinned down.
+Since round 3 the Pallas tiers report the IN-KERNEL applied counter (sum
+of per-cell crossing counts actually painted — free/tail/ring cells, the
+same quantity free_raster_reference counts), replacing the old analytic
+floor(db/res)-1 claim. These tests reconcile that counter against the
+evidence observable in the map (sum |delta| in unit updates on a fresh,
+unclamped map): the counter must track |delta| tightly on BOTH tiers, so
+the headline throughput number's semantics stay pinned down.
 """
 
 import dataclasses
@@ -47,14 +47,19 @@ def _measure_ratio(use_pallas: bool, steps_warm=2, steps_meas=4):
     return np.asarray(ratios)
 
 
-def test_kernel_tier_claimed_vs_applied_bounded():
-    """Pallas fast tier: group-min carving drops some claimed evidence —
-    the gap must stay bounded (and the claim must never UNDER-count by
-    more than endpoint/carve cancellation)."""
+def test_kernel_tier_counter_is_applied():
+    """Pallas fast tier: the in-kernel painted counter must track the
+    map-observable applied evidence. The only slack is physical: cells a
+    slow-moving agent repaints every step saturate at the log-odds clamp
+    within a few observations, after which their |delta| is 0 while the
+    kernel still performs (and counts) the fused update — the same way
+    the reference's Bresenham re-writes already-FREE cells
+    (dual_bot_mapper.py:136-156). Measured on steps 2-5 the ratio decays
+    ~0.97 -> ~0.85 as the start-area cells converge."""
     with pltpu.force_tpu_interpret_mode():
         r = _measure_ratio(use_pallas=True)
-    assert (r > 0.55).all(), r        # at most ~45% claimed-but-unapplied
-    assert (r < 1.05).all(), r        # claim is an upper bound (+ slack)
+    assert (r > 0.75).all(), r
+    assert (r < 1.02).all(), r
 
 
 def test_reference_tier_counts_painted_cells():

@@ -198,14 +198,14 @@ def main():
         def raster_body(lo, i):
             return free_raster_pallas(
                 lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
-                cfg.grid, n_groups=8, trusted=tb)
+                cfg.grid, n_groups=8, trusted=tb)[0]
         timed("raster window kernel groups=8", raster_body,
               state.srv.logodds)
 
         def raster_pb_body(lo, i):
             return free_raster_pallas(
                 lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
-                cfg.grid, n_groups=spec.n_beams, trusted=tb)
+                cfg.grid, n_groups=spec.n_beams, trusted=tb)[0]
         timed("raster window kernel per-beam", raster_pb_body,
               state.srv.logodds)
 
@@ -216,7 +216,7 @@ def main():
             return room_raster_pallas(
                 lo * 0.999, pose[:, :2], pose[:, 2], db, alive, spec,
                 cfg.grid, n_groups=spec.n_beams, per_row=pr_row,
-                trusted=tb)
+                trusted=tb)[0]
         timed("raster room kernel per-beam", raster_room_pb,
               state.srv.logodds)
 
