@@ -76,7 +76,15 @@ def playback(session_dir: str, out_dir: str, frame_dt: float = 5.0,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--session", required=True)
+    ap.add_argument("--session", default=None)
+    ap.add_argument("--polar-scan", default=None, metavar="SCAN_CSV",
+                    help="frame-by-frame POLAR replay of a per-agent scan "
+                         "log (the reference's playback_viewer.py:54-68, "
+                         "10 fps) instead of a session replay")
+    ap.add_argument("--every", type=int, default=1,
+                    help="--polar-scan: render every k-th scan row")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="--polar-scan: max frames")
     ap.add_argument("--out", default=None,
                     help="frame output dir (headless mode)")
     ap.add_argument("--frame-dt", type=float, default=5.0,
@@ -98,6 +106,20 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.polar_scan is not None:
+        if not args.out:
+            ap.error("--out is required with --polar-scan")
+        from swarm_tpu.render.polar import playback_scan_frames
+        from swarm_tpu.server.bridge import load_scan_log
+
+        frames = playback_scan_frames(
+            load_scan_log(args.polar_scan), args.out, every=args.every,
+            limit=args.limit, gif=args.gif)
+        print(f"[PLAYBACK] wrote {len(frames)} polar frames to {args.out}"
+              + (f" + {args.gif}" if args.gif else ""))
+        return
+    if args.session is None:
+        ap.error("--session is required without --polar-scan")
     if args.view is not None:
         import time
 

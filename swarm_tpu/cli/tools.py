@@ -148,6 +148,19 @@ def main(argv=None):
                    help="x real time; 0 = as fast as possible")
     r.set_defaults(fn=replay_udp)
 
+    pr = sub.add_parser(
+        "polar-radar",
+        help="live polar scan radar over UDP — the reference's "
+             "room_mapper.py view (debugged: the original crashes on an "
+             "undefined UDP_PORT, :34), rendered headless to a PNG")
+    pr.add_argument("--port", type=int, default=8888)
+    pr.add_argument("--out", default="radar.png")
+    pr.add_argument("--duration", type=float, default=None)
+    pr.set_defaults(fn=lambda a: __import__(
+        "swarm_tpu.render.polar", fromlist=["live_polar_radar"]
+    ).live_polar_radar(port=a.port, out_path=a.out,
+                       duration_s=a.duration))
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

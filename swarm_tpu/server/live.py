@@ -29,6 +29,63 @@ from swarm_tpu.proto.packets import (QuasarPacketV1, QuasarPacketV2,
                                      TargetPacket, ZonePacket, parse_packet)
 
 
+class ViewTrails:
+    """Bounded live point-cloud + path rings for the operator view — the
+    reference dashboard's per-sensor colored clouds (last 2000 points per
+    sensor, dual_bot_mapper.py:560-572) and downsampled paths (:583),
+    kept as fixed-size numpy rings so a long run can't grow host memory.
+    Maintained only while a view is attached (zero cost otherwise)."""
+
+    def __init__(self, cloud_cap: int = 20000, path_cap: int = 10000):
+        self.cloud_xy = np.zeros((cloud_cap, 2), np.float32)
+        self.cloud_agent = np.zeros(cloud_cap, np.int32)
+        self.cloud_sensor = np.zeros(cloud_cap, np.int8)
+        self.cloud_n = 0
+        self.cloud_cur = 0
+        self.path_xy = np.zeros((path_cap, 2), np.float32)
+        self.path_agent = np.zeros(path_cap, np.int32)
+        self.path_n = 0
+        self.path_cur = 0
+
+    def _push(self, buf_xy, buf_a, cur, n, xy, agent, buf_s=None, sens=None):
+        cap = len(buf_xy)
+        k = min(len(xy), cap)
+        idx = (cur + np.arange(k)) % cap
+        buf_xy[idx] = xy[-k:]
+        buf_a[idx] = agent[-k:]
+        if buf_s is not None:
+            buf_s[idx] = sens[-k:]
+        return (cur + k) % cap, min(n + k, cap)
+
+    def observe(self, agents0, rx, ry, hits, hv):
+        """One ingested frame's world-projected hits + poses."""
+        n_real = len(agents0)
+        if n_real == 0:
+            return
+        a4 = np.repeat(np.asarray(agents0, np.int32), 4)
+        s4 = np.tile(np.arange(4, dtype=np.int8), n_real)
+        ok = np.asarray(hv[:n_real]).reshape(-1)
+        pts = np.asarray(hits[:n_real], np.float32).reshape(-1, 2)
+        if ok.any():
+            self.cloud_cur, self.cloud_n = self._push(
+                self.cloud_xy, self.cloud_agent, self.cloud_cur,
+                self.cloud_n, pts[ok], a4[ok],
+                self.cloud_sensor, s4[ok])
+        pxy = np.stack([np.asarray(rx[:n_real], np.float32),
+                        np.asarray(ry[:n_real], np.float32)], -1)
+        self.path_cur, self.path_n = self._push(
+            self.path_xy, self.path_agent, self.path_cur, self.path_n,
+            pxy, np.asarray(agents0, np.int32))
+
+    def snapshot_layers(self):
+        c, p = self.cloud_n, self.path_n
+        return {
+            "points": (self.cloud_xy[:c], self.cloud_agent[:c]),
+            "points_sensor": self.cloud_sensor[:c],
+            "paths": (self.path_xy[:p], self.path_agent[:p]),
+        }
+
+
 class LiveServer:
     """Bind, ingest, coordinate. Drop-in for dual_bot_mapper.py's loop."""
 
@@ -87,6 +144,7 @@ class LiveServer:
         self.writer = SessionWriter(log_dir) if log_dir else None
         self.online_prev = np.zeros(self.n, bool)
         self.pkt_total = 0
+        self._trails: Optional[ViewTrails] = None
 
         b = cfg.engine.max_packets_per_frame
 
@@ -189,6 +247,12 @@ class LiveServer:
         self.state, outs = self._frame(self.state, batch)
         self.pkt_total += n_real
 
+        if self._trails is not None and n_real:
+            self._trails.observe(agents0[:n_real],
+                                 np.asarray(outs.rx)[:n_real],
+                                 np.asarray(outs.ry)[:n_real],
+                                 np.asarray(outs.hits)[:n_real],
+                                 np.asarray(outs.hit_valid)[:n_real])
         if self.writer and n_real:
             rx = np.asarray(outs.rx)[:n_real]
             ry = np.asarray(outs.ry)[:n_real]
@@ -352,7 +416,7 @@ class LiveServer:
         poses = np.concatenate(
             [np.asarray(st.agent_xy),
              np.asarray(st.agent_yaw)[:, None]], axis=1)
-        return {
+        snap = {
             "grid": np.asarray(st.grid),
             "resolution": self.cfg.grid.resolution,
             "origin": (self.cfg.grid.origin_x, self.cfg.grid.origin_y),
@@ -367,13 +431,20 @@ class LiveServer:
             "pkt_total": self.pkt_total,
             "t": self.now(),
         }
+        if self._trails is not None:
+            # live per-sensor clouds + paths (dual_bot_mapper.py:560-583)
+            snap.update(self._trails.snapshot_layers())
+        return snap
 
-    def start_view(self, port: int = 8800):
-        """Launch the HTTP operator view (zoom/pan/HUD) on a daemon
-        thread; the ingest loop is untouched."""
+    def start_view(self, port: int = 8800, bind: str = "127.0.0.1"):
+        """Launch the HTTP operator view (zoom/pan/HUD + per-sensor
+        clouds and paths) on a daemon thread; the ingest loop is
+        untouched."""
         from swarm_tpu.server.view import MapView
 
-        self._view = MapView(self.view_snapshot, port=port).start()
+        self._trails = ViewTrails()
+        self._view = MapView(self.view_snapshot, port=port,
+                             bind=bind).start()
         return self._view
 
     def render(self, path: str) -> str:
@@ -435,6 +506,9 @@ def main(argv=None):
                     help="serve the interactive operator view (zoom/pan/"
                          "HUD — the reference's PyGame dashboard, "
                          "dual_bot_mapper.py:380-668) at this HTTP port")
+    ap.add_argument("--view-bind", default="127.0.0.1",
+                    help="view bind address (loopback by default; set "
+                         "0.0.0.0 to expose deliberately)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -452,7 +526,7 @@ def main(argv=None):
     print(f"[SERVER] listening on 0.0.0.0:{args.port} "
           f"({args.agents} agents, separation {args.separation})")
     if args.view is not None:
-        srv.start_view(args.view)
+        srv.start_view(args.view, bind=args.view_bind)
     srv.run(duration_s=args.duration, fps=args.fps,
             render_png=args.render_png)
 

@@ -114,26 +114,50 @@ def render_view(snap: Dict, cx: float, cy: float, zoom: float,
         fx, fy = to_px(fr[:k, 0], fr[:k, 1])
         stamp(fx, fy, _FRONTIER, size=2)
 
-    # point clouds + paths (playback_dual_session.py:247-306: last-3000
-    # cloud points, per-agent colors, dimmed paths)
+    # point clouds + paths (playback_dual_session.py:247-306 and the live
+    # dashboard's per-sensor clouds, dual_bot_mapper.py:560-572: last-2000
+    # points per sensor, per-agent colors shaded per sensor, wall-side
+    # sensors drawn as larger rects; paths dimmed)
+    sensor_shade = np.array([1.0, 0.75, 0.55, 0.65])   # F / L / B / R
     for key, dim, size in (("paths", 0.45, 0), ("points", 1.0, 0)):
         data = snap.get(key)
         if data is None or len(data[0]) == 0:
             continue
-        xy, agent = data
+        xy, agent = data[0], data[1]
         px, py = to_px(xy[:, 0], xy[:, 1])
         m = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        shade = np.full(int(m.sum()), dim)
+        sens = None
+        if key == "points" and snap.get("points_sensor") is not None:
+            sens = np.asarray(snap["points_sensor"])[m]
+            shade = shade * sensor_shade[np.clip(sens, 0, 3)]
         colors = (_AGENT[np.asarray(agent)[m] % len(_AGENT)]
-                  .astype(np.float64) * dim).astype(np.uint8)
+                  .astype(np.float64) * shade[:, None]).astype(np.uint8)
         img[py[m], px[m]] = colors
+        if sens is not None:
+            # wall-side sensors (left/right) as 2x2 rects — the reference
+            # draws them 8x8 so wall evidence reads as surface (:563-572)
+            side = (sens == 1) | (sens == 3)
+            if side.any():
+                qx, qy = px[m][side], py[m][side]
+                cc = colors[side]
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        ax_, ay_ = qx + dx, qy + dy
+                        mm = (ax_ >= 0) & (ax_ < w) & (ay_ >= 0) & (ay_ < h)
+                        img[ay_[mm], ax_[mm]] = cc[mm]
 
     # robots: colored square + heading tick, gray when offline (:571-597)
     poses = snap.get("poses")
     if poses is not None:
         online = snap.get("online",
                           np.ones(len(poses), bool))
+        # color by the TRUE agent id (sessions may have non-contiguous
+        # ids), matching the cloud/path colors above — advisor r2 fix
+        aids = np.asarray(snap.get("agent_ids", np.arange(len(poses))))
         for a, p in enumerate(poses):
-            color = (_AGENT[a % len(_AGENT)] if online[a] else _OFFLINE)
+            color = (_AGENT[int(aids[a]) % len(_AGENT)] if online[a]
+                     else _OFFLINE)
             px, py = to_px(p[0], p[1])
             stamp(np.array([px]), np.array([py]), color, size=3)
             ts = np.linspace(0, 14, 8)
@@ -205,10 +229,15 @@ class MapView:
     commands: ("pause"), ("speed", float), ("reset")."""
 
     def __init__(self, snapshot: Callable[[], Dict], port: int = 8800,
-                 ctl: Optional[Callable] = None):
+                 ctl: Optional[Callable] = None,
+                 bind: str = "127.0.0.1"):
+        # bind defaults to loopback: the view exposes the live map and
+        # playback /ctl without auth, so external exposure must be a
+        # deliberate --bind 0.0.0.0 (advisor r2 finding)
         self.snapshot = snapshot
         self.ctl = ctl
         self.port = port
+        self.bind = bind
         view = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -256,13 +285,15 @@ class MapView:
                         n = 0 if poses is None else len(poses)
                         online = snap.get("online", np.ones(n, bool))
                         pkts = snap.get("pkt_counts", np.zeros(n, int))
+                        aids = np.asarray(snap.get("agent_ids",
+                                                   np.arange(n)))
                         hud = {
                             "t": float(snap.get("t", 0.0)),
                             "pkt_total": int(snap.get("pkt_total", 0)),
                             "closures": int(snap.get("closures", 0)),
                             "frontiers": int(snap.get("n_frontiers", 0)),
                             "bots": [{
-                                "id": a + 1,
+                                "id": int(aids[a]) + 1,
                                 "online": bool(online[a]),
                                 "pkts": int(pkts[a]),
                                 "x": float(poses[a, 0]),
@@ -289,7 +320,7 @@ class MapView:
                     except Exception:
                         pass
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._httpd = ThreadingHTTPServer((bind, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
@@ -352,8 +383,9 @@ class PlaybackSource:
         tele = s["t"] <= cur
         paths = np.stack([s["x"][tele], s["y"][tele]], -1)
         pa = (s["agent"][tele] - 1).astype(np.int64)
+        uids = np.unique(pa)
         poses = []
-        for a in np.unique(pa):
+        for a in uids:
             i = np.nonzero(pa == a)[0][-1]
             poses.append([paths[i, 0], paths[i, 1],
                           np.radians(s["yaw_deg"][tele][i])])
@@ -362,8 +394,12 @@ class PlaybackSource:
             "resolution": 0.05,
             "origin": (0.0, 0.0),
             "poses": np.asarray(poses, np.float64).reshape(-1, 3),
-            "pkt_counts": np.bincount(pa, minlength=len(poses))
-            if len(pa) else np.zeros(0, int),
+            # HUD rows follow the unique-id order used for poses —
+            # indexing bincount by raw id misaligned counts for sessions
+            # with non-contiguous agent ids (advisor r2 finding)
+            "agent_ids": uids,
+            "pkt_counts": (np.bincount(pa)[uids]
+                           if len(pa) else np.zeros(0, int)),
             "paths": (paths, pa),
             "t": cur - self.t0,
             "playback": {"paused": self.paused, "speed": self.speed,
@@ -379,5 +415,6 @@ class PlaybackSource:
                 (pts["agent"][idx] - 1).astype(np.int64))
         return snap
 
-    def serve(self, port: int = 8800) -> MapView:
-        return MapView(self.snapshot, port=port, ctl=self.ctl).start()
+    def serve(self, port: int = 8800, bind: str = "127.0.0.1") -> MapView:
+        return MapView(self.snapshot, port=port, ctl=self.ctl,
+                       bind=bind).start()

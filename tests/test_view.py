@@ -106,3 +106,80 @@ def test_playback_source_controls(tmp_path):
     img = render_view(src.snapshot(), cx=1.0, cy=0.4, zoom=100,
                       w=200, h=150)
     assert img.shape == (150, 200, 3)
+
+
+def test_live_view_cloud_and_path_layers():
+    """VERDICT r2 item 5: the LIVE view draws per-sensor point clouds and
+    downsampled paths, not just the grid — ViewTrails feeds the snapshot
+    layers and render_view colors them per agent / shades per sensor."""
+    from swarm_tpu.server.live import ViewTrails
+
+    tr = ViewTrails(cloud_cap=64, path_cap=32)
+    agents = np.array([0, 1], np.int32)
+    rx = np.array([1.0, 2.0], np.float32)
+    ry = np.array([1.0, 1.5], np.float32)
+    hits = np.zeros((2, 4, 2), np.float32)
+    hits[0, :, 0] = [1.5, 1.0, 0.5, 1.0]
+    hits[0, :, 1] = [1.0, 1.5, 1.0, 0.5]
+    hits[1, :, 0] = [2.5, 2.0, 1.5, 2.0]
+    hits[1, :, 1] = [1.5, 2.0, 1.5, 1.0]
+    hv = np.ones((2, 4), bool)
+    for _ in range(3):
+        tr.observe(agents, rx, ry, hits, hv)
+    layers = tr.snapshot_layers()
+    assert len(layers["points"][0]) == 24          # 2 agents x 4 x 3 frames
+    assert len(layers["paths"][0]) == 6
+    assert set(np.unique(layers["points_sensor"])) == {0, 1, 2, 3}
+
+    snap = _snap()
+    snap.update(layers)
+    img = render_view(snap, cx=1.5, cy=1.25, zoom=150, w=320, h=240)
+    base = render_view(_snap(), cx=1.5, cy=1.25, zoom=150, w=320, h=240)
+    # cloud/path pixels change the frame vs the grid-only render
+    assert (img != base).any()
+    # agent-1 cloud color family present (front sensor = full brightness)
+    colors = {tuple(c) for c in img.reshape(-1, 3)}
+    assert (255, 120, 90) in colors
+
+
+def test_ring_buffers_wrap():
+    from swarm_tpu.server.live import ViewTrails
+
+    tr = ViewTrails(cloud_cap=10, path_cap=4)
+    a = np.zeros(3, np.int32)
+    xy = np.zeros(3, np.float32)
+    hits = np.random.default_rng(0).normal(size=(3, 4, 2)).astype(np.float32)
+    hv = np.ones((3, 4), bool)
+    for _ in range(5):
+        tr.observe(a, xy, xy, hits, hv)
+    layers = tr.snapshot_layers()
+    assert len(layers["points"][0]) == 10          # capped at ring size
+    assert len(layers["paths"][0]) == 4
+
+
+def test_polar_frame_and_replay(tmp_path):
+    """SURVEY §2 #36: polar radar frame (room_mapper.py:47-110 semantics)
+    + frame-by-frame scan replay (playback_viewer.py:54-68)."""
+    from swarm_tpu.render.polar import playback_scan_frames, render_polar_frame
+
+    rng = np.random.default_rng(3)
+    ranges = rng.uniform(0.1, 1.1, 181)
+    ranges[50:60] = 3.0                      # out of trust -> blanked
+    img = render_polar_frame(ranges, yaw=0.5, v2v=123,
+                             out_path=str(tmp_path / "radar.png"))
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert (tmp_path / "radar.png").exists()
+
+    log = {
+        "t": np.arange(3, dtype=np.float64),
+        "x": np.array([0.0, 0.1, 0.2], np.float32),
+        "y": np.zeros(3, np.float32),
+        "yaw": np.zeros(3, np.float32),
+        "encoder": np.array([10, 20, 30]),
+        "v2v": np.array([1, 2, 3]),
+        "ranges": rng.uniform(0.1, 1.1, (3, 181)).astype(np.float32),
+    }
+    frames = playback_scan_frames(log, str(tmp_path / "frames"),
+                                  gif=str(tmp_path / "scan.gif"))
+    assert len(frames) == 3
+    assert (tmp_path / "scan.gif").exists()

@@ -1,0 +1,238 @@
+"""SLAM accuracy benchmark (VERDICT r2 item 3): ATE + map-vs-true-walls.
+
+The reference's closure corrections (dual_bot_mapper.py:320-326) and
+fitness-gated merge (map_merger.py:45-62) exist to IMPROVE the map — this
+tool proves ours do, with numbers. It runs the closed-loop engine on a
+multi-room world at the reference drift rates (scale bias +/-0.2 %, yaw
+bias -/+0.008 rad/m — generate_fake_dual_session.py:407-444) and reports,
+for each correction tier:
+
+  raw        — drifted odometry only (closures disabled, merge off)
+  closures   — online landmark loop closures (damped 0.5, radius 0.60 m)
+  +merge     — closures + the in-engine continuous scan-to-map merge
+  +refine    — offline pose-graph Gauss-Newton over the logged
+               trajectory (slam/refine.py), seeded with the online
+               closure log
+
+metrics:
+  ate_mean_m / ate_late_m — mean absolute trajectory error over the whole
+      run / over the last 10 % of steps (where drift has accumulated)
+  wall_p50 / wall_p90 — distance (cells) from each OCCUPIED map cell to
+      the nearest TRUE wall cell
+  wall_iou — IoU of the map's occupied set vs the true wall set dilated
+      by 1 cell (sensor noise sigma 3.5 cm ~ 0.7 cells)
+
+Usage: python tools/bench_accuracy.py [--agents 64] [--steps 2000]
+       [--platform cpu] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def true_wall_mask(walls, grid_cfg):
+    """Rasterize wall segments -> boolean [S, S] cell mask (samples every
+    res/4 along each segment)."""
+    res = grid_cfg.resolution
+    s = grid_cfg.size
+    mask = np.zeros((s, s), bool)
+    for x0, y0, x1, y1 in np.asarray(walls, np.float64):
+        length = float(np.hypot(x1 - x0, y1 - y0))
+        k = max(2, int(length / (res / 4)) + 1)
+        ts = np.linspace(0.0, 1.0, k)
+        xs = x0 + ts * (x1 - x0)
+        ys = y0 + ts * (y1 - y0)
+        cx = np.floor((xs - grid_cfg.origin_x) / res).astype(np.int64)
+        cy = np.floor((ys - grid_cfg.origin_y) / res).astype(np.int64)
+        ok = (cx >= 0) & (cx < s) & (cy >= 0) & (cy < s)
+        mask[cy[ok], cx[ok]] = True
+    return mask
+
+
+def dilate(mask, it=1):
+    m = mask.copy()
+    for _ in range(it):
+        m = (m | np.roll(m, 1, 0) | np.roll(m, -1, 0)
+             | np.roll(m, 1, 1) | np.roll(m, -1, 1))
+    return m
+
+
+def wall_metrics(occ, wall_mask, max_d=12):
+    """p50/p90 distance (cells) of occupied cells to the true walls +
+    IoU vs the 1-cell-dilated wall set."""
+    if occ.sum() == 0:
+        return {"wall_p50": float("nan"), "wall_p90": float("nan"),
+                "wall_iou": 0.0, "occ_cells": 0}
+    d = np.zeros_like(occ, np.float64)
+    reached = wall_mask.copy()
+    dist = np.full(occ.shape, np.inf)
+    dist[wall_mask] = 0.0
+    for k in range(1, max_d + 1):
+        grown = dilate(reached, 1)
+        newly = grown & ~reached
+        dist[newly & occ] = np.minimum(dist[newly & occ], k)
+        reached = grown
+        if (dist[occ] < np.inf).all():
+            break
+    dd = dist[occ]
+    dd = np.where(np.isinf(dd), max_d, dd)
+    wall1 = dilate(wall_mask, 1)
+    inter = (occ & wall1).sum()
+    union = (occ | wall1).sum()
+    return {"wall_p50": float(np.percentile(dd, 50)),
+            "wall_p90": float(np.percentile(dd, 90)),
+            "wall_iou": float(inter / max(union, 1)),
+            "occ_cells": int(occ.sum())}
+
+
+def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
+    """Rollout collecting per-step ATE + trajectories (+ scans for the
+    refined re-raster). Returns dict of host arrays + final state."""
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_tpu.engine.sim import sim_init, sim_step
+    from swarm_tpu.models.scan import sense_scan
+
+    walls_j = jnp.asarray(walls)
+    wg, roa = rooms
+
+    def body(s, _):
+        s2, m = sim_step(s, cfg, walls_j, params,
+                        walls_grouped=wg, room_of_agent=roa)
+        out = (m.pose_err, m.srv_x, m.srv_y, m.yaw_q,
+               s.pose_true[:, 0] + params.x_offset, s.pose_true[:, 1],
+               m.landmark, m.dist_m)
+        return s2, out
+
+    @jax.jit
+    def chunk_fn(s):
+        return jax.lax.scan(body, s, None, length=chunk)
+
+    state = sim_init(cfg, params)
+    host = {k: [] for k in ("err", "sx", "sy", "yq", "tx", "ty",
+                            "lm", "d4")}
+    for _ in range(steps // chunk):
+        state, outs = chunk_fn(state)
+        for k, v in zip(("err", "sx", "sy", "yq", "tx", "ty", "lm", "d4"),
+                        outs):
+            host[k].append(np.asarray(v))
+    out = {k: np.concatenate(v, axis=0) for k, v in host.items()}
+    return out, state
+
+
+def ate(err, late_frac=0.1):
+    t = len(err)
+    k = max(1, int(t * late_frac))
+    return float(err.mean()), float(err[-k:].mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--chunk", type=int, default=250)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cfg_and_world
+    from swarm_tpu.ops.raster import tri_state_view
+    from swarm_tpu.slam.refine import refine_session
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    base_cfg, walls, params, rooms = _cfg_and_world(
+        args.agents, frontiers=False, parity=False, raster_mode="beam",
+        use_pallas=on_tpu, scan_rays=181, tiled=True)
+
+    wall_mask = true_wall_mask(walls, base_cfg.grid)
+    results = {}
+    logs = {}
+    variants = {
+        # closures off: zero matching radius => no corrections, no log
+        "raw": dict(slam=dataclasses.replace(base_cfg.slam,
+                                             closure_radius_m=0.0),
+                    engine=dataclasses.replace(base_cfg.engine,
+                                               merge_every=0)),
+        "closures": dict(engine=dataclasses.replace(base_cfg.engine,
+                                                    merge_every=0)),
+        "closures+merge": dict(engine=dataclasses.replace(
+            base_cfg.engine, merge_every=16)),
+    }
+    for name, over in variants.items():
+        cfg = base_cfg.replace(**over)
+        log, state = run_variant(cfg, walls, params, rooms, args.steps,
+                                 args.chunk, collect_scans=False)
+        a_mean, a_late = ate(log["err"])
+        occ = np.asarray(tri_state_view(state.srv.logodds,
+                                        cfg.grid)) == cfg.grid.occupied
+        results[name] = {"ate_mean_m": round(a_mean, 4),
+                         "ate_late_m": round(a_late, 4),
+                         **{k: (round(v, 4) if isinstance(v, float) else v)
+                            for k, v in wall_metrics(occ, wall_mask).items()}}
+        logs[name] = (log, state)
+        print(f"{name:16s} ATE mean {a_mean:.3f} m | late {a_late:.3f} m | "
+              f"wall p90 {results[name]['wall_p90']} | "
+              f"IoU {results[name]['wall_iou']}", flush=True)
+
+    # offline refinement on the closures+merge run's logged trajectory
+    log, state = logs["closures+merge"]
+    t_steps, n = log["sx"].shape
+    session = {
+        "t": np.repeat(np.arange(t_steps, dtype=np.float64) * 0.4, n),
+        "agent": np.tile(np.arange(1, n + 1), t_steps),
+        "x": log["sx"].reshape(-1),
+        "y": log["sy"].reshape(-1),
+        "yaw_deg": np.degrees(log["yq"].reshape(-1)),
+        "landmark": log["lm"].reshape(-1),
+    }
+    cl = state.srv.closure
+    c = min(int(cl.cl_count), len(np.asarray(cl.cl_node)))
+    closures = (np.asarray(cl.cl_lm_node)[:c], np.asarray(cl.cl_node)[:c],
+                np.asarray(cl.cl_agent)[:c])
+    refined = refine_session(session, closures=closures, cfg=base_cfg)
+    true_x = log["tx"].reshape(-1)
+    true_y = log["ty"].reshape(-1)
+    errs = np.zeros(t_steps * n, np.float64)
+    for a, r in refined.items():
+        idx = r["idx"]
+        errs[idx] = np.hypot(r["poses"][:, 0] - true_x[idx],
+                             r["poses"][:, 1] - true_y[idx])
+    err_steps = errs.reshape(t_steps, n).mean(axis=1)
+    a_mean, a_late = ate(err_steps)
+    results["refined"] = {"ate_mean_m": round(a_mean, 4),
+                          "ate_late_m": round(a_late, 4),
+                          "closures_used": int(sum(
+                              len(r["closures"])
+                              for r in refined.values()))}
+    print(f"{'refined':16s} ATE mean {a_mean:.3f} m | late {a_late:.3f} m "
+          f"({results['refined']['closures_used']} closure edges)",
+          flush=True)
+
+    out = {"agents": args.agents, "steps": args.steps,
+           "platform": jax.devices()[0].platform,
+           "drift": {"scale": "+/-0.2%", "yaw": "-/+0.008 rad/m"},
+           "variants": results}
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
