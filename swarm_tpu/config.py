@@ -34,10 +34,24 @@ class GridConfig:
     logodds_hit: float = 0.85
     logodds_miss: float = -0.4
     logodds_clamp: float = 10.0
+    # Grid storage dtype: "float32" (default) or "bfloat16". bf16 halves
+    # the HBM footprint (a 16,384^2 float32 grid is 1 GB — the r2 scaling
+    # ceiling); evidence is still ACCUMULATED in f32 inside the kernels
+    # and rounded on store, so the tri-state view stays equivalent within
+    # one evidence quantum (|hit|=0.85 => bf16 ulp <= 0.0625 below 16).
+    # Supported by the fused engine tiers; the sharded decompositions and
+    # the room kernel keep f32.
+    logodds_dtype: str = "float32"
 
     @property
     def extent(self) -> float:
         return self.size * self.resolution
+
+    @property
+    def lo_dtype(self):
+        import jax.numpy as _jnp
+        return {"float32": _jnp.float32,
+                "bfloat16": _jnp.bfloat16}[self.logodds_dtype]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +73,16 @@ class SensorConfig:
     spurious_hi: float = 2.5
     floor: float = 0.01                 # max(0.01, reading)
     timeout_sentinel: float = 4.0       # no-echo reading
+    # ESP-NOW V2V radio model. The reference has TWO v2v semantics: the
+    # sim generator reports distance-to-other-bot in cm
+    # (generate_fake_dual_session.py:466) while the firmware reports a
+    # received-broadcast COUNT — `v2v_packet_received_total++` per ESP-NOW
+    # callback (AgentFirmware_Bot1.ino:211-215), fed by SensorNode
+    # broadcasting at 20 Hz (SensorNode/SensorNode.ino:37-70). The count
+    # personality (AgentParams.v2v_count) accrues broadcast_hz * dt per
+    # live transmitter within radio range.
+    v2v_range_m: float = 10.0
+    v2v_broadcast_hz: float = 20.0
     # Relative mount angles, radians: front, left, back, right.
     angles: Tuple[float, float, float, float] = (
         0.0, math.pi / 2, math.pi, -math.pi / 2)

@@ -30,18 +30,65 @@ def save_pytree(path: str, tree) -> str:
     return path
 
 
-def load_pytree(path: str, template):
-    """Load into the structure of `template` (shapes/dtypes validated)."""
+# Schema migrations for checkpoints written by older engine layouts
+# (advisor r2 finding: the r2 MapState change — total_writes scalar f32 ->
+# [2] int32 pair, new merge/v2v leaves — broke old checkpoints with no
+# path forward). Keyed by the keypath SUFFIX of the affected leaf:
+#   - "zero": leaf added after the checkpoint was written; default-fill
+#     with the template's zeros (correct for accumulators starting fresh).
+#   - a callable (old_array, template_leaf) -> new_array.
+def _migrate_total_writes(old, tmpl):
+    """r1 scalar float32 counter -> r2 (hi, lo) int32 pair."""
+    if old.shape == np.asarray(tmpl).shape:
+        return old
+    total = int(old)                      # r1 counter was float32 scalar
+    radix = 1 << 30
+    return np.asarray([total // radix, total % radix], np.int32)
+
+
+_MIGRATIONS = {
+    ".srv.total_writes": _migrate_total_writes,
+    ".srv.merge_dx": "zero",
+    ".srv.merge_dy": "zero",
+    ".srv.merge_dyaw": "zero",
+    ".v2v_total": "zero",
+}
+
+
+def load_pytree(path: str, template, migrate: bool = True):
+    """Load into the structure of `template` (shapes/dtypes validated).
+
+    migrate=True applies the known schema shims (_MIGRATIONS) for leaves
+    an older checkpoint lacks or stores in a superseded layout; anything
+    outside the registry still fails loudly."""
     data = np.load(path)
     keys, vals, treedef = _paths(template)
-    missing = [k for k in keys if k not in data.files]
+
+    def shim_for(k):
+        if not migrate:
+            return None
+        for suffix, m in _MIGRATIONS.items():
+            if k.endswith(suffix):
+                return m
+        return None
+
+    missing = [k for k in keys
+               if k not in data.files and shim_for(k) is None]
     if missing:
         raise ValueError(f"checkpoint missing leaves: {missing[:5]}"
                          f"{'...' if len(missing) > 5 else ''}")
     leaves = []
     for k, tmpl in zip(keys, vals):
-        arr = data[k]
         t = np.asarray(tmpl)
+        shim = shim_for(k)
+        if k not in data.files:
+            # registered post-checkpoint leaf -> fresh zeros
+            leaves.append(np.zeros(t.shape, t.dtype))
+            continue
+        arr = data[k]
+        if (arr.shape != t.shape or arr.dtype != t.dtype) and \
+                callable(shim):
+            arr = shim(arr, tmpl)
         if arr.shape != t.shape:
             raise ValueError(f"leaf {k}: checkpoint shape {arr.shape} != "
                              f"state shape {t.shape}")

@@ -70,6 +70,13 @@ class AgentParams(NamedTuple):
     #                               (AgentFirmware.ino.ino:429-436), unlike
     #                               Bot1/Bot2's commanded-yaw convention
     #                               (AgentFirmware_Bot1.ino:704-707)
+    v2v_count: jnp.ndarray       # [N] bool — firmware v2v personality: the
+    #                               telemetry v2v field is the cumulative
+    #                               ESP-NOW received-broadcast COUNT
+    #                               (AgentFirmware_Bot1.ino:211-215, fed at
+    #                               20 Hz by SensorNode.ino:37-70) instead
+    #                               of the sim generator's distance-in-cm
+    #                               (generate_fake_dual_session.py:466)
 
 
 def make_agent_params(n: int, separation: float = 5.0,
@@ -93,7 +100,8 @@ def make_agent_params(n: int, separation: float = 5.0,
         trans_scale=jnp.where(is_b2, 1.002, 0.998).astype(jnp.float32),
         yaw_bias_per_m=jnp.where(is_b2, 0.008, -0.008).astype(jnp.float32),
         x_offset=jnp.where(is_b2, separation, 0.0).astype(jnp.float32),
-        ekf_yaw=jnp.zeros((n,), bool))
+        ekf_yaw=jnp.zeros((n,), bool),
+        v2v_count=jnp.zeros((n,), bool))
 
 
 class FaultSchedule(NamedTuple):
@@ -117,36 +125,49 @@ def alive_mask(faults: FaultSchedule, n: int, t) -> jnp.ndarray:
     return ~jnp.any(hit, axis=1)
 
 
-def v2v_nearest_cm(txy, alive, chunk: int = 1024) -> jnp.ndarray:
-    """Distance to the nearest OTHER live agent, integer cm (the ESP-NOW
-    link model, generate_fake_dual_session.py:466); 0 when no other live
-    agent exists.
+def v2v_stats(txy, alive, radio_range_m: float = 10.0,
+              chunk: int = 1024):
+    """Pairwise V2V link statistics, chunked (no [N, N] materialization
+    above 2*chunk agents — one [chunk, N] block live at a time under
+    lax.scan; the monolithic matrix is >1 GB of HBM at 16,384 agents).
 
-    Above 2*chunk agents the pairwise [N, N] distance matrix is computed
-    in row blocks via lax.scan (one [chunk, N] block live at a time) —
-    the monolithic matrix is >1 GB of HBM at 16,384 agents for a metric
-    that reduces straight back to [N]."""
+    Returns (nearest_cm [N] int32, in_range [N] int32):
+      nearest_cm — distance to the nearest OTHER live agent in integer cm
+        (the sim generator's link model, generate_fake_dual_session
+        .py:466); 0 when no other live agent exists.
+      in_range — number of other live agents within `radio_range_m` (the
+        ESP-NOW broadcast neighbourhood feeding the firmware's
+        received-packet counter, AgentFirmware_Bot1.ino:211-215)."""
     n = txy.shape[0]
+    r2 = radio_range_m * radio_range_m
 
-    def block_min(rows_xy, row_ids):
+    def block_stats(rows_xy, row_ids):
         d2 = jnp.sum((rows_xy[:, None, :] - txy[None, :, :]) ** 2, -1)
         self_or_dead = (jnp.arange(n)[None, :] == row_ids[:, None]) | \
             ~alive[None, :]
         d2 = jnp.where(self_or_dead, jnp.inf, d2)
-        return jnp.min(d2, axis=1)
+        return jnp.min(d2, axis=1), jnp.sum((d2 <= r2).astype(jnp.int32),
+                                            axis=1)
 
     if n <= 2 * chunk or n % chunk != 0:
-        d2min = block_min(txy, jnp.arange(n, dtype=jnp.int32))
+        d2min, cnt = block_stats(txy, jnp.arange(n, dtype=jnp.int32))
     else:
         def body(_, i):
             ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            return None, block_min(txy[ids], ids)
+            return None, block_stats(txy[ids], ids)
 
-        _, mins = jax.lax.scan(body, None,
-                               jnp.arange(n // chunk, dtype=jnp.int32))
+        _, (mins, cnts) = jax.lax.scan(
+            body, None, jnp.arange(n // chunk, dtype=jnp.int32))
         d2min = mins.reshape(n)
-    return jnp.where(jnp.isfinite(d2min),
-                     jnp.sqrt(d2min) * 100.0, 0.0).astype(jnp.int32)
+        cnt = cnts.reshape(n)
+    cm = jnp.where(jnp.isfinite(d2min),
+                   jnp.sqrt(d2min) * 100.0, 0.0).astype(jnp.int32)
+    return cm, cnt
+
+
+def v2v_nearest_cm(txy, alive, chunk: int = 1024) -> jnp.ndarray:
+    """Nearest-other-live-agent distance in cm (see v2v_stats)."""
+    return v2v_stats(txy, alive, chunk=chunk)[0]
 
 
 class MapState(NamedTuple):
@@ -207,6 +228,9 @@ class SimState(NamedTuple):
     ekf: EkfState                 # [N, 6] / [N, 6, 6]
     nav: navm.NavState            # [N] leaves
     total_dist: jnp.ndarray       # [N] true metres travelled
+    v2v_total: jnp.ndarray        # [N] int32 cumulative ESP-NOW broadcasts
+    #                               received (firmware counter,
+    #                               AgentFirmware_Bot1.ino:211-215)
     srv: MapState
 
 
@@ -255,9 +279,15 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
     pose_true = jnp.stack([x0, y0, params.yaw0], axis=-1)
     ekf0 = jax.vmap(lambda x, y, yaw: ekf_init(
         jnp.array([x, y, yaw, 0.0, 0.0, 0.0])))(x0, y0, params.yaw0)
+    if cfg.grid.logodds_dtype != "float32":
+        if cfg.engine.parity_mode or cfg.engine.raster_mode != "beam" or \
+                cfg.engine.room_tile_per_row > 0:
+            raise ValueError(
+                "logodds_dtype=bfloat16 is supported by the fused beam "
+                "tiers (window kernel + XLA reference) only")
     srv = MapState(
         grid=jnp.full((s, s), cfg.grid.unknown, jnp.int8),
-        logodds=jnp.zeros((s, s), jnp.float32),
+        logodds=jnp.zeros((s, s), cfg.grid.lo_dtype),
         closure=closure_init(n, cfg.slam),
         zone=zone_init(n),
         last_packet_t=jnp.zeros((n,), jnp.float32),
@@ -278,6 +308,7 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         ekf=ekf0,
         nav=navm.nav_init(n),
         total_dist=jnp.zeros((n,)),
+        v2v_total=jnp.zeros((n,), jnp.int32),
         srv=srv)
     # force every leaf onto its own buffer: JAX deduplicates identical
     # constants (all the zeros above), and a donating step (the default,
@@ -438,9 +469,10 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     ep_delta, w_ep = logodds_delta(
                         endpoint_rays(axy, ryaw, db, tb, alive, spec_b),
                         cfg.grid, k_max=1)
-                    logodds = jnp.clip(logodds + ep_delta,
-                                       -cfg.grid.logodds_clamp,
-                                       cfg.grid.logodds_clamp)
+                    logodds = jnp.clip(
+                        logodds.astype(jnp.float32) + ep_delta,
+                        -cfg.grid.logodds_clamp,
+                        cfg.grid.logodds_clamp).astype(logodds.dtype)
                 else:
                     w_ep = jnp.zeros((), jnp.int32)
                 # HONEST in-kernel applied counter (VERDICT r2 item 1):
@@ -662,22 +694,30 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     odom = odom._replace(yaw_est=jnp.where(
         params.ekf_yaw, wrap_pi(ekf.x[:, 2]), odom.yaw_est))
 
-    new_state = SimState(
-        t=t_new, step=state.step + 1, key=key,
-        pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
-        total_dist=total_dist, srv=srv)
-
     corr_x = odom.x_est + params.x_offset + srv.closure.drift_dx + \
         srv.merge_dx
     corr_y = odom.y_est + srv.closure.drift_dy + srv.merge_dy
     true_x = pose_true[:, 0] + params.x_offset
     err = jnp.sqrt((corr_x - true_x) ** 2 + (corr_y - pose_true[:, 1]) ** 2)
 
-    # v2v: true distance to the nearest other LIVE agent, cm (the ESP-NOW
-    # link model; generate_fake_dual_session.py:466)
+    # v2v: both reference semantics, selected per agent (AgentParams
+    # .v2v_count): the sim generator's nearest-other-live-agent distance
+    # in cm (generate_fake_dual_session.py:466), or the firmware's
+    # cumulative received-broadcast counter (AgentFirmware_Bot1.ino:
+    # 211-215; transmitters broadcast at 20 Hz, SensorNode.ino:37-70)
     txy = state.pose_true[:, :2] + jnp.stack(
         [params.x_offset, jnp.zeros((n,))], axis=-1)
-    v2v = v2v_nearest_cm(txy, alive)
+    v2v_cm, v2v_n = v2v_stats(txy, alive, cfg.sensors.v2v_range_m)
+    rx_per_tick = jnp.round(
+        v2v_n.astype(jnp.float32) * cfg.sensors.v2v_broadcast_hz * dt
+    ).astype(jnp.int32)
+    v2v_total = state.v2v_total + jnp.where(alive, rx_per_tick, 0)
+    v2v = jnp.where(params.v2v_count, v2v_total, v2v_cm)
+
+    new_state = SimState(
+        t=t_new, step=state.step + 1, key=key,
+        pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
+        total_dist=total_dist, v2v_total=v2v_total, srv=srv)
 
     metrics = StepMetrics(
         writes=writes_delta(srv.total_writes, state.srv.total_writes),

@@ -92,13 +92,16 @@ def reach_cells(cfg) -> int:
     return int(_math.ceil(cfg.sensors.max_range / cfg.grid.resolution)) + 2
 
 
-def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
+def patch_dims(size: int, reach: int = REACH_CELLS,
+               row_align: int = 8) -> Tuple[int, int]:
     """Agent-window shape guaranteeing >= `reach` cells of margin on every
-    side with ALIGNED origins (rows 8, cols 128 — Mosaic DMA tiling):
-    rows = roundup(2*reach + 8, 8), cols = roundup(2*reach + 128, 128) —
-    [64, 256] for the default 1.2 m sonar reach. Small grids (< 512)
-    span the full width instead."""
-    rows = min(-(-(2 * reach + 8) // 8) * 8, (size // 8) * 8)
+    side with ALIGNED origins (rows `row_align`, cols 128 — Mosaic DMA
+    tiling; bf16 grids tile sublanes by 16, so row_align=16 there):
+    rows = roundup(2*reach + align, align), cols = roundup(2*reach + 128,
+    128) — [64, 256] for the default 1.2 m sonar reach. Small grids
+    (< 512) span the full width instead."""
+    rows = min(-(-(2 * reach + row_align) // row_align) * row_align,
+               (size // row_align) * row_align)
     if size < 512:
         cols = size
     else:
@@ -110,14 +113,15 @@ def patch_dims(size: int, reach: int = REACH_CELLS) -> Tuple[int, int]:
 def patch_origin(ax_cell, ay_cell, size: int,
                  rows: int = 64, cols: int = 256,
                  reach: int = REACH_CELLS, n_rows: int = None,
-                 n_cols: int = None):
+                 n_cols: int = None, row_align: int = 8):
     """Aligned window origin (row0, col0): floor-based asymmetric placement
     origin = align_down(agent - reach) guarantees >= reach margin on the
     low side by construction and >= reach on the high side by the
     patch_dims sizing; clamped to the grid (or to `n_rows` x `n_cols` when
     the target is a band / tile window of the grid)."""
     w = size if n_cols is None else n_cols
-    row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach) // 8) * 8
+    row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach)
+            // row_align) * row_align
     row0 = jnp.clip(row0, 0, (size if n_rows is None else n_rows) - rows)
     if cols >= w:
         col0 = jnp.zeros_like(row0)
@@ -198,11 +202,13 @@ def beam_raster_reference(logodds, agent_xy, yaw, dist_m, trusted,
     def add_one(g, args):
         d, r0, c0 = args
         patch = jax.lax.dynamic_slice(g, (r0, c0), (pr, pc))
-        g = jax.lax.dynamic_update_slice(g, patch + d, (r0, c0))
+        upd = (patch.astype(jnp.float32) + d).astype(g.dtype)
+        g = jax.lax.dynamic_update_slice(g, upd, (r0, c0))
         return g, None
 
     out, _ = jax.lax.scan(add_one, logodds, (deltas, row0, col0))
-    out = jnp.clip(out, -cfg.logodds_clamp, cfg.logodds_clamp)
+    out = jnp.clip(out, -cfg.logodds_clamp,
+                   cfg.logodds_clamp).astype(logodds.dtype)
     writes = jnp.sum(free) + jnp.sum(occ)
     return out, writes
 
@@ -427,10 +433,12 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     def add_one(gr, args):
         d, r0, c0 = args
         patch = jax.lax.dynamic_slice(gr, (r0, c0), (pr, pc))
-        return jax.lax.dynamic_update_slice(gr, patch + d, (r0, c0)), None
+        upd = (patch.astype(jnp.float32) + d).astype(gr.dtype)
+        return jax.lax.dynamic_update_slice(gr, upd, (r0, c0)), None
 
     out, _ = jax.lax.scan(add_one, logodds, (deltas, row0, col0))
-    out = jnp.clip(out, -cfg.logodds_clamp, cfg.logodds_clamp)
+    out = jnp.clip(out, -cfg.logodds_clamp,
+                   cfg.logodds_clamp).astype(logodds.dtype)
     return out, jnp.sum(writes)
 
 

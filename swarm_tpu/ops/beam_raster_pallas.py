@@ -243,7 +243,8 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
                  n_groups: int, group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
-                 tail_weight: float, per_beam: bool, grid_guard: int = 0):
+                 tail_weight: float, per_beam: bool, grid_guard: int = 0,
+                 row_align: int = 8):
     """Fast free-space pass (see beam_raster.free_raster_reference):
     group-min ranges (n_groups-iteration gather) + analytic crossing-count
     evidence. Endpoint hits are applied outside via the exact scatter.
@@ -260,7 +261,7 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
     line-equivalent work the kernel performs, counted where the evidence
     is computed, replacing the old analytic floor(db/res)-1 claim."""
     i = pl.program_id(0)
-    r0 = pl.multiple_of(origin_ref[i, 0], 8)
+    r0 = pl.multiple_of(origin_ref[i, 0], row_align)
     c0 = pl.multiple_of(origin_ref[i, 1], 128)
 
     in_dma = pltpu.make_async_copy(
@@ -367,7 +368,9 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
                              jnp.float32)
 
     in_dma.wait()
-    patch[:] = jnp.clip(patch[:] + delta, -clamp, clamp)
+    # accumulate in f32, store in the grid dtype (bf16 grids round here)
+    patch[:] = jnp.clip(patch[:].astype(jnp.float32) + delta,
+                        -clamp, clamp).astype(patch.dtype)
     out_dma = pltpu.make_async_copy(
         patch, out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], sem_out)
     out_dma.start()
@@ -398,7 +401,9 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     from swarm_tpu.ops.beam_raster import group_range_stats
 
     n = agent_xy.shape[0]
-    rows, cols = patch_dims(cfg.size, reach)
+    # bf16 grids tile VMEM sublanes by 16 — window rows/origins align to 16
+    row_align = 16 if logodds.dtype == jnp.bfloat16 else 8
+    rows, cols = patch_dims(cfg.size, reach, row_align=row_align)
     res = cfg.resolution
     n_groups = min(n_groups, spec.n_beams)
     per_beam = n_groups == spec.n_beams
@@ -417,7 +422,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     row0, col0 = patch_origin(
         ax, ay, cfg.size, rows, cols, reach,
         n_rows=None if band is None else band[1],
-        n_cols=None if band_cols is None else band_cols[1])
+        n_cols=None if band_cols is None else band_cols[1],
+        row_align=row_align)
     origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
     if per_beam:
         # exact per-beam carve: 16-bit fixed-point ranges (+ trusted flag
@@ -464,7 +470,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         line_equivalent=line_equivalent, paint_hits=paint_hits,
         dense=_dense_fan(spec, reach), tail_weight=tail_weight,
         per_beam=per_beam,
-        grid_guard=cfg.size if band_cols is not None else 0)
+        grid_guard=cfg.size if band_cols is not None else 0,
+        row_align=row_align)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -482,7 +489,7 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
                          memory_space=pltpu.VMEM),            # counts
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, cols), jnp.float32),
+            pltpu.VMEM((rows, cols), logodds.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

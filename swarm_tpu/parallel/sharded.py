@@ -71,6 +71,7 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
         ekf=EkfState(*([ag] * 3)),
         nav=navm.NavState(*([ag] * 8)),
         total_dist=ag,
+        v2v_total=ag,
         srv=MapState(
             grid=rep, logodds=lo,
             closure=ClosureState(*([rep] * 15)),
@@ -573,18 +574,27 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     odom = odom._replace(yaw_est=jnp.where(
         p.ekf_yaw, wrap_pi(ekf.x[:, 2]), odom.yaw_est))
 
+    err = jnp.sqrt((rx - p.x_offset - x_true) ** 2 + (ry - y_true) ** 2)
+
+    # v2v over gathered TRUE positions (pre-motion, matching sim_step);
+    # both reference semantics — distance-in-cm or the firmware's
+    # cumulative received-broadcast counter (AgentParams.v2v_count)
+    from swarm_tpu.engine.sim import v2v_stats
+    txy_a = jnp.stack([g(state.pose_true[:, 0] + p.x_offset),
+                       g(state.pose_true[:, 1])], axis=-1)
+    v2v_cm_a, v2v_n_a = v2v_stats(txy_a, alive_a,
+                                  cfg.sensors.v2v_range_m)
+    dt_tick = cfg.nav.drive_tick_s + cfg.nav.settle_tick_s
+    rx_tick_loc = jnp.round(
+        v2v_n_a[ridx].astype(jnp.float32) *
+        cfg.sensors.v2v_broadcast_hz * dt_tick).astype(jnp.int32)
+    v2v_total = state.v2v_total + jnp.where(alive, rx_tick_loc, 0)
+    v2v = jnp.where(g(p.v2v_count), g(v2v_total), v2v_cm_a)
+
     new_state = SimState(
         t=t_new, step=state.step + 1, key=key,
         pose_true=pose_true, odom=odom, ekf=ekf, nav=nav,
-        total_dist=total_dist, srv=new_srv)
-
-    err = jnp.sqrt((rx - p.x_offset - x_true) ** 2 + (ry - y_true) ** 2)
-
-    # v2v over gathered TRUE positions (pre-motion, matching sim_step)
-    from swarm_tpu.engine.sim import v2v_nearest_cm
-    txy_a = jnp.stack([g(state.pose_true[:, 0] + p.x_offset),
-                       g(state.pose_true[:, 1])], axis=-1)
-    v2v = v2v_nearest_cm(txy_a, alive_a)
+        total_dist=total_dist, v2v_total=v2v_total, srv=new_srv)
 
     metrics = StepMetrics(
         writes=writes.astype(jnp.int32),
@@ -615,7 +625,9 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                           grid_sharding: str = "replicated",
                           walls_grouped=None, room_of_agent=None):
     """Build the jitted multi-chip step. `cfg.n_agents` must be divisible by
-    the mesh size and `cfg.engine.parity_mode` must be False.
+    the mesh size and `cfg.engine.parity_mode` must be False. The
+    bfloat16 grid knob (GridConfig.logodds_dtype) is a fused-engine
+    memory lever and is rejected here.
 
     With `cfg.engine.use_pallas` the beam raster runs the per-shard
     Pallas window kernels on banded/tiled grid windows — the TPU
@@ -638,6 +650,9 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         requires each agent's evidence box to stay within its tile's
         exchangeable region (tile + halo, minus window-alignment slack)
         — agents MAY paint across tile borders, unlike "rows"."""
+    if cfg.grid.logodds_dtype != "float32":
+        raise ValueError("sharded decompositions keep a float32 grid; "
+                         "logodds_dtype=bfloat16 is a fused-engine knob")
     if cfg.engine.parity_mode:
         raise ValueError("sharded step requires throughput mode "
                          "(cfg.engine.parity_mode=False)")

@@ -82,7 +82,8 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
                   0, n_rows - side)
 
     def one(sx_i, sy_i, gx_i, gyl_i, ox, oy, v):
-        win = jax.lax.dynamic_slice(mass, (sy_i, sx_i), (side, side))
+        win = jax.lax.dynamic_slice(
+            mass, (sy_i, sx_i), (side, side)).astype(jnp.float32)
         # agent float coords inside the INNER region; -0.5 aligns the
         # splat's integer-centred cells with the raster's floor() binning
         ax = gx_i - sx_i - search - 0.5

@@ -162,3 +162,41 @@ def test_banded_window_kernel_bit_exact():
         # the in-kernel applied counter equals the XLA tier's painted
         # count (identical free masks + crossing counts, bit-exact)
         np.testing.assert_allclose(float(jnp.sum(kw)), float(w), rtol=1e-6)
+
+
+def test_bfloat16_grid_tristate_equivalent():
+    """VERDICT r2 item 8: the bf16 grid knob (half the HBM of the 1 GB
+    16,384^2 float32 grid) — evidence accumulates in f32 in-kernel and
+    rounds on store, so the tri-state view must match the f32 run on all
+    but a sliver of threshold-straddling cells."""
+    import dataclasses
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swarm_tpu.engine.sim import make_agent_params, sim_init, sim_step
+    from swarm_tpu.geom.world import BEDROOM_WALLS
+    from swarm_tpu.ops.raster import tri_state_view
+
+    grids = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = SwarmConfig(
+            n_agents=2,
+            grid=GridConfig(size=384, logodds_dtype=dt),
+            engine=EngineConfig(parity_mode=False, compute_frontiers=False,
+                                raster_mode="beam", use_pallas=True,
+                                scan_rays=37, raster_4way=False))
+        params = make_agent_params(2, cfg=cfg)
+        st = sim_init(cfg, params)
+        assert st.srv.logodds.dtype == cfg.grid.lo_dtype
+        walls = jnp.asarray(BEDROOM_WALLS)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(30):
+                st, m = sim_step(st, cfg, walls, params)
+        grids[dt] = np.asarray(tri_state_view(st.srv.logodds, cfg.grid))
+        assert int(m.writes) > 0
+    a, b = grids["float32"], grids["bfloat16"]
+    explored = (a != -1) | (b != -1)
+    agree = (a == b) & explored
+    assert agree.sum() / max(explored.sum(), 1) > 0.98, \
+        (explored.sum(), (a != b).sum())

@@ -97,3 +97,43 @@ def test_playback_frames(tmp_path):
     assert len(frames) >= 3
     assert all(os.path.getsize(f) > 0 for f in frames)
     assert os.path.getsize(tmp_path / "p.gif") > 0
+
+
+def test_checkpoint_migration_shims(tmp_path):
+    """Advisor r2: checkpoints written before the r2/r3 MapState schema
+    changes (scalar f32 total_writes; no merge_* / v2v_total leaves) load
+    through the migration registry — counter converted to the (hi, lo)
+    pair, new accumulators default-zeroed. Unknown mismatches still fail
+    loudly."""
+    import numpy as np
+    import pytest
+
+    from swarm_tpu.config import SwarmConfig
+    from swarm_tpu.engine.checkpoint import load_pytree, save_pytree
+    from swarm_tpu.engine.sim import (make_agent_params, sim_init,
+                                      total_writes_value)
+
+    cfg = SwarmConfig(n_agents=2)
+    state = sim_init(cfg, make_agent_params(2))
+    p = str(tmp_path / "old.npz")
+    save_pytree(p, state)
+
+    # rewrite the npz as the r1-era schema: scalar float32 counter, no
+    # merge_dx/dy/dyaw, no v2v_total
+    data = dict(np.load(p))
+    k_tw = [k for k in data if k.endswith(".srv.total_writes")][0]
+    data[k_tw] = np.float32(3.0 * (1 << 30))   # f32-exact value
+    for k in list(data):
+        if any(k.endswith(s) for s in (".srv.merge_dx", ".srv.merge_dy",
+                                       ".srv.merge_dyaw", ".v2v_total")):
+            del data[k]
+    np.savez_compressed(p, **data)
+
+    loaded = load_pytree(p, state)
+    assert total_writes_value(loaded.srv.total_writes) == 3 * (1 << 30)
+    assert np.asarray(loaded.srv.merge_dx).sum() == 0
+    assert np.asarray(loaded.v2v_total).sum() == 0
+
+    # strict mode still refuses the old layout
+    with pytest.raises(ValueError):
+        load_pytree(p, state, migrate=False)

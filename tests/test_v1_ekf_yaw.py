@@ -45,3 +45,37 @@ def test_v1_yaw_tracks_ekf_and_diverges_from_commanded():
     np.testing.assert_allclose(yaw_v1[:, 1], yaw_cm[:, 1], atol=1e-6)
     # the commanded-yaw agent does NOT track the EKF exactly
     assert np.abs(wrap_pi(yaw_cm[:, 0] - ekf_v1[:, 0])).max() > 1e-4
+
+
+def test_v2v_count_personality():
+    """VERDICT r2 item 9: the firmware's cumulative received-broadcast
+    v2v counter (AgentFirmware_Bot1.ino:211-215; 20 Hz SensorNode
+    broadcasts) as a per-agent personality next to the sim generator's
+    distance-in-cm semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swarm_tpu.config import SwarmConfig
+    from swarm_tpu.engine.sim import (make_agent_params, sim_init,
+                                      sim_step)
+    from swarm_tpu.geom.world import BEDROOM_WALLS
+
+    cfg = SwarmConfig(n_agents=2)
+    params = make_agent_params(2, separation=2.0, cfg=cfg)
+    params = params._replace(v2v_count=jnp.asarray([True, False]))
+    st = sim_init(cfg, params)
+    walls = jnp.asarray(BEDROOM_WALLS)
+    v2v = []
+    for _ in range(3):
+        st, m = sim_step(st, cfg, walls, params)
+        v2v.append(np.asarray(m.v2v))
+    v2v = np.stack(v2v)
+    dt = cfg.nav.drive_tick_s + cfg.nav.settle_tick_s
+    per_tick = round(cfg.sensors.v2v_broadcast_hz * dt)   # 8 at 20 Hz/0.4 s
+    # agent 0 (count personality): one in-range transmitter -> +8 per tick
+    np.testing.assert_array_equal(v2v[:, 0],
+                                  per_tick * np.arange(1, 4))
+    # agent 1 (distance personality): cm to the other agent (~2 m apart)
+    assert 150 <= v2v[0, 1] <= 250
+    assert (v2v[:, 1] > 50).all()
