@@ -69,6 +69,20 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Persistent compilation cache: the tunnelled-TPU backend compiles
+    # through a slow remote service (minutes for the fused rollout
+    # program); caching makes every bench invocation after the first
+    # start in seconds. Harmless on CPU.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import dataclasses
 
     from __graft_entry__ import _cfg_and_world

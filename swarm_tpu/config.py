@@ -146,6 +146,15 @@ class SlamConfig:
     closure_radius_m: float = 0.60
     min_poses_between: int = 30
     closure_correction: float = 0.5
+    # The reference matches incoming landmarks against ALL stored
+    # landmarks (dual_bot_mapper.py:294), but its two bots map DISJOINT
+    # server-frame halves (the separation offset, :851-852), so matching
+    # is effectively same-agent. In shared-frame swarm worlds the
+    # cross-agent positional snap drags agents' differently-drifted
+    # frames together and measurably degrades trajectory accuracy
+    # (tools/bench_accuracy.py); True restricts matching to the storing
+    # agent and leaves cross-agent alignment to the scan-merge layer.
+    closure_same_agent_only: bool = False
     landmark_capacity: int = 4096       # ring buffer (ref list is unbounded)
     # Pose-graph Gauss-Newton (north-star upgrade beyond the reference).
     gn_iterations: int = 10
@@ -186,6 +195,19 @@ class SlamConfig:
     merge_inlier_radius_cells: int = 2  # inlier radius for fitness
     merge_prior_weight: float = 0.15    # zero-motion prior (aperture fix +
     #                                     false-correction suppression)
+    # ANCHOR-map matching (beyond the reference): matching against the
+    # LIVE map has no restoring force — the map itself migrates with the
+    # drifting fleet (free-space carving erodes early wall evidence and
+    # repaints it at drifted poses), so corrections chase the drift and
+    # the coupled system random-walks (tools/bench_accuracy.py: merge-only
+    # late ATE 1.34 m vs 0.39 m raw over 2k steps). With merge_anchor the
+    # server freezes each cell's FIRST confident evidence into a second
+    # grid and the scan matcher scores against it (falling back to the
+    # live map where unanchored) — early evidence carries the least
+    # drift, so corrections pull every agent back toward the anchored
+    # early-epoch frame instead of confirming the migration.
+    merge_anchor: bool = False
+    merge_anchor_thresh: float = 1.7    # |log-odds| to freeze (2 hits)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,6 +51,7 @@ _MIGRATIONS = {
     ".srv.merge_dx": "zero",
     ".srv.merge_dy": "zero",
     ".srv.merge_dyaw": "zero",
+    ".srv.anchor": "zero",
     ".v2v_total": "zero",
 }
 

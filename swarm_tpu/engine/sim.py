@@ -192,6 +192,9 @@ class MapState(NamedTuple):
     merge_dx: jnp.ndarray         # [N] float32
     merge_dy: jnp.ndarray         # [N]
     merge_dyaw: jnp.ndarray       # [N]
+    # frozen first-evidence anchor map for drift-stable scan matching
+    # (SlamConfig.merge_anchor); [1, 1] placeholder when disabled
+    anchor: jnp.ndarray           # [S, S] (or [1, 1]) lo_dtype
 
 
 WRITES_RADIX = 1 << 30
@@ -300,7 +303,9 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         total_writes=jnp.zeros((2,), jnp.int32),
         merge_dx=jnp.zeros((n,), jnp.float32),
         merge_dy=jnp.zeros((n,), jnp.float32),
-        merge_dyaw=jnp.zeros((n,), jnp.float32))
+        merge_dyaw=jnp.zeros((n,), jnp.float32),
+        anchor=jnp.zeros((s, s) if cfg.slam.merge_anchor else (1, 1),
+                         cfg.grid.lo_dtype))
     state = SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
@@ -349,10 +354,17 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
         do_merge = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
+        if cfg.slam.merge_anchor:
+            # drift-stable matching target: frozen first evidence where
+            # anchored, live map elsewhere (see SlamConfig.merge_anchor)
+            match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
+                                  srv.anchor, srv.logodds)
+        else:
+            match_map = srv.logodds
         m = jax.lax.cond(
             do_merge,
             lambda _: scan_merge_chunked(
-                srv.logodds, rx, ry, ryaw, scan_dist, alive, cfg,
+                match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=step // cfg.engine.merge_every, n_global=n),
             lambda _: merge_zero(n), None)
         upd = m.ok & alive
@@ -556,6 +568,17 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     else:
         cents, n_fr, new_targets, new_has_target = keep(None)
 
+    anchor = srv.anchor
+    if cfg.slam.merge_anchor and cfg.engine.merge_every > 0 and \
+            not cfg.engine.parity_mode:
+        # freeze newly confident cells at merge cadence — their CURRENT
+        # evidence becomes the permanent matching target
+        do_anch = (step % cfg.engine.merge_every) == \
+            (cfg.engine.merge_every - 1)
+        freeze = (jnp.abs(srv.anchor) < 0.5) & \
+            (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh)
+        anchor = jnp.where(do_anch & freeze, logodds, srv.anchor)
+
     new_srv = MapState(
         grid=grid, logodds=logodds, closure=closure, zone=zone,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
@@ -563,7 +586,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         frontier_centroids=cents, n_frontiers=n_fr,
         total_writes=writes_accumulate(srv.total_writes,
                                        writes.astype(jnp.int32)),
-        merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw)
+        merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw,
+        anchor=anchor)
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, hx, hy, hit_valid), (n_merges, merge_fit)
 

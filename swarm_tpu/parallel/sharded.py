@@ -74,12 +74,13 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
         v2v_total=ag,
         srv=MapState(
             grid=rep, logodds=lo,
-            closure=ClosureState(*([rep] * 15)),
+            closure=ClosureState(*([rep] * 16)),
             zone=ZoneState(*([rep] * 5)),
             last_packet_t=rep, pkt_counts=rep,
             zone_boxes=rep, zone_active=rep,
             frontier_centroids=rep, n_frontiers=rep, total_writes=rep,
-            merge_dx=rep, merge_dy=rep, merge_dyaw=rep))
+            merge_dx=rep, merge_dy=rep, merge_dyaw=rep,
+            anchor=lo))
 
 
 def shard_state(state: SimState, mesh,
@@ -91,6 +92,9 @@ def shard_state(state: SimState, mesh,
                             lo_spec=P(*mesh.axis_names))
     else:
         specs = state_specs(mesh.axis_names[0], grid_rows_sharded)
+    if state.srv.anchor.shape[0] == 1:
+        # [1, 1] placeholder (SlamConfig.merge_anchor off) — replicate
+        specs = specs._replace(srv=specs.srv._replace(anchor=P()))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
@@ -255,10 +259,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         if tiles is not None:
             band_row0 = tr * srv.logodds.shape[0]
             band_col0 = tc * srv.logodds.shape[1]
+        if cfg.slam.merge_anchor:
+            match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
+                                  srv.anchor, srv.logodds)
+        else:
+            match_map = srv.logodds
         m = jax.lax.cond(
             do_merge,
             lambda _: scan_merge_chunked(
-                srv.logodds, rx, ry, ryaw, scan_dist, alive, cfg,
+                match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=state.step // cfg.engine.merge_every, n_global=n,
                 id0=shard * n_loc, band_row0=band_row0,
                 band_col0=band_col0),
@@ -509,6 +518,14 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         cents, n_fr = srv.frontier_centroids, srv.n_frontiers
         new_targets, new_has = no_targets
 
+    anchor = srv.anchor
+    if cfg.slam.merge_anchor and cfg.engine.merge_every > 0:
+        do_anch = (state.step % cfg.engine.merge_every) == \
+            (cfg.engine.merge_every - 1)
+        freeze = (jnp.abs(srv.anchor) < 0.5) & \
+            (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh)
+        anchor = jnp.where(do_anch & freeze, logodds, srv.anchor)
+
     new_srv = MapState(
         grid=srv.grid, logodds=logodds, closure=closure, zone=zone,
         last_packet_t=last_packet_t, pkt_counts=pkt_counts,
@@ -518,7 +535,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                        writes.astype(jnp.int32)),
         merge_dx=srv.merge_dx + g(cdx),
         merge_dy=srv.merge_dy + g(cdy),
-        merge_dyaw=srv.merge_dyaw + g(cdth))
+        merge_dyaw=srv.merge_dyaw + g(cdth),
+        anchor=anchor)
 
     # TARG delivery (local rows of the replicated assignment; mirrors
     # engine.sim.sim_step — server frame back into the odometry frame)
@@ -769,6 +787,9 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
     specs = state_specs(axis, grid_rows,
                         lo_spec=P(*mesh.axis_names) if grid_tiles
                         else None)
+    if not cfg.slam.merge_anchor:
+        # anchor is a [1, 1] placeholder — replicated, not grid-sharded
+        specs = specs._replace(srv=specs.srv._replace(anchor=P()))
     mspec = StepMetrics(*([P()] * len(StepMetrics._fields)))
     # check_vma off: coordination outputs are replicated by construction
     # (derived from all_gather/psum results), which the static VMA check

@@ -373,7 +373,9 @@ class LiveServer:
         run_t0 = time.time()
         pkt_at_start = self.pkt_total
         try:
-            while duration_s is None or self.now() < duration_s:
+            # duration is measured from run() start, not server __init__ —
+            # the warm-up compile can exceed a short duration budget
+            while duration_s is None or time.time() - run_t0 < duration_s:
                 start = time.time()
                 self.drain_ingest()
                 self.heartbeat_transitions()

@@ -35,6 +35,8 @@ class ClosureState(NamedTuple):
     lm_y: jnp.ndarray        # [L]
     lm_type: jnp.ndarray     # [L] int32, 0 = empty slot
     lm_node: jnp.ndarray     # [L] int32 node index, -1 = empty
+    lm_agent: jnp.ndarray    # [L] int32 storing agent, -1 = empty (used
+    #                          by the same-agent matching filter below)
     lm_count: jnp.ndarray    # [] int32 (total ever stored)
     # Pose counter + per-agent closure guards.
     n_nodes: jnp.ndarray             # [] int32
@@ -58,6 +60,7 @@ def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
     return ClosureState(
         lm_x=zf((L,), jnp.float32), lm_y=zf((L,), jnp.float32),
         lm_type=zf((L,), jnp.int32), lm_node=jnp.full((L,), -1, jnp.int32),
+        lm_agent=jnp.full((L,), -1, jnp.int32),
         lm_count=jnp.zeros((), jnp.int32),
         n_nodes=jnp.zeros((), jnp.int32),
         # ref: last_closure_idx starts at -MIN_POSES_BETWEEN (:271)
@@ -90,6 +93,15 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
     d2 = (x - state.lm_x) ** 2 + (y - state.lm_y) ** 2
     near = d2 < cfg.closure_radius_m ** 2
     match = occupied & same_type & far_in_seq & near & agent_ok & has_lm
+    if cfg.closure_same_agent_only:
+        # The reference iterates ALL landmarks (:294), but its bots map
+        # disjoint server-frame halves (separation offset :851-852), so
+        # matching is effectively same-agent. In shared-frame swarm
+        # worlds the cross-agent positional snap drags agents' drift
+        # frames together and DEGRADES accuracy (tools/bench_accuracy
+        # .py finding); cross-agent alignment is the scan-merge layer's
+        # job (map_merger.py's role).
+        match = match & (state.lm_agent == agent)
 
     any_match = jnp.any(match)
     first = jnp.argmin(jnp.where(match, slots, L))   # first in insertion order
@@ -125,10 +137,14 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
         jnp.where(has_lm, lm_type, state.lm_type[lslot]))
     lm_n = state.lm_node.at[lslot].set(
         jnp.where(has_lm, idx, state.lm_node[lslot]))
+    lm_a = state.lm_agent.at[lslot].set(
+        jnp.where(has_lm, jnp.asarray(agent, jnp.int32),
+                  state.lm_agent[lslot]))
     lm_count = state.lm_count + jnp.where(has_lm, 1, 0)
 
     new = ClosureState(
-        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_count=lm_count,
+        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_agent=lm_a,
+        lm_count=lm_count,
         n_nodes=idx + jnp.where(valid, 1, 0),
         last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
@@ -172,6 +188,10 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     near = d2 < cfg.closure_radius_m ** 2
     match = occupied[None, :] & same_type & far_in_seq & near & \
         (agent_ok & has_lm)[:, None]                                  # [M, L]
+    if cfg.closure_same_agent_only:
+        # see closure_add_pose: the effective reference behavior in
+        # shared-frame swarm worlds
+        match = match & (state.lm_agent[None, :] == agents[:, None])
 
     closed = jnp.any(match, axis=1)                                   # [M]
     first = jnp.argmin(jnp.where(match, slots[None, :], L), axis=1)   # [M]
@@ -206,10 +226,13 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     lm_y = state.lm_y.at[lslot].set(ys, mode="drop")
     lm_t = state.lm_type.at[lslot].set(lm_types, mode="drop")
     lm_n = state.lm_node.at[lslot].set(idxs, mode="drop")
+    lm_a = state.lm_agent.at[lslot].set(agents.astype(jnp.int32),
+                                        mode="drop")
     lm_count = state.lm_count + jnp.sum(hi)
 
     new = ClosureState(
-        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_count=lm_count,
+        lm_x=lm_x, lm_y=lm_y, lm_type=lm_t, lm_node=lm_n, lm_agent=lm_a,
+        lm_count=lm_count,
         n_nodes=base + jnp.sum(vi),
         last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,

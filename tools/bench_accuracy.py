@@ -7,12 +7,17 @@ multi-room world at the reference drift rates (scale bias +/-0.2 %, yaw
 bias -/+0.008 rad/m — generate_fake_dual_session.py:407-444) and reports,
 for each correction tier:
 
-  raw        — drifted odometry only (closures disabled, merge off)
-  closures   — online landmark loop closures (damped 0.5, radius 0.60 m)
-  +merge     — closures + the in-engine continuous scan-to-map merge
-  +refine    — offline pose-graph Gauss-Newton over the logged
-               trajectory (slam/refine.py), seeded with the online
-               closure log
+  raw               — drifted odometry only (no corrections)
+  ref_closures      — the REFERENCE's online mechanism: damped landmark
+                      position snap (0.5 x, radius 0.60 m,
+                      dual_bot_mapper.py:308-326)
+  merge_anchored    — OUR deployable preset: continuous scan-to-map merge
+                      against the frozen first-evidence ANCHOR map
+                      (SlamConfig.merge_anchor), closure snap off
+  ref_closures+merge — both online mechanisms together
+  refined           — offline pose-graph Gauss-Newton over the RAW
+                      trajectory with the logged closure edges
+                      (slam/refine.py)
 
 metrics:
   ate_mean_m / ate_late_m — mean absolute trajectory error over the whole
@@ -110,7 +115,7 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
                         walls_grouped=wg, room_of_agent=roa)
         out = (m.pose_err, m.srv_x, m.srv_y, m.yaw_q,
                s.pose_true[:, 0] + params.x_offset, s.pose_true[:, 1],
-               m.landmark, m.dist_m)
+               m.landmark, m.closures, m.merges)
         return s2, out
 
     @jax.jit
@@ -118,12 +123,11 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
         return jax.lax.scan(body, s, None, length=chunk)
 
     state = sim_init(cfg, params)
-    host = {k: [] for k in ("err", "sx", "sy", "yq", "tx", "ty",
-                            "lm", "d4")}
+    keys = ("err", "sx", "sy", "yq", "tx", "ty", "lm", "ncl", "nmg")
+    host = {k: [] for k in keys}
     for _ in range(steps // chunk):
         state, outs = chunk_fn(state)
-        for k, v in zip(("err", "sx", "sy", "yq", "tx", "ty", "lm", "d4"),
-                        outs):
+        for k, v in zip(keys, outs):
             host[k].append(np.asarray(v))
     out = {k: np.concatenate(v, axis=0) for k, v in host.items()}
     return out, state
@@ -164,15 +168,27 @@ def main():
     results = {}
     logs = {}
     variants = {
-        # closures off: zero matching radius => no corrections, no log
+        # raw: closures off (zero radius), merge off
         "raw": dict(slam=dataclasses.replace(base_cfg.slam,
                                              closure_radius_m=0.0),
                     engine=dataclasses.replace(base_cfg.engine,
                                                merge_every=0)),
-        "closures": dict(engine=dataclasses.replace(base_cfg.engine,
-                                                    merge_every=0)),
-        "closures+merge": dict(engine=dataclasses.replace(
-            base_cfg.engine, merge_every=16)),
+        # the REFERENCE online mechanism: damped landmark position snap
+        # (dual_bot_mapper.py:308-326) — kept as an honest tier even
+        # though it degrades swarm-scale accuracy (translation-only snaps
+        # under rotational drift)
+        "ref_closures": dict(
+            slam=dataclasses.replace(base_cfg.slam,
+                                     closure_correction=0.5),
+            engine=dataclasses.replace(base_cfg.engine, merge_every=0)),
+        # OUR deployable preset: anchored scan-merge, no closure snap
+        "merge_anchored": dict(
+            slam=dataclasses.replace(base_cfg.slam, closure_radius_m=0.0),
+            engine=dataclasses.replace(base_cfg.engine, merge_every=16)),
+        "ref_closures+merge": dict(
+            slam=dataclasses.replace(base_cfg.slam,
+                                     closure_correction=0.5),
+            engine=dataclasses.replace(base_cfg.engine, merge_every=16)),
     }
     for name, over in variants.items():
         cfg = base_cfg.replace(**over)
@@ -183,15 +199,23 @@ def main():
                                         cfg.grid)) == cfg.grid.occupied
         results[name] = {"ate_mean_m": round(a_mean, 4),
                          "ate_late_m": round(a_late, 4),
+                         "closures": int(log["ncl"].sum()),
+                         "merges": int(log["nmg"].sum()),
                          **{k: (round(v, 4) if isinstance(v, float) else v)
                             for k, v in wall_metrics(occ, wall_mask).items()}}
         logs[name] = (log, state)
         print(f"{name:16s} ATE mean {a_mean:.3f} m | late {a_late:.3f} m | "
               f"wall p90 {results[name]['wall_p90']} | "
-              f"IoU {results[name]['wall_iou']}", flush=True)
+              f"IoU {results[name]['wall_iou']} | "
+              f"closures {results[name]['closures']} "
+              f"merges {results[name]['merges']}", flush=True)
 
-    # offline refinement on the closures+merge run's logged trajectory
-    log, state = logs["closures+merge"]
+    # offline refinement: the classic offline-SLAM recipe — RAW odometry
+    # (no online snap discontinuities) + closure edges + pose-graph GN.
+    # Closure edges come from the ref_closures run's online log
+    # (re-detection from telemetry is also supported via closures=None).
+    log, _ = logs["raw"]
+    _, state = logs["ref_closures"]
     t_steps, n = log["sx"].shape
     session = {
         "t": np.repeat(np.arange(t_steps, dtype=np.float64) * 0.4, n),
@@ -203,8 +227,9 @@ def main():
     }
     cl = state.srv.closure
     c = min(int(cl.cl_count), len(np.asarray(cl.cl_node)))
+    # cl_agent is 0-based; session agent ids are 1-based
     closures = (np.asarray(cl.cl_lm_node)[:c], np.asarray(cl.cl_node)[:c],
-                np.asarray(cl.cl_agent)[:c])
+                np.asarray(cl.cl_agent)[:c] + 1)
     refined = refine_session(session, closures=closures, cfg=base_cfg)
     true_x = log["tx"].reshape(-1)
     true_y = log["ty"].reshape(-1)
