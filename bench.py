@@ -61,6 +61,11 @@ def main():
                     help="run frontier detection + greedy target assignment "
                          "at the reference's 3 s cadence (coarse swarm-scale "
                          "path for grids > 512)")
+    ap.add_argument("--grid-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="log-odds grid storage dtype; bfloat16 halves "
+                         "grid HBM (the >16k-agent scaling lever) — "
+                         "evidence still accumulates in f32 in-kernel")
     ap.add_argument("--merge-every", type=int, default=16,
                     help="in-engine scan-merge cadence in steps (the "
                          "reference merger runs continuously on every "
@@ -96,6 +101,9 @@ def main():
         raster_mode=args.raster, use_pallas=use_pallas,
         scan_rays=args.scan_rays, tiled=use_pallas,
         room_kernel=args.room_kernel)
+    if args.grid_dtype != "float32":
+        cfg = cfg.replace(grid=dataclasses.replace(
+            cfg.grid, logodds_dtype=args.grid_dtype))
     if use_pallas:
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine,
@@ -223,6 +231,7 @@ def main():
             "agent_steps_per_s": round(steps * args.agents / dt, 1),
             "writes_per_step": round(total_writes / max(steps, 1), 1),
             "grid": cfg.grid.size,
+            "grid_dtype": cfg.grid.logodds_dtype,
             "platform": jax.devices()[0].platform,
             "raster": args.raster,
             "scan_rays": args.scan_rays,

@@ -354,19 +354,22 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
         do_merge = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
-        if cfg.slam.merge_anchor:
-            # drift-stable matching target: frozen first evidence where
-            # anchored, live map elsewhere (see SlamConfig.merge_anchor)
-            match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
-                                  srv.anchor, srv.logodds)
-        else:
-            match_map = srv.logodds
-        m = jax.lax.cond(
-            do_merge,
-            lambda _: scan_merge_chunked(
+        def run_merge(_):
+            if cfg.slam.merge_anchor:
+                # drift-stable matching target: frozen first evidence
+                # where anchored, live map elsewhere (SlamConfig
+                # .merge_anchor). Built INSIDE the cond branch so the
+                # full-grid select costs nothing on non-merge steps.
+                match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
+                                      srv.anchor, srv.logodds)
+            else:
+                match_map = srv.logodds
+            return scan_merge_chunked(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
-                event=step // cfg.engine.merge_every, n_global=n),
-            lambda _: merge_zero(n), None)
+                event=step // cfg.engine.merge_every, n_global=n)
+
+        m = jax.lax.cond(do_merge, run_merge,
+                         lambda _: merge_zero(n), None)
         upd = m.ok & alive
         # full correction to THIS step's raster pose (the scan's evidence
         # is inserted aligned — map_merger.py:87-127's re-rasterisation);
@@ -572,12 +575,17 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     if cfg.slam.merge_anchor and cfg.engine.merge_every > 0 and \
             not cfg.engine.parity_mode:
         # freeze newly confident cells at merge cadence — their CURRENT
-        # evidence becomes the permanent matching target
+        # evidence becomes the permanent matching target (cond-gated:
+        # the full-grid pass runs only on merge steps)
         do_anch = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
-        freeze = (jnp.abs(srv.anchor) < 0.5) & \
-            (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh)
-        anchor = jnp.where(do_anch & freeze, logodds, srv.anchor)
+        anchor = jax.lax.cond(
+            do_anch,
+            lambda _: jnp.where(
+                (jnp.abs(srv.anchor) < 0.5) &
+                (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh),
+                logodds, srv.anchor),
+            lambda _: srv.anchor, None)
 
     new_srv = MapState(
         grid=grid, logodds=logodds, closure=closure, zone=zone,

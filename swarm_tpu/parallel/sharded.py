@@ -259,19 +259,20 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         if tiles is not None:
             band_row0 = tr * srv.logodds.shape[0]
             band_col0 = tc * srv.logodds.shape[1]
-        if cfg.slam.merge_anchor:
-            match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
-                                  srv.anchor, srv.logodds)
-        else:
-            match_map = srv.logodds
-        m = jax.lax.cond(
-            do_merge,
-            lambda _: scan_merge_chunked(
+        def run_merge(_):
+            if cfg.slam.merge_anchor:
+                match_map = jnp.where(jnp.abs(srv.anchor) >= 0.5,
+                                      srv.anchor, srv.logodds)
+            else:
+                match_map = srv.logodds
+            return scan_merge_chunked(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=state.step // cfg.engine.merge_every, n_global=n,
                 id0=shard * n_loc, band_row0=band_row0,
-                band_col0=band_col0),
-            lambda _: merge_zero(n_loc), None)
+                band_col0=band_col0)
+
+        m = jax.lax.cond(do_merge, run_merge,
+                         lambda _: merge_zero(n_loc), None)
         upd = m.ok & alive
         # full correction to THIS step's raster; damped fraction persists
         # (mirrors engine.sim._ingest_batched)
@@ -522,9 +523,13 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     if cfg.slam.merge_anchor and cfg.engine.merge_every > 0:
         do_anch = (state.step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
-        freeze = (jnp.abs(srv.anchor) < 0.5) & \
-            (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh)
-        anchor = jnp.where(do_anch & freeze, logodds, srv.anchor)
+        anchor = jax.lax.cond(
+            do_anch,
+            lambda _: jnp.where(
+                (jnp.abs(srv.anchor) < 0.5) &
+                (jnp.abs(logodds) >= cfg.slam.merge_anchor_thresh),
+                logodds, srv.anchor),
+            lambda _: srv.anchor, None)
 
     new_srv = MapState(
         grid=srv.grid, logodds=logodds, closure=closure, zone=zone,
