@@ -136,10 +136,11 @@ def make_trajectory_sharded_gn(mesh, n_chain: int, iterations: int = 10,
                 b = b.at[ci].add(jnp.einsum("eab,ea->eb", Jic2, wcl * rc))
                 b = b.at[cj].add(jnp.einsum("eab,ea->eb", Jjc2, wcl * rc))
                 cost = cost + jnp.sum(wcl * rc * rc)
-                JiT = jnp.where(cval[:, None, None],
-                                jnp.swapaxes(Jic2, -1, -2), 0.0)
-                JjT = jnp.where(cval[:, None, None],
-                                jnp.swapaxes(Jjc2, -1, -2), 0.0)
+                # per-component weight mask (advisor r2: zero-weight
+                # components must contribute exactly nothing)
+                cmask = (cval[:, None] & (wcl > 0))[:, None, :]
+                JiT = jnp.where(cmask, jnp.swapaxes(Jic2, -1, -2), 0.0)
+                JjT = jnp.where(cmask, jnp.swapaxes(Jjc2, -1, -2), 0.0)
                 U = jnp.zeros((m, 3, c, 3), dtype)
                 U = U.at[ci, :, jnp.arange(c), :].add(JiT)
                 U = U.at[cj, :, jnp.arange(c), :].add(JjT)

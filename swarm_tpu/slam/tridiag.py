@@ -160,9 +160,15 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
             # (S⁻¹ stays I there, contribution exactly 0).
             cw = wmask_all[n_chain:]                       # [C, 3]
             cval = g.e_valid[n_chain:]
-            JiT = jnp.where(cval[:, None, None],
+            # mask per (closure, residual component): a VALID closure
+            # with a zero-weight component must contribute exactly
+            # nothing — leaving its U column nonzero while s_inv
+            # defaults to 1 would inject a spurious unit-weight
+            # Hessian term (advisor r2 finding)
+            cmask = (cval[:, None] & (cw > 0))[:, None, :]
+            JiT = jnp.where(cmask,
                             jnp.swapaxes(Ji[n_chain:], -1, -2), 0.0)
-            JjT = jnp.where(cval[:, None, None],
+            JjT = jnp.where(cmask,
                             jnp.swapaxes(Jj[n_chain:], -1, -2), 0.0)
             U = jnp.zeros((m, 3, c, 3), dtype)
             U = U.at[ci, :, jnp.arange(c), :].add(JiT)

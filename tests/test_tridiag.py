@@ -111,3 +111,35 @@ def test_trajectory_sharded_gn_matches_single(rng):
     # costs: psum chunk order vs single-device sum -> float rounding
     np.testing.assert_allclose(np.asarray(cost_p), np.asarray(cost_s),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_zero_weight_closure_component_contributes_nothing():
+    """Advisor r2: a VALID closure edge with one zero weight component
+    must contribute exactly nothing for that component — the Woodbury
+    fold used to leave its U column nonzero while s_inv defaulted to 1,
+    injecting a spurious unit-weight Hessian term."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swarm_tpu.slam.posegraph import graph_from_trajectory
+    from swarm_tpu.slam.tridiag import structured_gn
+
+    rng = np.random.default_rng(5)
+    t = 64
+    g = _noisy_loop_graph(rng, t, closure_cap=2, n_closures=1)
+    n_chain = t - 1
+
+    # variant A: closure weight fully zero on all components
+    wz = np.asarray(g.weight).copy()
+    wz[n_chain:, :] = 0.0
+    ga = g._replace(weight=jnp.asarray(wz))
+    out_a, _ = structured_gn(ga, n_chain, iterations=5)
+
+    # variant B: the closure edge marked invalid
+    gb = g._replace(e_valid=g.e_valid.at[n_chain:].set(False))
+    out_b, _ = structured_gn(gb, n_chain, iterations=5)
+
+    np.testing.assert_allclose(np.asarray(out_a.poses),
+                               np.asarray(out_b.poses), atol=1e-6)
