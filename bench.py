@@ -200,19 +200,27 @@ def main():
             kk, p, w_, cfg.engine.scan_rays, cfg.sensors))(
             ks, state.pose_true[:mla], rooms[0][rooms[1][:mla]])
 
-        def time_match(m):
+        def time_match(m, inner=8):
+            # amortized inside ONE jitted scan: per-call host fetches over
+            # the tunnelled backend cost a ~30 ms round-trip each, which
+            # would swamp a ~3 ms matcher (see tools/profile_step.py)
             alive = jnp.ones((m,), bool)
-            sm = jax.jit(lambda lo, sd: scan_merge(
-                lo, state.odom.x_est[:m], state.odom.y_est[:m],
-                state.odom.yaw_est[:m], sd, alive, cfg))
-            r = sm(state.srv.logodds, scan[:m])
-            float(r.fitness.sum())           # compile + sync
+
+            def body(c, _):
+                r = scan_merge(state.srv.logodds + c * 1e-20,
+                               state.odom.x_est[:m], state.odom.y_est[:m],
+                               state.odom.yaw_est[:m], scan[:m], alive,
+                               cfg)
+                return c + r.fitness.sum() * 1e-9, ()
+
+            sm = jax.jit(lambda: jax.lax.scan(
+                body, jnp.float32(0.0), None, length=inner)[0])
+            float(sm())                      # compile + sync
             t1 = time.perf_counter()
-            reps = 5
+            reps = 3
             for _ in range(reps):
-                r = sm(state.srv.logodds, scan[:m])
-                float(r.fitness.sum())       # per-rep host pull = sync
-            return (time.perf_counter() - t1) / reps * 1e3
+                float(sm())                  # per-rep host pull = sync
+            return (time.perf_counter() - t1) / (reps * inner) * 1e3
 
         merge_latency_ms = time_match(mla)
         merge_event_ms = (merge_latency_ms if chunk_n == mla

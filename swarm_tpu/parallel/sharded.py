@@ -177,7 +177,8 @@ def _halo_exchange(ext, R: int, C: int, halo_r: int, halo_c: int,
 def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                        params: AgentParams, faults: FaultSchedule,
                        enable_targets: bool, axis,
-                       grid_rows: bool = False, tiles=None):
+                       grid_rows: bool = False, tiles=None,
+                       guard_box=None):
     """shard_map body: agent leaves arrive as [N/D] local rows, server state
     replicated. Mirrors engine.sim.sim_step stage-for-stage.
 
@@ -340,8 +341,20 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         # silent map divergence.
         reach_g = _reach_cells(cfg)
         ay_cell = (ry - cfg.grid.origin_y) / cfg.grid.resolution
-        in_band = ((ay_cell - reach_g >= band[0]) &
-                   (ay_cell + reach_g <= band[0] + band_rows))
+        if guard_box is not None:
+            # Drift-budget guard matching the STATIC proof's semantics:
+            # evidence is wall-limited relative to the TRUE pose, offset
+            # by drift = est - true, so evidence leaves the proven
+            # per-agent box iff the drift budget is exhausted — i.e. the
+            # ESTIMATE leaves the padded box. The earlier pose+/-reach
+            # band test was stricter than the proof and false-fired for
+            # agents validly hugging band-edge walls.
+            rmin_a = guard_box[0][ridx]
+            rmax_a = guard_box[1][ridx]
+            in_band = (ay_cell >= rmin_a) & (ay_cell <= rmax_a)
+        else:
+            in_band = ((ay_cell - reach_g >= band[0]) &
+                       (ay_cell + reach_g <= band[0] + band_rows))
         band_esc_loc = jnp.sum((~in_band & alive).astype(jnp.int32))
     elif tiles is not None:
         from swarm_tpu.ops.beam_raster import reach_cells as _reach_cells
@@ -357,10 +370,17 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         ax_cell = (rx - cfg.grid.origin_x) / cfg.grid.resolution
         r_lo, r_hi = tr * core_r, (tr + 1) * core_r
         c_lo, c_hi = tc * core_c, (tc + 1) * core_c
-        in_band = ((ay_cell - reach_g >= r_lo - halo_r) &
-                   (ay_cell + reach_g <= r_hi + halo_r - 8) &
-                   (ax_cell - reach_g >= c_lo - halo_c) &
-                   (ax_cell + reach_g <= c_hi + halo_c))
+        if guard_box is not None:
+            # drift-budget semantics (see the rows guard above)
+            in_band = ((ay_cell >= guard_box[0][ridx]) &
+                       (ay_cell <= guard_box[1][ridx]) &
+                       (ax_cell >= guard_box[2][ridx]) &
+                       (ax_cell <= guard_box[3][ridx]))
+        else:
+            in_band = ((ay_cell - reach_g >= r_lo - halo_r) &
+                       (ay_cell + reach_g <= r_hi + halo_r - 8) &
+                       (ax_cell - reach_g >= c_lo - halo_c) &
+                       (ax_cell + reach_g <= c_hi + halo_c))
         band_esc_loc = jnp.sum((~in_band & alive).astype(jnp.int32))
     if beam_mode:
         from swarm_tpu.ops.beam_raster import (
@@ -681,6 +701,7 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                          "(cfg.engine.parity_mode=False)")
     if grid_sharding not in ("replicated", "rows", "tiles"):
         raise ValueError(f"unknown grid_sharding {grid_sharding!r}")
+    guard_box = None      # per-agent static evidence box (runtime guard)
     grid_tiles = grid_sharding == "tiles"
     if grid_tiles:
         if mesh.devices.ndim != 2 or len(mesh.axis_names) != 2:
@@ -737,6 +758,8 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                              "proof")
         rmin, rmax, cmin, cmax = agent_evidence_box(
             walls_grouped, room_of_agent, cfg)
+        guard_box = tuple(jnp.asarray(a, jnp.float32)
+                          for a in (rmin, rmax, cmin, cmax))
         dev = np.arange(cfg.n_agents) // (cfg.n_agents // d)
         dr, dc = dev // C, dev % C
         bad = ((rmin < dr * wr - halo_r) |
@@ -773,6 +796,8 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
                              "room_of_agent for the static band-"
                              "containment proof")
         rmin, rmax = agent_evidence_rows(walls_grouped, room_of_agent, cfg)
+        guard_box = tuple(jnp.asarray(a, jnp.float32)
+                          for a in (rmin, rmax))
         dev = np.arange(cfg.n_agents) // (cfg.n_agents // d)
         lo = dev * band
         bad = (rmin < lo) | (rmax > lo + band)
@@ -788,7 +813,8 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis,
-        grid_rows=grid_rows, tiles=tiles)
+        grid_rows=grid_rows, tiles=tiles,
+        guard_box=guard_box)
     specs = state_specs(axis, grid_rows,
                         lo_spec=P(*mesh.axis_names) if grid_tiles
                         else None)

@@ -50,6 +50,7 @@ def _worlds(kind: str, n_dev: int):
         n_agents = 2 * n_rooms
         i = np.arange(n_agents)
         room = i // 2
+        from swarm_tpu.config import SlamConfig
         cfg = SwarmConfig(
             n_agents=n_agents,
             grid=GridConfig(size=size, origin_x=0.0, origin_y=0.0),
@@ -57,7 +58,13 @@ def _worlds(kind: str, n_dev: int):
                                 raster_mode="beam", scan_rays=37,
                                 raster_4way=False, use_pallas=False,
                                 kernel_endpoints=False, endpoint_hits=True,
-                                merge_every=16))
+                                merge_every=16),
+            # the deployable correction preset (see __graft_entry__):
+            # anchored merge keeps drift bounded; the unanchored live-map
+            # feedback loop diverges past the band budget within ~300
+            # steps (bench_accuracy finding)
+            slam=SlamConfig(closure_same_agent_only=True,
+                            closure_correction=0.0, merge_anchor=True))
         params = make_agent_params(n_agents, separation=2.0, cfg=cfg)
         params = params._replace(
             home_x=jnp.asarray(origins[room, 0] + np.where(i % 2, 5.5, 0.5),
@@ -72,9 +79,13 @@ def _worlds(kind: str, n_dev: int):
                 dict(grid_tiles_sharded=True))
     from tests.test_sharded_spatial import _vertical_world
 
+    from swarm_tpu.config import SlamConfig
+
     cfg, walls, params, wg, roa = _vertical_world(n_dev)
-    cfg = cfg.replace(engine=dataclasses.replace(
-        cfg.engine, merge_every=16))
+    cfg = cfg.replace(
+        engine=dataclasses.replace(cfg.engine, merge_every=16),
+        slam=SlamConfig(closure_same_agent_only=True,
+                        closure_correction=0.0, merge_anchor=True))
     mesh = make_mesh(n_dev)
     kw = dict(grid_rows_sharded=True) if kind == "rows" else {}
     return cfg, walls, params, wg, roa, mesh, kw
