@@ -47,7 +47,12 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     poses[:t, 1] = ys
     poses[:t, 2] = yaws
 
-    c = max(1, len(closure_pairs))
+    # closure capacity bucketed to a power of two: per-agent closure
+    # counts vary, and an exact-capacity graph would force one solver
+    # compile PER AGENT (minutes each through the tunnelled-TPU compile
+    # service — a 64-agent session refinement spent longer compiling
+    # than solving before this)
+    c = _next_pow2(max(1, len(closure_pairs)))
     ci = np.zeros((c,), np.int32)
     cj = np.zeros((c,), np.int32)
     for k, (i, j) in enumerate(closure_pairs):
