@@ -151,6 +151,9 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from swarm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import dataclasses
 
     import jax.numpy as jnp

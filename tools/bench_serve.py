@@ -78,6 +78,9 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from swarm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import dataclasses
 
     from swarm_tpu.config import SwarmConfig

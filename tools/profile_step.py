@@ -19,6 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from swarm_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax.numpy as jnp
 
 

@@ -19,6 +19,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax  # noqa: E402
+
+from swarm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
