@@ -200,7 +200,7 @@ def main():
             kk, p, w_, cfg.engine.scan_rays, cfg.sensors))(
             ks, state.pose_true[:mla], rooms[0][rooms[1][:mla]])
 
-        def time_match(m, inner=8):
+        def time_match(m, inner=4):
             # amortized inside ONE jitted scan: per-call host fetches over
             # the tunnelled backend cost a ~30 ms round-trip each, which
             # would swamp a ~3 ms matcher (see tools/profile_step.py)
@@ -222,10 +222,27 @@ def main():
                 float(sm())                  # per-rep host pull = sync
             return (time.perf_counter() - t1) / (reps * inner) * 1e3
 
-        merge_latency_ms = time_match(mla)
+        def safe_time(m, inner=4):
+            # never let the side probe kill the headline (the tunnelled
+            # compile service rejects oversized programs with HTTP 413
+            # at large batches — fall back to single-call timing, then
+            # to None)
+            try:
+                return time_match(m, inner)
+            except Exception as e:
+                print(f"# merge probe (batch {m}, amortized) failed: "
+                      f"{type(e).__name__}; falling back", flush=True)
+                try:
+                    return time_match(m, inner=1)
+                except Exception:
+                    return None
+
+        merge_latency_ms = safe_time(mla)
         merge_event_ms = (merge_latency_ms if chunk_n == mla
-                          else time_match(chunk_n))
-        merge_cost_per_step_ms = merge_event_ms / cfg.engine.merge_every
+                          else safe_time(chunk_n, inner=8))
+        merge_cost_per_step_ms = (
+            merge_event_ms / cfg.engine.merge_every
+            if merge_event_ms is not None else None)
     print(json.dumps({
         "metric": "grid_cell_updates_per_s",
         "value": value,
