@@ -173,8 +173,11 @@ class SlamConfig:
     # continuously re-aligning ICP node).
     merge_window_cells: int = 64        # local splat image side
     merge_search_cells: int = 8         # +/- translation search (cells)
-    merge_angles: int = 9               # rotation hypotheses
-    merge_angle_range: float = 0.15     # +/- radians
+    merge_angles: int = 11              # rotation hypotheses
+    # +/- range must cover the 15-deg yaw quantisation (+/-0.13 rad) of
+    # the REPORTED yaw plus residual drift; sub-step parabolic
+    # refinement (scanmatch) resolves below the 0.04 rad spacing
+    merge_angle_range: float = 0.20     # +/- radians
     merge_damping: float = 0.5          # correction damping (ref closure 0.5)
     # Fraction of the yaw correction accumulated into the persistent
     # per-agent state. The reported yaw carries a +/-7.5 deg QUANTISATION
@@ -208,6 +211,26 @@ class SlamConfig:
     # early-epoch frame instead of confirming the migration.
     merge_anchor: bool = False
     merge_anchor_thresh: float = 1.7    # |log-odds| to freeze (2 hits)
+    # Per-event clamp on the PERSISTENT correction increment: a single
+    # mismatched window (aperture tie broken wrong, sparse early map)
+    # can otherwise jump an agent's frame by the full search range in
+    # one event — the wrong frame then freezes into the anchor and
+    # self-confirms (observed: one agent jumped 0.5 m at ~step 80 and
+    # stayed offset). Bounded increments keep any bad match recoverable
+    # by the next good one. The raster-pose correction for THIS step's
+    # insert is deliberately NOT clamped: clamping it inserts residually
+    # offset evidence whose ghost walls self-confirm on the next match
+    # (measured: a 0.34 m slip stalls at ~0.26 m instead of recovering).
+    merge_max_step_m: float = 0.15
+    merge_max_step_rad: float = 0.05
+    # Freeze window (steps): cells may enter the anchor only this early.
+    # Without a cutoff the anchor slowly ACCRETES ghost walls painted at
+    # drifted poses later in the run (they become confident, freeze, and
+    # then legitimise the drift they encode) — the observed slow ratchet
+    # in long soaks. 0 = no limit. Bounded rooms are fully observed
+    # within a few hundred steps, so that is the natural setting for
+    # long runs.
+    merge_anchor_freeze_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

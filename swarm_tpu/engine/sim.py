@@ -323,7 +323,8 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
 
 def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     alive, t, step, cfg: SwarmConfig, params: AgentParams,
-                    enable_targets: bool, scan_dist=None):
+                    enable_targets: bool, scan_dist=None,
+                    merge_win_box=None):
     """One step's N packets into the mapping server, fully batched.
 
     Reproduces dual_bot_mapper.py:814-996 semantics with the step-cadence
@@ -366,23 +367,34 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                 match_map = srv.logodds
             return scan_merge_chunked(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
-                event=step // cfg.engine.merge_every, n_global=n)
+                event=step // cfg.engine.merge_every, n_global=n,
+                win_bounds=merge_win_box)
 
         m = jax.lax.cond(do_merge, run_merge,
                          lambda _: merge_zero(n), None)
         upd = m.ok & alive
-        # full correction to THIS step's raster pose (the scan's evidence
-        # is inserted aligned — map_merger.py:87-127's re-rasterisation);
-        # only a damped fraction persists into future ingest.
+        # FULL correction to THIS step's raster pose (the scan's evidence
+        # is inserted aligned — map_merger.py:87-127's re-rasterisation;
+        # clamping here would insert residually-offset evidence whose
+        # ghost walls self-confirm on the next match: measured, a 0.34 m
+        # slip then stalls at ~0.26 m instead of recovering). Only the
+        # PERSISTENT increment is clamped — one bad match may pollute a
+        # single scan insert but cannot move the agent's frame more than
+        # merge_max_step_m; the next good match restores it.
+        cmx = cfg.slam.merge_max_step_m
+        cmr = cfg.slam.merge_max_step_rad
         fdx = jnp.where(upd, m.ddx, 0.0)
         fdy = jnp.where(upd, m.ddy, 0.0)
         fdth = jnp.where(upd, m.ddtheta, 0.0)
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
-        merge_dx = merge_dx + cfg.slam.merge_damping * fdx
-        merge_dy = merge_dy + cfg.slam.merge_damping * fdy
-        merge_dyaw = merge_dyaw + cfg.slam.merge_yaw_damping * fdth
+        merge_dx = merge_dx + cfg.slam.merge_damping * \
+            jnp.clip(fdx, -cmx, cmx)
+        merge_dy = merge_dy + cfg.slam.merge_damping * \
+            jnp.clip(fdy, -cmx, cmx)
+        merge_dyaw = merge_dyaw + cfg.slam.merge_yaw_damping * \
+            jnp.clip(fdth, -cmr, cmr)
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
@@ -579,6 +591,9 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         # the full-grid pass runs only on merge steps)
         do_anch = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
+        if cfg.slam.merge_anchor_freeze_steps > 0:
+            do_anch = do_anch & (
+                step < cfg.slam.merge_anchor_freeze_steps)
         anchor = jax.lax.cond(
             do_anch,
             lambda _: jnp.where(
@@ -624,6 +639,24 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         walls_agent = jnp.broadcast_to(
             walls, (n,) + walls.shape)
 
+    # Static per-agent merge-window bounds — the SAME placement rule the
+    # sharded builder applies (parallel.sharded.make_sharded_sim_step):
+    # the window start is clamped into the agent's TILE-SNAPPED room box
+    # (parallel.sharded.merge_window_box — agent-centered placement, the
+    # clamp a near-no-op), so fused and sharded engines stay
+    # bit-comparable with rooms + merge ON (see slam.livemerge.scan_merge
+    # win_bounds). Trace-free numpy on the closure-constant room
+    # geometry; skipped if the geometry is traced.
+    merge_win_box = None
+    if (cfg.engine.merge_every > 0 and walls_grouped is not None
+            and room_of_agent is not None
+            and not isinstance(walls_grouped, jax.core.Tracer)
+            and not isinstance(room_of_agent, jax.core.Tracer)):
+        from swarm_tpu.parallel.sharded import merge_window_box
+        merge_win_box = tuple(
+            jnp.asarray(a, jnp.int32)
+            for a in merge_window_box(walls_grouped, room_of_agent, cfg))
+
     # Per-agent counter-based RNG streams: fold the step key by GLOBAL agent
     # id, so results are identical under any agent sharding (SURVEY §7
     # "hard parts" — RNG strategy for bit-comparability).
@@ -660,7 +693,7 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         _ingest_batched(
             state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
             state.t, state.step, cfg, params, enable_targets,
-            scan_dist=scan_dist)
+            scan_dist=scan_dist, merge_win_box=merge_win_box)
     rx_t, ry_t, hx_t, hy_t, hv_t = proj
     n_merges, merge_fit = merge_m
 

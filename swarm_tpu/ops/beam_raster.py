@@ -113,21 +113,27 @@ def patch_dims(size: int, reach: int = REACH_CELLS,
 def patch_origin(ax_cell, ay_cell, size: int,
                  rows: int = 64, cols: int = 256,
                  reach: int = REACH_CELLS, n_rows: int = None,
-                 n_cols: int = None, row_align: int = 8):
+                 n_cols: int = None, row_align: int = 8,
+                 row_off: int = 0, col_off: int = 0):
     """Aligned window origin (row0, col0): floor-based asymmetric placement
     origin = align_down(agent - reach) guarantees >= reach margin on the
     low side by construction and >= reach on the high side by the
-    patch_dims sizing; clamped to the grid (or to `n_rows` x `n_cols` when
-    the target is a band / tile window of the grid)."""
+    patch_dims sizing; clamped to the grid (or, when the target is a
+    band / tile window, into the window's GLOBAL capacity interval
+    [row_off, row_off + n_rows - rows] — ax/ay arrive in GLOBAL cells
+    and the returned origin is GLOBAL too; the caller subtracts the
+    integer offset only at the dynamic-slice start, so every FLOAT
+    expression downstream is decomposition-invariant)."""
     w = size if n_cols is None else n_cols
     row0 = ((jnp.floor(ay_cell).astype(jnp.int32) - reach)
             // row_align) * row_align
-    row0 = jnp.clip(row0, 0, (size if n_rows is None else n_rows) - rows)
+    row0 = jnp.clip(row0, row_off,
+                    row_off + (size if n_rows is None else n_rows) - rows)
     if cols >= w:
-        col0 = jnp.zeros_like(row0)
+        col0 = jnp.full_like(row0, col_off)
     else:
         col0 = ((jnp.floor(ax_cell).astype(jnp.int32) - reach) // 128) * 128
-        col0 = jnp.clip(col0, 0, w - cols)
+        col0 = jnp.clip(col0, col_off, col_off + w - cols)
     return row0, col0
 
 
@@ -328,18 +334,19 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     per-step cost. With phase set the carve is the rotated group MIN and
     the per-cell sector lookup goes through the cell's own BEAM index."""
     res = cfg.resolution
+    # ax/ay stay GLOBAL in every decomposition. band=(row_offset_cells,
+    # n_rows) / band_cols=(col_offset_cells, n_cols) say `logodds` is a
+    # local row band / tile window of the global grid; the offset enters
+    # ONLY through integer placement clamps and the integer slice start
+    # below. Subtracting it from the float coords here (the old scheme)
+    # is mathematically exact but hands XLA a structurally DIFFERENT fp
+    # graph (cx - (ax - c0) vs cx - ax), whose simplified form differed
+    # by 1 ulp on CPU — silently breaking rows/tiles-vs-replicated map
+    # bit-equality (observed: one free-carve flip after 48 soak steps).
     ax = (agent_xy[:, 0] - cfg.origin_x) / res
     ay = (agent_xy[:, 1] - cfg.origin_y) / res
-    if band is not None:
-        # band=(row_offset_cells, n_rows): logodds is the shard's local
-        # [n_rows, size] row band. Geometry stays exact because agent and
-        # cell rows shift together; windows must fit the band (the
-        # spatially-sharded engine verifies containment statically).
-        ay = ay - band[0]
-    if band_cols is not None:
-        # band_cols=(col_offset_cells, n_cols): the column analogue — with
-        # `band` this targets a 2-D tile window (tiles+halo decomposition).
-        ax = ax - band_cols[0]
+    row_off = 0 if band is None else band[0]
+    col_off = 0 if band_cols is None else band_cols[0]
     ranges_cells = quantize_ranges_cells(dist_m / res)
     per = -(-spec.n_beams // n_groups)
     if phase is not None and per > 1:
@@ -352,7 +359,8 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
     row0, col0 = patch_origin(ax, ay, cfg.size, pr, pc, reach,
                               n_rows=None if band is None else band[1],
                               n_cols=None if band_cols is None
-                              else band_cols[1])
+                              else band_cols[1],
+                              row_off=row_off, col_off=col_off)
     group_dtheta = spec.dtheta * (-(-spec.n_beams // n_groups))
     gspec = BeamSpec(n_beams=n_groups, theta0=spec.theta0,
                      dtheta=group_dtheta, wrap=spec.wrap)
@@ -412,10 +420,9 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
             # (the halo ring); ghost cells there are discarded by the
             # halo merge, so don't count or paint them — keeps `writes`
             # identical to the replicated decomposition's in-grid total
-            gy = cy + (band[0] if band is not None else 0)
-            gx = cx + band_cols[0]
-            base_ok = base_ok & (gy >= 0.0) & (gy < cfg.size) & \
-                (gx >= 0.0) & (gx < cfg.size)
+            # (cy/cx are already global cell centres)
+            base_ok = base_ok & (cy >= 0.0) & (cy < cfg.size) & \
+                (cx >= 0.0) & (cx < cfg.size)
         free = base_ok & (r < rb - 0.5)
         delta = jnp.where(free, cfg.logodds_miss * cnt, 0.0) * act
         w = jnp.sum(jnp.where(free, cnt, 0.0))
@@ -431,12 +438,14 @@ def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                                    active.astype(jnp.float32), row0, col0)
 
     def add_one(gr, args):
+        # global origin -> exact integer local slice start
         d, r0, c0 = args
         patch = jax.lax.dynamic_slice(gr, (r0, c0), (pr, pc))
         upd = (patch.astype(jnp.float32) + d).astype(gr.dtype)
         return jax.lax.dynamic_update_slice(gr, upd, (r0, c0)), None
 
-    out, _ = jax.lax.scan(add_one, logodds, (deltas, row0, col0))
+    out, _ = jax.lax.scan(add_one, logodds,
+                          (deltas, row0 - row_off, col0 - col_off))
     out = jnp.clip(out, -cfg.logodds_clamp,
                    cfg.logodds_clamp).astype(logodds.dtype)
     return out, jnp.sum(writes)

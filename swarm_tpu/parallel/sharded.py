@@ -128,6 +128,50 @@ def agent_evidence_box(walls_grouped, room_of_agent, cfg: SwarmConfig,
             cmin.astype(int), cmax.astype(int))
 
 
+def merge_window_box(walls_grouped, room_of_agent, cfg: SwarmConfig):
+    """Static per-agent clamp box for scan-merge window PLACEMENT:
+    the room evidence box snapped OUTWARD to the [TILE_ROWS, TILE_COLS]
+    raster-tile lattice and clipped to the grid. (rmin, rmax, cmin,
+    cmax), each [N] int.
+
+    The merge window stays agent-CENTERED (floor(g) - side//2); this box
+    only bounds the start via clip(start, rmin, rmax - side). Three
+    properties make it the right bound:
+    - decomposition-INVARIANT: a static per-agent quantity, so every
+      decomposition clamps the same way (clamping into the *local* band
+      edges — the old scheme — recentres windows near a band edge and
+      diverges from the replicated engine);
+    - almost always a NO-OP: interval width tile - side (48 rows /
+      176 cols at defaults), so it binds only when the agent is within
+      side//2 of a tile edge — unlike the raw room box, whose
+      room - side interval (6 rows at defaults) pinned the window and
+      pushed near-wall agents out of the inner region, collapsing the
+      fitness gate (merges 5 vs 69 on the 4-agent accuracy run);
+    - PROVABLE: bands/tiles that own whole raster tiles contain it, so
+      the sharded builders can statically verify the local dynamic_slice
+      never needs rows/cols outside the device's shard.
+    numpy, trace-free."""
+    import numpy as np
+
+    from swarm_tpu.geom.world import TILE_COLS, TILE_ROWS
+    from swarm_tpu.slam.livemerge import merge_window_side
+    side = merge_window_side(cfg)
+    rmin, rmax, cmin, cmax = agent_evidence_box(
+        walls_grouped, room_of_agent, cfg, margin_cells=3,
+        drift_margin_m=0.0)
+    size = cfg.grid.size
+    rmin = np.maximum((rmin // TILE_ROWS) * TILE_ROWS, 0)
+    rmax = np.minimum(-(-rmax // TILE_ROWS) * TILE_ROWS, size)
+    cmin = np.maximum((cmin // TILE_COLS) * TILE_COLS, 0)
+    cmax = np.minimum(-(-cmax // TILE_COLS) * TILE_COLS, size)
+    if ((rmax - rmin) < side).any() or ((cmax - cmin) < side).any():
+        raise ValueError(
+            f"an agent's tile-snapped room box is smaller than the "
+            f"{side}-cell scan-merge window; shrink "
+            "slam.merge_window_cells / merge_search_cells")
+    return rmin, rmax, cmin, cmax
+
+
 def agent_evidence_rows(walls_grouped, room_of_agent, cfg: SwarmConfig,
                         margin_cells: int = 3,
                         drift_margin_m: float = 1.0):
@@ -178,7 +222,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                        params: AgentParams, faults: FaultSchedule,
                        enable_targets: bool, axis,
                        grid_rows: bool = False, tiles=None,
-                       guard_box=None):
+                       guard_box=None, win_box=None):
     """shard_map body: agent leaves arrive as [N/D] local rows, server state
     replicated. Mirrors engine.sim.sim_step stage-for-stage.
 
@@ -266,26 +310,32 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                       srv.anchor, srv.logodds)
             else:
                 match_map = srv.logodds
+            wb = None if win_box is None else tuple(
+                b[ridx] for b in win_box)
             return scan_merge_chunked(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=state.step // cfg.engine.merge_every, n_global=n,
                 id0=shard * n_loc, band_row0=band_row0,
-                band_col0=band_col0)
+                band_col0=band_col0, win_bounds=wb)
 
         m = jax.lax.cond(do_merge, run_merge,
                          lambda _: merge_zero(n_loc), None)
         upd = m.ok & alive
         # full correction to THIS step's raster; damped fraction persists
-        # (mirrors engine.sim._ingest_batched)
+        # (mirrors engine.sim._ingest_batched: FULL correction to this
+        # step's raster insert, only the persistent increment is clamped
+        # — see the ghost-wall note there)
+        cmx = cfg.slam.merge_max_step_m
+        cmr = cfg.slam.merge_max_step_rad
         fdx = jnp.where(upd, m.ddx, 0.0)
         fdy = jnp.where(upd, m.ddy, 0.0)
         fdth = jnp.where(upd, m.ddtheta, 0.0)
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
-        cdx = cfg.slam.merge_damping * fdx
-        cdy = cfg.slam.merge_damping * fdy
-        cdth = cfg.slam.merge_yaw_damping * fdth
+        cdx = cfg.slam.merge_damping * jnp.clip(fdx, -cmx, cmx)
+        cdy = cfg.slam.merge_damping * jnp.clip(fdy, -cmx, cmx)
+        cdth = cfg.slam.merge_yaw_damping * jnp.clip(fdth, -cmr, cmr)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
 
@@ -543,6 +593,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     if cfg.slam.merge_anchor and cfg.engine.merge_every > 0:
         do_anch = (state.step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
+        if cfg.slam.merge_anchor_freeze_steps > 0:
+            do_anch = do_anch & (
+                state.step < cfg.slam.merge_anchor_freeze_steps)
         anchor = jax.lax.cond(
             do_anch,
             lambda _: jnp.where(
@@ -810,11 +863,53 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         faults = no_faults()
     walls = jnp.asarray(walls)
 
+    # Static per-agent merge-window bounds: whenever the room layout is
+    # known, the scan-merge window start is clamped into each agent's
+    # TILE-SNAPPED room box (merge_window_box — agent-centered placement
+    # with a near-no-op clamp) — the SAME global placement in every
+    # decomposition (see slam.livemerge.scan_merge win_bounds). Required
+    # for the banded/tiled grids' bit-equality with the replicated
+    # reference; applied in replicated mode too so the two sides agree.
+    # The snapped box must sit INSIDE the local band/tile so the
+    # capacity clamp never binds — proven below.
+    win_box = None
+    if (cfg.engine.merge_every > 0 and walls_grouped is not None
+            and room_of_agent is not None):
+        import numpy as np
+
+        brmin, brmax, bcmin, bcmax = merge_window_box(
+            walls_grouped, room_of_agent, cfg)
+        dev = np.arange(cfg.n_agents) // (cfg.n_agents // d)
+        if grid_rows:
+            band = cfg.grid.size // d
+            bad = (brmin < dev * band) | (brmax > (dev + 1) * band)
+            if bad.any():
+                raise ValueError(
+                    f"{int(bad.sum())} agents' tile-snapped room boxes "
+                    "cross their device's grid band — the merge window "
+                    "cannot be placed decomposition-invariantly (bands "
+                    "must own whole 128-row raster tiles)")
+        if grid_tiles:
+            R, C = mesh.devices.shape
+            wr, wc = cfg.grid.size // R, cfg.grid.size // C
+            dr, dc = dev // C, dev % C
+            bad = ((brmin < dr * wr) | (brmax > (dr + 1) * wr) |
+                   (bcmin < dc * wc) | (bcmax > (dc + 1) * wc))
+            if bad.any():
+                raise ValueError(
+                    f"{int(bad.sum())} agents' tile-snapped room boxes "
+                    "cross their device's CORE tile — the scan-merge "
+                    "window can only read the core tile, so "
+                    "decomposition-invariant placement needs each room's "
+                    "raster tile inside one device tile")
+        win_box = tuple(jnp.asarray(a, jnp.int32)
+                        for a in (brmin, brmax, bcmin, bcmax))
+
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis,
         grid_rows=grid_rows, tiles=tiles,
-        guard_box=guard_box)
+        guard_box=guard_box, win_box=win_box)
     specs = state_specs(axis, grid_rows,
                         lo_spec=P(*mesh.axis_names) if grid_tiles
                         else None)

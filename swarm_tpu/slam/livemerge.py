@@ -33,7 +33,8 @@ def merge_window_side(cfg: SwarmConfig) -> int:
 
 def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
                cfg: SwarmConfig, band_row0: int | None = None,
-               band_col0: int | None = None) -> WindowMatch:
+               band_col0: int | None = None,
+               win_bounds=None) -> WindowMatch:
     """Batched scan-to-map matching of every agent's current servo sweep
     against `logodds` (the global map BEFORE this step's raster — a scan
     must never match its own evidence).
@@ -50,6 +51,25 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
       band, so edge clamping only recentres the window, never loses it.
     band_col0: the column analogue, for the 2-D tile decomposition
       (grid_sharding="tiles" — `logodds` is then the device's core tile).
+    win_bounds: optional (rmin, rmax, cmin, cmax) per-agent static
+      window bounds, [N] int32 each, in GLOBAL grid cells (the agent's
+      unpadded room box, parallel.sharded.agent_evidence_box with
+      drift_margin_m=0). When given, the window is clamped into this box
+      instead of the local array edges — making window PLACEMENT
+      decomposition-invariant (the sharded builders statically prove the
+      box sits inside every band/tile that clamps against it). Without
+      it, a band-sharded crop near a band edge recentres the window a
+      few rows off the replicated crop and the corrections diverge.
+
+    All placement arithmetic happens in GLOBAL integer cells; the band/
+      tile offset enters only through the integer slice start and the
+      r0/c0 bounds of the capacity clamp (both exact), so every FLOAT
+      expression below is structurally identical across decompositions —
+      XLA compiles the same fp graph and the matches stay bit-equal
+      (measured: the previous band-local float chain `gy - band_row0`
+      gave the compiler a structurally different graph whose simplified
+      form differed by 1 ulp, silently breaking rows/tiles-vs-replicated
+      map equality at the first merge event).
     """
     slam = cfg.slam
     grid = cfg.grid
@@ -74,35 +94,56 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
 
     gx = (rx - grid.origin_x) / res                     # float cell coords
     gy = (ry - grid.origin_y) / res
-    gx_local = gx - (0.0 if band_col0 is None else band_col0)
-    gy_local = gy - (0.0 if band_row0 is None else band_row0)
-    sx = jnp.clip(jnp.floor(gx_local).astype(jnp.int32) - side // 2,
-                  0, n_cols - side)
-    sy = jnp.clip(jnp.floor(gy_local).astype(jnp.int32) - side // 2,
-                  0, n_rows - side)
+    r0 = jnp.int32(0 if band_row0 is None else band_row0)
+    c0 = jnp.int32(0 if band_col0 is None else band_col0)
+    # global placement, clamped to the local array's capacity interval
+    sxg = jnp.clip(jnp.floor(gx).astype(jnp.int32) - side // 2,
+                   c0, c0 + (n_cols - side))
+    syg = jnp.clip(jnp.floor(gy).astype(jnp.int32) - side // 2,
+                   r0, r0 + (n_rows - side))
+    if win_bounds is not None:
+        rmin, rmax, cmin, cmax = win_bounds
+        lo_r = jnp.clip(rmin, r0, r0 + (n_rows - side))
+        hi_r = jnp.clip(rmax - side, lo_r, r0 + (n_rows - side))
+        lo_c = jnp.clip(cmin, c0, c0 + (n_cols - side))
+        hi_c = jnp.clip(cmax - side, lo_c, c0 + (n_cols - side))
+        syg = jnp.clip(syg, lo_r, hi_r)
+        sxg = jnp.clip(sxg, lo_c, hi_c)
+    sx = sxg - c0                       # local slice starts (exact int)
+    sy = syg - r0
 
-    def one(sx_i, sy_i, gx_i, gyl_i, ox, oy, v):
+    # Trusted-point floor, capped by the scan density: the absolute 16
+    # was tuned for the 181-ray sweep; a wall-follower with a sparse fan
+    # (37-61 rays over 181 deg) sees only ~10 in-trust points along a
+    # straight wall and would NEVER pass the gate — its drift then runs
+    # unbounded (the 5k-step soak's escaping agents). A quarter of the
+    # fan keeps the same selectivity across ray counts.
+    min_pts = min(slam.merge_min_points, max(6, r_scan // 4))
+
+    def one(sx_i, sy_i, sxg_i, syg_i, gx_i, gy_i, ox, oy, v):
         win = jax.lax.dynamic_slice(
             mass, (sy_i, sx_i), (side, side)).astype(jnp.float32)
-        # agent float coords inside the INNER region; -0.5 aligns the
+        # agent float coords inside the INNER region, from GLOBAL
+        # coordinates (decomposition-invariant fp graph); -0.5 aligns the
         # splat's integer-centred cells with the raster's floor() binning
-        ax = gx_i - sx_i - search - 0.5
-        ay = gyl_i - sy_i - search - 0.5
+        ax = gx_i - sxg_i - search - 0.5
+        ay = gy_i - syg_i - search - 0.5
         return match_scan_window(
             ox, oy, v, win, (ax, ay), inner, search,
             n_theta=slam.merge_angles, theta_range=slam.merge_angle_range,
             resolution=res,
             inlier_radius_cells=slam.merge_inlier_radius_cells,
             fitness_min=slam.merge_fitness_min,
-            min_points=slam.merge_min_points,
+            min_points=min_pts,
             prior_weight=slam.merge_prior_weight)
 
-    return jax.vmap(one)(sx, sy, gx_local, gy_local, off_x, off_y, valid)
+    return jax.vmap(one)(sx, sy, sxg, syg, gx, gy, off_x, off_y, valid)
 
 
 def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
                        cfg: SwarmConfig, event, n_global: int, id0=None,
-                       band_row0=None, band_col0=None) -> WindowMatch:
+                       band_row0=None, band_col0=None,
+                       win_bounds=None) -> WindowMatch:
     """Rotating-chunk scan merge: merge event `e` matches only the
     global-agent chunk [(e mod K)*c, ...+c), c = slam.merge_chunk,
     K = n_global/c — mirroring the reference merger's one-submap-at-a-
@@ -121,7 +162,7 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
              (c % n_loc != 0 if c > n_loc else n_loc % c != 0)))
     if full:
         return scan_merge(logodds, rx, ry, ryaw, scan_dist, alive, cfg,
-                          band_row0, band_col0)
+                          band_row0, band_col0, win_bounds)
     k = n_global // c
     g0 = (event % k) * c
     sl = min(c, n_loc)
@@ -131,8 +172,10 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
     def sub(a):
         return jax.lax.dynamic_slice_in_dim(a, lstart, sl, 0)
 
+    wb = None if win_bounds is None else tuple(
+        sub(b) for b in win_bounds)
     m = scan_merge(logodds, sub(rx), sub(ry), sub(ryaw), sub(scan_dist),
-                   sub(alive), cfg, band_row0, band_col0)
+                   sub(alive), cfg, band_row0, band_col0, wb)
     gids = base + jnp.arange(n_loc, dtype=jnp.int32)
     mask = (gids >= g0) & (gids < g0 + c)
 

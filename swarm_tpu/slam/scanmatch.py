@@ -317,7 +317,13 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     # while a real misalignment (score step ~ O(n_pts)) still wins.
     ii = jnp.arange(2 * w + 1, dtype=dtype) - w
     pen_xy = (ii[:, None] ** 2 + ii[None, :] ** 2) / max(w, 1) ** 2
-    pen_t = (thetas / max(theta_range, 1e-6)) ** 2
+    # The theta prior normalizes by an ABSOLUTE scale, not theta_range:
+    # a prior that weakens as the search widens lets extreme rotation
+    # hypotheses absorb pure-translation misalignments (at 0.9 m range a
+    # 0.2 rad rotation shifts points ~3.6 cells laterally with near-zero
+    # penalty) — measured: a 0.34 m injected slip then stalls ~0.26 m
+    # with the wrong-sign lateral correction instead of recovering.
+    pen_t = (thetas / 0.1) ** 2
     scores = scores - prior_weight * n_pts * (
         pen_xy[None] + pen_t[:, None, None])
 
@@ -333,12 +339,38 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
         denom = lo - 2 * c + hi
         off = jnp.where(jnp.abs(denom) > 1e-6,
                         0.5 * (lo - hi) / denom, 0.0)
+        # an argmax ON the boundary has no parabola: the clip above
+        # duplicates the centre into the missing neighbour, which
+        # yields off = ±0.5 (a systematic half-step bias toward the
+        # interior) instead of "cannot refine"
+        off = jnp.where((idx > 0) & (idx < side - 1), off, 0.0)
         return jnp.clip(off, -0.5, 0.5)
 
     off_j = refine(dj, scores[ai, di, :])
     off_i = refine(di, scores[ai, :, dj])
     dy_cells = di.astype(dtype) - w + off_i
     dx_cells = dj.astype(dtype) - w + off_j
+
+    # Parabolic sub-step refinement along THETA as well: the reported
+    # yaw carries a 15-degree quantisation (+/-0.13 rad,
+    # generate_fake_dual_session.py:468), so rotation must be resolved
+    # well below the hypothesis spacing — a residual rotation aliases
+    # into translation noise proportional to range (~0.2 m at room
+    # scale per 0.1 rad), which random-walks the accumulated correction.
+    def refine_t(idx, line):
+        c = line[idx]
+        lo = line[jnp.clip(idx - 1, 0, n_theta - 1)]
+        hi = line[jnp.clip(idx + 1, 0, n_theta - 1)]
+        denom = lo - 2 * c + hi
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (lo - hi) / denom, 0.0)
+        # boundary argmax: no parabola (see refine() above)
+        off = jnp.where((idx > 0) & (idx < n_theta - 1), off, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dth_step = (thetas[1] - thetas[0]) if n_theta > 1 else jnp.float32(0.0)
+    off_a = refine_t(ai, scores[:, di, dj])
+    ddtheta = thetas[ai] + off_a * dth_step
 
     # inlier fraction against the same threshold-dilated map
     win = jax.lax.dynamic_slice(dil, (di, dj), (s_in, s_in))
@@ -348,7 +380,7 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     return WindowMatch(
         ddx=dx_cells * resolution,
         ddy=dy_cells * resolution,
-        ddtheta=thetas[ai],
+        ddtheta=ddtheta,
         fitness=fitness,
         ok=(fitness >= fitness_min) & (n_pts >= min_points))
 
