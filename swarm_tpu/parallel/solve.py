@@ -95,11 +95,19 @@ def make_trajectory_sharded_gn(mesh, n_chain: int, iterations: int = 10,
                                      g.e_valid[n_chain:]]))
         ci = g.ei[n_chain:]
         cj = g.ej[n_chain:]
+        wmask_loc = jnp.where(g_loc.e_valid[:, None], g_loc.weight, 0.0)
 
-        def step(poses, _):
+        def cost_at(poses):
+            r2, _, _ = _residuals_and_jac(g_loc._replace(poses=poses))
+            wr2 = wmask_loc * r2 * r2
+            return (jax.lax.psum(jnp.sum(wr2[:chunk]), axis)
+                    + jnp.sum(wr2[chunk:]))
+
+        def step(carry, _):
+            poses, lam = carry
             gg = g_loc._replace(poses=poses)
             r, Ji, Jj = _residuals_and_jac(gg)
-            wmask = jnp.where(gg.e_valid[:, None], gg.weight, 0.0)
+            wmask = wmask_loc
             wr = wmask * r
 
             # --- local chunk contribution to b and the tridiagonal ------
@@ -125,7 +133,7 @@ def make_trajectory_sharded_gn(mesh, n_chain: int, iterations: int = 10,
             b = jax.lax.psum(b, axis)
             cost = jax.lax.psum(jnp.sum(wc * r[:chunk] * r[:chunk]), axis)
 
-            diag = jnp.full((m,), damping, dtype).at[0].add(anchor_weight)
+            diag = (jnp.full((m,), 1.0, dtype) * lam).at[0].add(anchor_weight)
             D = D + diag[:, None, None] * jnp.eye(3, dtype=dtype)
 
             # --- closures: replicated low-rank term + b ------------------
@@ -154,9 +162,19 @@ def make_trajectory_sharded_gn(mesh, n_chain: int, iterations: int = 10,
 
             new = poses + dx
             new = new.at[:, 2].set(wrap_pi(new[:, 2]))
-            return new, cost
+            # step rejection + damping escalation (see slam/tridiag.py
+            # structured_gn): identical iterates when every step is
+            # accepted; recovers instead of diverging when the Woodbury
+            # cap solve goes bad (e.g. duplicate-closure pile-ups)
+            cost_new = cost_at(new)
+            ok = jnp.isfinite(cost_new) & (cost_new <= cost * 2.5 + 1e-6)
+            poses_out = jnp.where(ok, new, poses)
+            lam_out = jnp.where(ok, jnp.asarray(damping, dtype), lam * 10.0)
+            return (poses_out, lam_out), cost
 
-        poses, costs = jax.lax.scan(step, g.poses, None, length=iterations)
+        (poses, _), costs = jax.lax.scan(
+            step, (g.poses, jnp.asarray(damping, dtype)), None,
+            length=iterations)
         return g._replace(poses=poses), costs
 
     rep = PoseGraph(*([P()] * len(PoseGraph._fields)))

@@ -102,13 +102,23 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
 
     pairs = {int(a): [] for a in agents}
     if closures is not None:
+        # DEDUP: the online detector can log the same revisit pair
+        # hundreds of times (the reference's <=30-node gap is <1 step at
+        # swarm agent counts) — repeated detections of one revisit are
+        # not independent measurements, and piling hundreds of identical
+        # closure edges onto one node pair drives the Woodbury cap
+        # matrix near-singular in f32 (solver now also guards, see
+        # slam/tridiag.py structured_gn).
+        seen = {int(a): set() for a in agents}
         ni, nj, cagent = closures
         for i, j, a in zip(ni, nj, cagent):
             a = int(a)
             if a in inv and 0 <= i < len(inv[a]) and 0 <= j < len(inv[a]):
                 ii = inv[a][int(i)]
                 jj = inv[a][int(j)]
-                if ii >= 0 and jj >= 0:
+                if ii >= 0 and jj >= 0 and ii != jj \
+                        and (jj, ii) not in seen[a]:
+                    seen[a].add((jj, ii))
                     pairs[a].append((int(jj), int(ii)))
     else:
         # re-detect: same-type landmarks within the closure radius,

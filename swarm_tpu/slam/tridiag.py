@@ -108,6 +108,10 @@ def solve_chain_plus_closures(D, O, b, U=None, s_inv=None):
     Y = block_tridiag_solve(D, O, rhs)                 # [M, 3, 1+3C]
     y_b, Y_u = Y[..., 0], Y[..., 1:]
     cap = jnp.diag(s_inv) + jnp.einsum("mak,mac->kc", U, Y_u)
+    # SPD in exact arithmetic; f32 round-off makes it slightly asymmetric,
+    # which hurts the solve exactly when cap is ill-conditioned (many
+    # closures sharing the same node pair stack U columns)
+    cap = 0.5 * (cap + cap.T)
     uty_b = jnp.einsum("mak,ma->k", U, y_b)
     corr = jnp.linalg.solve(cap, uty_b)
     return y_b - jnp.einsum("mak,k->ma", Y_u, corr)
@@ -119,17 +123,29 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
     structure. Requires `graph_from_trajectory`'s edge layout: the first
     `n_chain` edges form the odometry chain (ei=k, ej=k+1), the rest are
     closures. Matches `gauss_newton`'s poses; scales to thousands of
-    nodes where the dense [3M, 3M] Cholesky cannot."""
+    nodes where the dense [3M, 3M] Cholesky cannot.
+
+    Steps that fail to reduce the weighted cost (including non-finite
+    solves — e.g. a Woodbury cap matrix driven near-singular by hundreds
+    of closures stacked on one node pair) are REJECTED and the damping
+    escalated 10x for the next attempt; an accepted step resets damping,
+    so on well-conditioned graphs every step is accepted at the base
+    damping and the iterates are identical to the unguarded solver."""
     m = g.poses.shape[0]
     assert n_chain == m - 1, "chain edges must be the first m-1 edges"
     c = g.ei.shape[0] - n_chain
     dtype = g.poses.dtype
     wmask_all = jnp.where(g.e_valid[:, None], g.weight, 0.0)
 
+    def cost_at(poses):
+        r, _, _ = _residuals_and_jac(g._replace(poses=poses))
+        return jnp.sum(wmask_all * r * r)
+
     ci = g.ei[n_chain:]
     cj = g.ej[n_chain:]
 
-    def step(poses, _):
+    def step(carry, _):
+        poses, lam = carry
         gg = g._replace(poses=poses)
         r, Ji, Jj = _residuals_and_jac(gg)
         wr = wmask_all * r
@@ -151,7 +167,7 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
         O = blk(Jic, Jjc, wc)                     # at (k, k+1)
         D = jnp.zeros((m, 3, 3), dtype)
         D = D.at[:-1].add(Hii).at[1:].add(Hjj)
-        diag = jnp.full((m,), damping, dtype).at[0].add(anchor_weight)
+        diag = (jnp.full((m,), 1.0, dtype) * lam).at[0].add(anchor_weight)
         D = D + diag[:, None, None] * jnp.eye(3, dtype=dtype)
 
         if c > 0:
@@ -183,9 +199,23 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
 
         new = poses + dx
         new = new.at[:, 2].set(wrap_pi(new[:, 2]))
-        return new, jnp.sum(wr * r)
+        cost_old = jnp.sum(wr * r)
+        cost_new = cost_at(new)
+        # accept transient rises up to 2.5x: plain GN routinely overshoots
+        # ~2x on its first step of a noisy loop graph then plummets, and
+        # rejecting those would diverge from the dense solver's iterates;
+        # the pathological (near-singular cap) failure grows >5x per
+        # iteration and compounds, so it still gets caught within a step.
+        # Tiny absolute slack keeps float-noise-level costs (converged
+        # graphs hover at ~1e-12) from mass-rejecting no-op steps.
+        ok = jnp.isfinite(cost_new) & (cost_new <= cost_old * 2.5 + 1e-6)
+        poses_out = jnp.where(ok, new, poses)
+        lam_out = jnp.where(ok, jnp.asarray(damping, dtype), lam * 10.0)
+        return (poses_out, lam_out), cost_old
 
-    poses, costs = jax.lax.scan(step, g.poses, None, length=iterations)
+    (poses, _), costs = jax.lax.scan(
+        step, (g.poses, jnp.asarray(damping, dtype)), None,
+        length=iterations)
     return g._replace(poses=poses), costs
 
 

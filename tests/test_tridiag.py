@@ -143,3 +143,58 @@ def test_zero_weight_closure_component_contributes_nothing():
 
     np.testing.assert_allclose(np.asarray(out_a.poses),
                                np.asarray(out_b.poses), atol=1e-6)
+
+
+def test_structured_gn_duplicate_closure_pileup_stays_finite(rng):
+    """Hundreds of closure edges stacked on ONE node pair (the online
+    detector logs the same revisit repeatedly at swarm agent counts)
+    drive the Woodbury cap matrix near-singular in f32; the unguarded
+    solver diverged to NaN here while the dense solve converged. The
+    step-rejection + damping-escalation guard must keep the solve
+    finite and still massively reduce the cost."""
+    cap = 1024
+    th = np.cumsum(0.02 * rng.normal(size=cap)).astype(np.float32)
+    xs = np.cumsum(np.cos(th) * 0.05).astype(np.float32)
+    ys = np.cumsum(np.sin(th) * 0.05).astype(np.float32)
+    poses = np.stack([xs, ys, th], -1).astype(np.float32)
+    dup = 512
+    ci = np.full(dup, 300, np.int32)
+    cj = np.full(dup, 700, np.int32)
+    g = graph_from_trajectory(
+        jnp.asarray(poses), cap, jnp.asarray(ci), jnp.asarray(cj),
+        jnp.zeros((dup, 3), jnp.float32), dup,
+        closure_weight=(25.0,) * 3)
+    out, costs = structured_gn(g, n_chain=cap - 1, iterations=40)
+    p = np.asarray(out.poses)
+    c = np.asarray(costs)
+    assert np.isfinite(p).all()
+    assert float(c[-1]) < 1e-3 * float(c[0])
+
+
+def test_refine_session_dedups_closure_log():
+    """refine_session must collapse duplicate closure detections and drop
+    self-pairs before building graphs (one revisit logged N times is not
+    N independent measurements — and the pile-up is the exact input that
+    used to NaN the structured solver)."""
+    from swarm_tpu.slam.refine import refine_session
+
+    t_steps, n = 40, 2
+    rows = t_steps * n
+    rng2 = np.random.default_rng(3)
+    session = {
+        "t": np.repeat(np.arange(t_steps, dtype=np.float64) * 0.4, n),
+        "agent": np.tile(np.arange(1, n + 1), t_steps),
+        "x": rng2.normal(size=rows),
+        "y": rng2.normal(size=rows),
+        "yaw_deg": rng2.uniform(-180, 180, rows),
+        "landmark": np.zeros(rows, np.int64),
+    }
+    # agents interleave in the global rows (agent 1 = even rows); the
+    # closure log speaks GLOBAL packet-node indices. Agent 1: the same
+    # (5, 25) per-agent pair logged 6 times + a self-pair (7, 7).
+    ni = np.array([10, 10, 10, 10, 10, 10, 14, 18], np.int64)
+    nj = np.array([50, 50, 50, 50, 50, 50, 14, 60], np.int64)
+    ag = np.ones(8, np.int64)
+    out = refine_session(session, closures=(ni, nj, ag))
+    assert out[1]["closures"] == [(25, 5), (30, 9)]
+    assert out[2]["closures"] == []
