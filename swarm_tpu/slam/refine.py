@@ -36,10 +36,20 @@ def _next_pow2(n: int) -> int:
 
 def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
                             iterations: int = 15,
-                            closure_weight: float = 25.0):
+                            closure_weight=(4.0, 4.0, 0.0)):
     """One agent's logged estimates [T] + closure index pairs [(i, j)] ->
     optimised poses [T, 3]. Capacity-padded to a power of two so repeated
-    calls share compiled solvers."""
+    calls share compiled solvers.
+
+    closure_weight: per-component (x, y, theta) information weights for
+    the closure edges (a scalar is broadcast to all three). A landmark
+    revisit is a POSITION-only constraint with ~closure-radius noise
+    (0.6 m, dual_bot_mapper.py:96) against ~cm-level odometry edges —
+    the default therefore puts ZERO weight on theta (the reference's
+    online snap is also translation-only, :308-326) and a moderate
+    weight on x/y; weighting closures like odometry (25, 25, 25) was
+    measured to DRAG the refined trajectory wrong by up to the revisit
+    radius (tools/bench_accuracy.py)."""
     t = len(xs)
     cap = _next_pow2(t)
     poses = np.zeros((cap, 3), np.float32)
@@ -57,12 +67,14 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     cj = np.zeros((c,), np.int32)
     for k, (i, j) in enumerate(closure_pairs):
         ci[k], cj[k] = i, j
+    if np.isscalar(closure_weight):
+        closure_weight = (closure_weight,) * 3
     g = graph_from_trajectory(
         jnp.asarray(poses), t,
         closures_i=jnp.asarray(ci), closures_j=jnp.asarray(cj),
         closure_meas=jnp.zeros((c, 3), jnp.float32),
         n_closures=len(closure_pairs),
-        closure_weight=(closure_weight,) * 3)
+        closure_weight=tuple(closure_weight))
     if cap > 256:
         # long trajectories: the chain+closures structured solve
         # (block cyclic reduction + Woodbury, slam/tridiag.py) — the
@@ -79,7 +91,8 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
 
 def refine_session(session: Dict, closures: Optional[Tuple] = None,
                    cfg: SwarmConfig = SwarmConfig(),
-                   iterations: int = 15):
+                   iterations: int = 15,
+                   closure_weight=(4.0, 4.0, 0.0)):
     """Refine every agent trajectory of a loaded session (proto.csvio
     .load_session dict). `closures`: (node_i, node_j, agent) arrays in
     GLOBAL packet-node indices (the slam_closures.csv columns + the
@@ -153,7 +166,7 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
             continue
         opt, _ = refine_agent_trajectory(
             orig[:, 0], orig[:, 1], orig[:, 2], pairs[a],
-            iterations=iterations)
+            iterations=iterations, closure_weight=closure_weight)
         out[a] = {"poses": opt, "orig": orig, "idx": rows,
                   "closures": pairs[a]}
     return out

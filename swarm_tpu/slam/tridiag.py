@@ -118,7 +118,8 @@ def solve_chain_plus_closures(D, O, b, U=None, s_inv=None):
 
 
 def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
-                  damping: float = 1e-3, anchor_weight: float = 1e6):
+                  damping: float = 1e-3, anchor_weight: float = 1e6,
+                  anchor_nodes=None):
     """Gauss-Newton on a trajectory graph exploiting the chain+closures
     structure. Requires `graph_from_trajectory`'s edge layout: the first
     `n_chain` edges form the odometry chain (ei=k, ej=k+1), the rest are
@@ -130,7 +131,14 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
     of closures stacked on one node pair) are REJECTED and the damping
     escalated 10x for the next attempt; an accepted step resets damping,
     so on well-conditioned graphs every step is accepted at the base
-    damping and the iterates are identical to the unguarded solver."""
+    damping and the iterates are identical to the unguarded solver.
+
+    anchor_nodes: nodes whose absolute pose is pinned with
+    `anchor_weight` (default [0] — the classic single-trajectory gauge
+    anchor). A joint multi-agent graph (slam/joint.py) passes every
+    agent block's first node instead: swarm agents START from known
+    home poses, so each block is anchored at its start and inter-agent
+    edges redistribute mid-trajectory drift."""
     m = g.poses.shape[0]
     assert n_chain == m - 1, "chain edges must be the first m-1 edges"
     c = g.ei.shape[0] - n_chain
@@ -167,7 +175,10 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
         O = blk(Jic, Jjc, wc)                     # at (k, k+1)
         D = jnp.zeros((m, 3, 3), dtype)
         D = D.at[:-1].add(Hii).at[1:].add(Hjj)
-        diag = (jnp.full((m,), 1.0, dtype) * lam).at[0].add(anchor_weight)
+        anchors = (jnp.zeros((1,), jnp.int32) if anchor_nodes is None
+                   else jnp.asarray(anchor_nodes, jnp.int32))
+        diag = (jnp.full((m,), 1.0, dtype) * lam).at[anchors].add(
+            anchor_weight)
         D = D + diag[:, None, None] * jnp.eye(3, dtype=dtype)
 
         if c > 0:
