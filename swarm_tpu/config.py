@@ -231,6 +231,61 @@ class SlamConfig:
     # within a few hundred steps, so that is the natural setting for
     # long runs.
     merge_anchor_freeze_steps: int = 0
+    # SCAN-MATCHED closure measurements (beyond the reference): a
+    # landmark revisit constrains relative pose only to the corner-
+    # approach spread (~0.3 m — the landmark "position" is the robot's
+    # pose at detection, slam/closure.py), which is why zero-measurement
+    # closure edges cannot beat raw odometry at short horizons
+    # (tools/bench_accuracy.py weight sweep). With closure_scanmatch the
+    # landmark ring also stores the detecting robot's SCAN + yaw, and
+    # when a closure fires the current scan is correlatively matched
+    # against the stored one (slam/closurematch.py) — the logged edge
+    # then carries a cm-level SE(2) measurement + fitness that the
+    # offline refiners (slam/refine.py, slam/joint.py) weight highly.
+    # Off by default: it adds per-step matcher work at the closure
+    # cadence and the swarm preset's online mechanism is the anchored
+    # merge; accuracy-focused runs turn it on.
+    closure_scanmatch: bool = False
+    closure_match_search: int = 16      # +/- cells (0.8 m: the 0.6 m
+    #                                     closure radius + drift slack)
+    closure_match_angles: int = 13
+    closure_match_angle_range: float = 0.35  # relative-yaw DRIFT range —
+    #                                     both scans project through their
+    #                                     est world yaw, so only the drift
+    #                                     error needs searching
+    closure_match_window: int = 128     # inner cells (6.4 m at 5 cm —
+    #                                     must contain the match range)
+    # trust range for MATCHING (not rastering): the reference's 1.2 m
+    # ultrasonic projection band starves the matcher in room-scale
+    # worlds (median 5 trusted points per stored scan vs 102 at 3 m —
+    # measured); the servo sweep itself ranges to 4 m
+    # (AgentFirmware_Bot1.ino:239 sentinel), so matching trusts further
+    # than evidence insertion does
+    closure_match_max_range: float = 3.0
+    # measurement-context scoring: the merge stage's conservative
+    # settings (2-cell dilation plateau + strong zero-motion prior)
+    # deliberately bias corrections toward zero for closed-loop
+    # stability; an EDGE MEASUREMENT wants the unbiased peak, so the
+    # closure matcher sharpens the plateau and weakens the prior
+    # (aperture ties still resolve to zero)
+    closure_match_inlier_radius: int = 1
+    closure_match_prior_weight: float = 0.02
+    # weights the refiners give a fitness-gated measured edge (x, y,
+    # theta) vs the coincidence fallback (refine.py's (4, 4, 0))
+    closure_meas_weight: tuple = (50.0, 50.0, 10.0)
+    # RENDEZVOUS cross-agent closures (our extension; 0 = off =
+    # reference behavior). The reference's same-type + 0.6 m rule
+    # structurally cannot fire across agents in swarm worlds: opposite-
+    # wall followers pass the same corners >= 0.8 m apart and see
+    # mirrored landmark TYPES (measured — 0 cross edges in 600 steps of
+    # the 4-agent world). With a radius here, another agent's stored
+    # landmark within it matches regardless of type or time gap (the
+    # agents' frames drift independently, so even same-time edges are
+    # informative), and the scan-match verification + fitness gate
+    # replaces the type heuristic as the false-match filter. Requires
+    # closure_scanmatch (unverified cross edges would be ~radius-grade
+    # noise). Batched path only.
+    closure_cross_radius_m: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,6 +53,16 @@ _MIGRATIONS = {
     ".srv.merge_dyaw": "zero",
     ".srv.anchor": "zero",
     ".v2v_total": "zero",
+    # r3 scan-matched closure measurements (SlamConfig.closure_scanmatch)
+    ".srv.closure.lm_yaw": "zero",
+    ".srv.closure.lm_scan": "zero",
+    ".srv.closure.cl_mx": "zero",
+    ".srv.closure.cl_my": "zero",
+    ".srv.closure.cl_mth": "zero",
+    # -1 = "unmeasured edge" sentinel, NOT zero (0.0 would claim a
+    # measured edge of fitness 0; both gate out, but the sentinel keeps
+    # the log's semantics honest)
+    ".srv.closure.cl_fit": "neg_ones",
 }
 
 
@@ -83,8 +93,9 @@ def load_pytree(path: str, template, migrate: bool = True):
         t = np.asarray(tmpl)
         shim = shim_for(k)
         if k not in data.files:
-            # registered post-checkpoint leaf -> fresh zeros
-            leaves.append(np.zeros(t.shape, t.dtype))
+            # registered post-checkpoint leaf -> fresh fill
+            fill = -1 if shim == "neg_ones" else 0
+            leaves.append(np.full(t.shape, fill, t.dtype))
             continue
         arr = data[k]
         if (arr.shape != t.shape or arr.dtype != t.dtype) and \

@@ -291,7 +291,10 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
     srv = MapState(
         grid=jnp.full((s, s), cfg.grid.unknown, jnp.int8),
         logodds=jnp.zeros((s, s), cfg.grid.lo_dtype),
-        closure=closure_init(n, cfg.slam),
+        closure=closure_init(
+            n, cfg.slam,
+            scan_rays=(cfg.engine.scan_rays
+                       if cfg.slam.closure_scanmatch else 0)),
         zone=zone_init(n),
         last_packet_t=jnp.zeros((n,), jnp.float32),
         pkt_counts=jnp.zeros((n,), jnp.int32),
@@ -545,7 +548,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
             one, srv.closure, (rx, ry, agents, lm_types, alive))
     else:
         closure, closed, _, _ = closure_add_poses_batch(
-            srv.closure, rx, ry, agents, lm_types, cfg.slam, valid=alive)
+            srv.closure, rx, ry, agents, lm_types, cfg.slam, valid=alive,
+            yaws=ryaw, scans=scan_dist, grid=cfg.grid, sens=sens)
 
     online = heartbeat_update(last_packet_t, t, cfg.coord.heartbeat_timeout_s)
     agent_xy = jnp.stack([rx, ry], axis=-1)

@@ -74,7 +74,7 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
         v2v_total=ag,
         srv=MapState(
             grid=rep, logodds=lo,
-            closure=ClosureState(*([rep] * 16)),
+            closure=ClosureState(*([rep] * len(ClosureState._fields))),
             zone=ZoneState(*([rep] * 5)),
             last_packet_t=rep, pkt_counts=rep,
             zone_boxes=rep, zone_active=rep,

@@ -15,3 +15,12 @@ from swarm_tpu.slam.tridiag import (  # noqa: F401
 )
 from swarm_tpu.slam.livemerge import scan_merge  # noqa: F401
 from swarm_tpu.slam.scanmatch import WindowMatch, match_scan_window  # noqa: F401
+from swarm_tpu.slam.closurematch import (  # noqa: F401
+    match_scan_pair,
+    match_scan_pairs_batch,
+)
+from swarm_tpu.slam.joint import (  # noqa: F401
+    agent_components,
+    joint_refine_session,
+    split_closures,
+)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from swarm_tpu.config import SlamConfig
@@ -51,11 +52,26 @@ class ClosureState(NamedTuple):
     cl_dy: jnp.ndarray        # [C]
     cl_agent: jnp.ndarray     # [C] int32
     cl_count: jnp.ndarray     # [] int32
+    # SCAN-MATCHED edge measurements (SlamConfig.closure_scanmatch,
+    # slam/closurematch.py — beyond the reference). The landmark ring
+    # additionally remembers the detecting robot's yaw + servo sweep
+    # ([L, 1] placeholders when disabled), and a fired closure logs the
+    # correlatively-matched SE(2) edge measurement in the STORED node's
+    # frame plus its fitness. cl_fit < 0 = unmeasured edge (coincidence
+    # only); the offline refiners gate at merge_fitness_min.
+    lm_yaw: jnp.ndarray       # [L]
+    lm_scan: jnp.ndarray      # [L, R] (R = 1 when disabled)
+    cl_mx: jnp.ndarray        # [C] measured meas_x (frame of cl_lm_node)
+    cl_my: jnp.ndarray        # [C]
+    cl_mth: jnp.ndarray       # [C]
+    cl_fit: jnp.ndarray       # [C] match fitness, -1 = unmeasured
 
 
 def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
-                 closure_capacity: int = 1024) -> ClosureState:
+                 closure_capacity: int = 1024,
+                 scan_rays: int = 0) -> ClosureState:
     L, C = cfg.landmark_capacity, closure_capacity
+    R = max(1, scan_rays)
     zf = jnp.zeros
     return ClosureState(
         lm_x=zf((L,), jnp.float32), lm_y=zf((L,), jnp.float32),
@@ -68,15 +84,26 @@ def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
         drift_dx=zf((n_agents,), jnp.float32), drift_dy=zf((n_agents,), jnp.float32),
         cl_lm_node=jnp.full((C,), -1, jnp.int32), cl_node=jnp.full((C,), -1, jnp.int32),
         cl_dx=zf((C,), jnp.float32), cl_dy=zf((C,), jnp.float32),
-        cl_agent=jnp.full((C,), -1, jnp.int32), cl_count=jnp.zeros((), jnp.int32))
+        cl_agent=jnp.full((C,), -1, jnp.int32), cl_count=jnp.zeros((), jnp.int32),
+        lm_yaw=zf((L,), jnp.float32), lm_scan=zf((L, R), jnp.float32),
+        cl_mx=zf((C,), jnp.float32), cl_my=zf((C,), jnp.float32),
+        cl_mth=zf((C,), jnp.float32),
+        cl_fit=jnp.full((C,), -1.0, jnp.float32))
 
 
 def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
-                     cfg: SlamConfig = SlamConfig(), valid=True):
+                     cfg: SlamConfig = SlamConfig(), valid=True,
+                     yaw=None, scan=None):
     """Add one pose (already drift-corrected) and run the closure check.
 
     agent: int32 0-based agent index. valid: packet mask (padding rows
     leave the state untouched). Returns (new_state, closed, cdx, cdy).
+
+    yaw/scan (optional): remembered with a stored landmark so later
+    closures can be scan-matched; the scalar path itself logs edges
+    UNMEASURED (cl_fit = -1) — measured closures are the batched
+    throughput path's feature (closure_add_poses_batch), the parity
+    path keeps the reference's exact semantics.
     """
     valid = jnp.asarray(valid)
     idx = state.n_nodes
@@ -127,6 +154,10 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
     cl_dy = put(state.cl_dy, cdy)
     cl_agent = put(state.cl_agent, agent.astype(jnp.int32)
                    if hasattr(agent, "astype") else jnp.int32(agent))
+    cl_mx = put(state.cl_mx, 0.0)
+    cl_my = put(state.cl_my, 0.0)
+    cl_mth = put(state.cl_mth, 0.0)
+    cl_fit = put(state.cl_fit, -1.0)
     cl_count = state.cl_count + jnp.where(any_match, 1, 0)
 
     # landmark append AFTER matching (ref :288)
@@ -140,6 +171,14 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
     lm_a = state.lm_agent.at[lslot].set(
         jnp.where(has_lm, jnp.asarray(agent, jnp.int32),
                   state.lm_agent[lslot]))
+    lm_yaw = state.lm_yaw.at[lslot].set(
+        jnp.where(has_lm, 0.0 if yaw is None else yaw,
+                  state.lm_yaw[lslot]))
+    if scan is None or not cfg.closure_scanmatch:
+        lm_scan = state.lm_scan
+    else:
+        lm_scan = state.lm_scan.at[lslot].set(
+            jnp.where(has_lm, scan, state.lm_scan[lslot]))
     lm_count = state.lm_count + jnp.where(has_lm, 1, 0)
 
     new = ClosureState(
@@ -148,12 +187,15 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
         n_nodes=idx + jnp.where(valid, 1, 0),
         last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
-        cl_agent=cl_agent, cl_count=cl_count)
+        cl_agent=cl_agent, cl_count=cl_count,
+        lm_yaw=lm_yaw, lm_scan=lm_scan,
+        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit)
     return new, any_match, cdx, cdy
 
 
 def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
-                            cfg: SlamConfig = SlamConfig(), valid=None):
+                            cfg: SlamConfig = SlamConfig(), valid=None,
+                            yaws=None, scans=None, grid=None, sens=None):
     """Throughput-mode closure: one step's worth of packets (one per agent,
     distinct agents) matched against the landmark store SIMULTANEOUSLY.
 
@@ -165,6 +207,13 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
 
     xs, ys: [M]; agents: [M] int32 (must be distinct); lm_types: [M] int32.
     Returns (new_state, closed [M] bool, cdx [M], cdy [M]).
+
+    With cfg.closure_scanmatch and yaws/scans/grid/sens provided, stored
+    landmarks remember the sweep, and each fired closure is scan-matched
+    against its stored scan (slam/closurematch.py) — the log then carries
+    a real SE(2) edge measurement + fitness (cl_mx/my/mth/fit). The whole
+    matcher runs under a lax.cond gated on "any closure this step", so
+    closure-free steps pay nothing.
     """
     xs = jnp.asarray(xs)
     M = xs.shape[0]
@@ -190,8 +239,22 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
         (agent_ok & has_lm)[:, None]                                  # [M, L]
     if cfg.closure_same_agent_only:
         # see closure_add_pose: the effective reference behavior in
-        # shared-frame swarm worlds
+        # shared-frame swarm worlds. Filters the REFERENCE-style term
+        # only — the verified rendezvous term below is an independent
+        # mechanism (it exists precisely because unverified cross
+        # matching is what this filter protects against).
         match = match & (state.lm_agent[None, :] == agents[:, None])
+    if cfg.closure_cross_radius_m > 0 and cfg.closure_scanmatch:
+        # RENDEZVOUS cross-agent closures (SlamConfig
+        # .closure_cross_radius_m): another agent's stored landmark
+        # within the cross radius matches with NO type equality and NO
+        # time gap — independent frames make even same-time edges
+        # informative, and the scan-match fitness gate (below) is the
+        # false-match filter the type heuristic was standing in for.
+        other = state.lm_agent[None, :] != agents[:, None]
+        near_x = d2 < cfg.closure_cross_radius_m ** 2
+        match = match | (occupied[None, :] & other & near_x &
+                         (agent_ok & has_lm)[:, None])
 
     closed = jnp.any(match, axis=1)                                   # [M]
     first = jnp.argmin(jnp.where(match, slots[None, :], L), axis=1)   # [M]
@@ -218,6 +281,40 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     cl_agent = state.cl_agent.at[cslot].set(agents.astype(jnp.int32), mode="drop")
     cl_count = state.cl_count + jnp.sum(ci)
 
+    # --- scan-matched edge measurement (cond-gated off closure-free steps)
+    measure_on = (cfg.closure_scanmatch and scans is not None
+                  and grid is not None and sens is not None)
+    if measure_on:
+        from swarm_tpu.slam.closurematch import match_scan_pairs_batch
+        first_safe = jnp.minimum(first, L - 1)
+
+        def run_match(_):
+            m, meas = match_scan_pairs_batch(
+                scans, (xs, ys, yaws),
+                state.lm_scan[first_safe],
+                (state.lm_x[first_safe], state.lm_y[first_safe],
+                 state.lm_yaw[first_safe]),
+                cfg, grid, sens)
+            ok = m.ok & closed
+            return (jnp.where(ok, meas[:, 0], 0.0),
+                    jnp.where(ok, meas[:, 1], 0.0),
+                    jnp.where(ok, meas[:, 2], 0.0),
+                    jnp.where(ok, m.fitness, -1.0))
+
+        def skip(_):
+            z = jnp.zeros_like(xs)
+            return z, z, z, jnp.full_like(xs, -1.0)
+
+        mx_v, my_v, mth_v, fit_v = jax.lax.cond(
+            jnp.any(closed), run_match, skip, None)
+    else:
+        z = jnp.zeros_like(xs)
+        mx_v, my_v, mth_v, fit_v = z, z, z, jnp.full_like(xs, -1.0)
+    cl_mx = state.cl_mx.at[cslot].set(mx_v, mode="drop")
+    cl_my = state.cl_my.at[cslot].set(my_v, mode="drop")
+    cl_mth = state.cl_mth.at[cslot].set(mth_v, mode="drop")
+    cl_fit = state.cl_fit.at[cslot].set(fit_v, mode="drop")
+
     # --- landmark appends AFTER matching, packet order ----------------------
     hi = has_lm.astype(jnp.int32)
     lpos = state.lm_count + jnp.cumsum(hi) - hi
@@ -228,6 +325,13 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     lm_n = state.lm_node.at[lslot].set(idxs, mode="drop")
     lm_a = state.lm_agent.at[lslot].set(agents.astype(jnp.int32),
                                         mode="drop")
+    lm_yaw = state.lm_yaw.at[lslot].set(
+        jnp.zeros_like(xs) if yaws is None else yaws, mode="drop")
+    if scans is None or not cfg.closure_scanmatch:
+        # closure_init sized lm_scan [L, 1] when scanmatch is off
+        lm_scan = state.lm_scan
+    else:
+        lm_scan = state.lm_scan.at[lslot].set(scans, mode="drop")
     lm_count = state.lm_count + jnp.sum(hi)
 
     new = ClosureState(
@@ -236,5 +340,7 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
         n_nodes=base + jnp.sum(vi),
         last_closure_node=last_cl, drift_dx=drift_dx, drift_dy=drift_dy,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
-        cl_agent=cl_agent, cl_count=cl_count)
+        cl_agent=cl_agent, cl_count=cl_count,
+        lm_yaw=lm_yaw, lm_scan=lm_scan,
+        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit)
     return new, closed, cdx, cdy

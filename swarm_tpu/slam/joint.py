@@ -52,20 +52,25 @@ from swarm_tpu.slam.refine import _next_pow2, refine_agent_trajectory
 from swarm_tpu.slam.tridiag import structured_gn
 
 
-def split_closures(session: Dict, closures: Tuple):
+def split_closures(session: Dict, closures: Tuple,
+                   fit_min: float = 0.6):
     """Partition the closure log into per-agent and cross-agent edges.
 
     closures: (node_i, node_j, agent_j) in GLOBAL packet-row indices
-    (the slam_closures.csv columns); node OWNERSHIP is read from
-    session["agent"][row] — the log's agent column only names the
-    matching (current) agent, the stored landmark's owner is implicit
-    in its node row.
+    (the slam_closures.csv columns), optionally extended with
+    (meas [C, 3], fit [C]) scan-matched measurements
+    (SlamConfig.closure_scanmatch). node_i is the STORED (earlier)
+    landmark's node — measurements live in its frame. Node OWNERSHIP is
+    read from session["agent"][row]; the log's agent column only names
+    the matching (current) agent, the stored landmark's owner is
+    implicit in its node row.
 
-    Returns (intra, inter, rows_of, inv):
-      intra: {agent: [(i, j)]} per-agent indices, dedup'd, self-pairs
-             dropped (slam/refine.py's contract);
-      inter: [(agent_i, ii, agent_j, jj)] cross-agent edges, per-agent
-             indices, dedup'd under edge symmetry.
+    Returns (intra, intra_meas, inter, rows_of):
+      intra: {agent: [(i, j)]} per-agent (stored, revisit) indices,
+             dedup'd (best-fitness duplicate wins), self-pairs dropped;
+      intra_meas: {agent: [meas|None]} aligned measurements;
+      inter: [(agent_i, ii, agent_j, jj, meas|None)] cross-agent edges,
+             per-agent indices, dedup'd under edge symmetry.
     """
     agents = np.unique(session["agent"])
     agent_of_row = np.asarray(session["agent"])
@@ -76,13 +81,13 @@ def split_closures(session: Dict, closures: Tuple):
         m[rows] = np.arange(len(rows))
         inv[a] = m
 
-    intra = {int(a): [] for a in agents}
-    inter = []
-    seen_intra = {int(a): set() for a in agents}
-    seen_inter = set()
-    ni, nj, _ = closures
+    ni, nj, _ = closures[:3]
+    meas_arr = closures[3] if len(closures) > 3 else None
+    fit_arr = closures[4] if len(closures) > 4 else None
+    best_intra = {int(a): {} for a in agents}   # (i, j) -> (fit, meas)
+    best_inter = {}                             # sym key -> (fit, edge)
     n_rows = len(agent_of_row)
-    for i, j in zip(ni, nj):
+    for k, (i, j) in enumerate(zip(ni, nj)):
         i, j = int(i), int(j)
         if not (0 <= i < n_rows and 0 <= j < n_rows):
             continue
@@ -92,17 +97,35 @@ def split_closures(session: Dict, closures: Tuple):
         jj = int(inv[aj][j])
         if ii < 0 or jj < 0:
             continue
+        f = float(fit_arr[k]) if fit_arr is not None else -1.0
+        m = (np.asarray(meas_arr[k], np.float32)
+             if meas_arr is not None and f >= fit_min else None)
+        if ai != aj and fit_arr is not None and m is None:
+            # an UNMEASURED cross-agent edge from a scan-matching run is
+            # a failed rendezvous verification: at the cross radius
+            # (>= 2x the landmark spread) a bare coincidence edge is
+            # ~radius-grade noise that measurably DRAGS the joint solve
+            # (ATE 0.37 vs 0.22 raw with them kept) — drop it. Logs
+            # without measurement columns (legacy 0.6 m matching) keep
+            # their cross edges as coincidence.
+            continue
         if ai == aj:
-            if ii != jj and (jj, ii) not in seen_intra[ai]:
-                seen_intra[ai].add((jj, ii))
-                intra[ai].append((jj, ii))
+            if ii == jj:
+                continue
+            old = best_intra[ai].get((ii, jj))
+            if old is None or f > old[0]:
+                best_intra[ai][(ii, jj)] = (f, m)
         else:
             key = (ai, ii, aj, jj) if (ai, ii) < (aj, jj) \
                 else (aj, jj, ai, ii)
-            if key not in seen_inter:
-                seen_inter.add(key)
-                inter.append(key)
-    return intra, inter, rows_of, inv
+            old = best_inter.get(key)
+            if old is None or f > old[0]:
+                best_inter[key] = (f, (ai, ii, aj, jj, m))
+    intra = {a: list(d.keys()) for a, d in best_intra.items()}
+    intra_meas = {a: [v[1] for v in d.values()]
+                  for a, d in best_intra.items()}
+    inter = [v[1] for v in best_inter.values()]
+    return intra, intra_meas, inter, rows_of
 
 
 def agent_components(agents, inter):
@@ -116,8 +139,8 @@ def agent_components(agents, inter):
             x = parent[x]
         return x
 
-    for ai, _, aj, _ in inter:
-        ra, rb = find(ai), find(aj)
+    for e in inter:
+        ra, rb = find(e[0]), find(e[2])
         if ra != rb:
             parent[ra] = rb
     groups: Dict[int, list] = {}
@@ -126,15 +149,18 @@ def agent_components(agents, inter):
     return [tuple(sorted(g)) for g in groups.values()]
 
 
-def _solve_joint_component(origs, intra, inter, iterations,
+def _solve_joint_component(origs, intra, intra_meas, inter, iterations,
                            closure_weight, inter_weight, anchor_weight,
-                           damping):
+                           damping, meas_weight):
     """One connected component -> {agent: [T, 3] optimised poses}.
 
     origs: {agent: [T, 3] float32 logged estimates} (insertion order =
     block order). Capacities (block size S, block count, closure count)
     are power-of-two bucketed so equally-shaped components share one
-    compiled solver.
+    compiled solver. Edges with a scan-matched measurement (intra_meas
+    entries / inter 5th elements, frame = the stored node) use it at
+    `meas_weight`; coincidence edges keep zero measurement at the
+    intra/inter weights.
     """
     order = sorted(origs)
     k = len(order)
@@ -147,30 +173,38 @@ def _solve_joint_component(origs, intra, inter, iterations,
         poses[s * s_cap:s * s_cap + len(p)] = p
     slot = {a: s for s, a in enumerate(order)}
 
-    # closure edges: intra first, then inter (per-edge weights below)
-    pairs = []
+    # closure edges: (global_i, global_j, meas|None, base_weight)
+    edges = []
     for a, ps in intra.items():
         base = slot[a] * s_cap
-        pairs += [(base + i, base + j) for (i, j) in ps]
-    n_intra = len(pairs)
-    for ai, ii, aj, jj in inter:
-        pairs.append((slot[ai] * s_cap + ii, slot[aj] * s_cap + jj))
-    c_cap = _next_pow2(max(1, len(pairs)))
+        for (i, j), mm in zip(ps, intra_meas[a]):
+            edges.append((base + i, base + j, mm, closure_weight))
+    for ai, ii, aj, jj, mm in inter:
+        edges.append((slot[ai] * s_cap + ii, slot[aj] * s_cap + jj,
+                      mm, inter_weight))
+    c_cap = _next_pow2(max(1, len(edges)))
     ci = np.zeros((c_cap,), np.int32)
     cj = np.zeros((c_cap,), np.int32)
-    for e, (i, j) in enumerate(pairs):
+    meas = np.zeros((c_cap, 3), np.float32)
+    wcl = np.zeros((c_cap, 3), np.float32)
+    for e, (i, j, mm, bw) in enumerate(edges):
         ci[e], cj[e] = i, j
+        if mm is not None:
+            meas[e] = mm
+            wcl[e] = np.asarray(meas_weight, np.float32)
+        else:
+            wcl[e] = np.asarray(bw, np.float32)
 
     g = graph_from_trajectory(
         jnp.asarray(poses), m,
         closures_i=jnp.asarray(ci), closures_j=jnp.asarray(cj),
-        closure_meas=jnp.zeros((c_cap, 3), jnp.float32),
-        n_closures=len(pairs))
+        closure_meas=jnp.asarray(meas),
+        n_closures=len(edges))
 
     # weight surgery (host-side, [E, 3]):
     #  - chain edges crossing a block boundary, inside padding, or in an
     #    empty block -> 0 (the blocks must stay decoupled);
-    #  - closure rows -> per-edge intra/inter weights.
+    #  - closure rows -> the per-edge weights above.
     w = np.asarray(g.weight).copy()
     e_idx = np.arange(m - 1)
     blk = e_idx // s_cap
@@ -180,10 +214,7 @@ def _solve_joint_component(origs, intra, inter, iterations,
         t_of_blk[s] = len(origs[a])
     live = (within + 1 < t_of_blk[blk]) & (within + 1 < s_cap)
     w[:m - 1] *= live[:, None]
-    w[m - 1:] = 0.0
-    w[m - 1:m - 1 + n_intra] = np.asarray(closure_weight, np.float32)
-    w[m - 1 + n_intra:m - 1 + len(pairs)] = np.asarray(
-        inter_weight, np.float32)
+    w[m - 1:] = wcl
     g = g._replace(weight=jnp.asarray(w))
 
     anchor_nodes = np.arange(k_cap, dtype=np.int32) * s_cap
@@ -217,7 +248,9 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
                          "edges (re-detection is per-agent only — use "
                          "slam.refine.refine_session)")
     yaw_rad = np.radians(session["yaw_deg"])
-    intra, inter, rows_of, _ = split_closures(session, closures)
+    intra, intra_meas, inter, rows_of = split_closures(
+        session, closures, fit_min=cfg.slam.merge_fitness_min)
+    meas_weight = cfg.slam.closure_meas_weight
 
     origs = {}
     for a, rows in rows_of.items():
@@ -237,16 +270,19 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
                     opt, _ = refine_agent_trajectory(
                         orig[:, 0], orig[:, 1], orig[:, 2], intra[a],
                         iterations=iterations,
-                        closure_weight=closure_weight)
+                        closure_weight=closure_weight,
+                        closure_meas=intra_meas[a],
+                        meas_weight=meas_weight)
                 out[a] = {"poses": opt, "orig": orig, "idx": rows_of[a],
                           "closures": intra[a], "component": comp,
                           "inter_edges": 0}
             continue
         solved, _ = _solve_joint_component(
             {a: origs[a] for a in comp},
-            {a: intra[a] for a in comp}, comp_inter,
+            {a: intra[a] for a in comp},
+            {a: intra_meas[a] for a in comp}, comp_inter,
             iterations, closure_weight, inter_weight, anchor_weight,
-            damping)
+            damping, meas_weight)
         for a in comp:
             out[a] = {"poses": solved[a], "orig": origs[a],
                       "idx": rows_of[a], "closures": intra[a],

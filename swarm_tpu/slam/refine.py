@@ -36,10 +36,14 @@ def _next_pow2(n: int) -> int:
 
 def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
                             iterations: int = 15,
-                            closure_weight=(4.0, 4.0, 0.0)):
+                            closure_weight=(4.0, 4.0, 0.0),
+                            closure_meas=None, meas_weight=None):
     """One agent's logged estimates [T] + closure index pairs [(i, j)] ->
     optimised poses [T, 3]. Capacity-padded to a power of two so repeated
     calls share compiled solvers.
+
+    closure_pairs: [(i, j)] with i the STORED (earlier) node and j the
+    revisit — measured edges are directional (meas lives in frame i).
 
     closure_weight: per-component (x, y, theta) information weights for
     the closure edges (a scalar is broadcast to all three). A landmark
@@ -49,7 +53,13 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     online snap is also translation-only, :308-326) and a moderate
     weight on x/y; weighting closures like odometry (25, 25, 25) was
     measured to DRAG the refined trajectory wrong by up to the revisit
-    radius (tools/bench_accuracy.py)."""
+    radius (tools/bench_accuracy.py).
+
+    closure_meas: optional list aligned to closure_pairs of SE(2) edge
+    measurements (mx, my, mth) in frame i — the scan-matched closures
+    of SlamConfig.closure_scanmatch — with None marking coincidence
+    edges; measured edges get `meas_weight` (default
+    SlamConfig.closure_meas_weight's (50, 50, 10))."""
     t = len(xs)
     cap = _next_pow2(t)
     poses = np.zeros((cap, 3), np.float32)
@@ -65,16 +75,25 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     c = _next_pow2(max(1, len(closure_pairs)))
     ci = np.zeros((c,), np.int32)
     cj = np.zeros((c,), np.int32)
-    for k, (i, j) in enumerate(closure_pairs):
-        ci[k], cj[k] = i, j
     if np.isscalar(closure_weight):
         closure_weight = (closure_weight,) * 3
+    if meas_weight is None:
+        meas_weight = (50.0, 50.0, 10.0)
+    meas = np.zeros((c, 3), np.float32)
+    w = np.zeros((c, 3), np.float32)
+    w[:len(closure_pairs)] = np.asarray(closure_weight, np.float32)
+    for k, (i, j) in enumerate(closure_pairs):
+        ci[k], cj[k] = i, j
+        if closure_meas is not None and closure_meas[k] is not None:
+            meas[k] = closure_meas[k]
+            w[k] = np.asarray(meas_weight, np.float32)
     g = graph_from_trajectory(
         jnp.asarray(poses), t,
         closures_i=jnp.asarray(ci), closures_j=jnp.asarray(cj),
-        closure_meas=jnp.zeros((c, 3), jnp.float32),
+        closure_meas=jnp.asarray(meas),
         n_closures=len(closure_pairs),
         closure_weight=tuple(closure_weight))
+    g = g._replace(weight=g.weight.at[cap - 1:].set(jnp.asarray(w)))
     if cap > 256:
         # long trajectories: the chain+closures structured solve
         # (block cyclic reduction + Woodbury, slam/tridiag.py) — the
@@ -96,8 +115,13 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
     """Refine every agent trajectory of a loaded session (proto.csvio
     .load_session dict). `closures`: (node_i, node_j, agent) arrays in
     GLOBAL packet-node indices (the slam_closures.csv columns + the
-    closure log's agent ids); if None, closures are re-detected from the
-    telemetry with the reference's landmark matcher settings.
+    closure log's agent ids), optionally extended with (meas [C, 3],
+    fit [C]) — the scan-matched edge measurements of
+    SlamConfig.closure_scanmatch; edges whose fit clears
+    cfg.slam.merge_fitness_min use their measurement at
+    cfg.slam.closure_meas_weight, the rest fall back to the coincidence
+    weighting. If None, closures are re-detected from the telemetry with
+    the reference's landmark matcher settings.
 
     Returns {agent (1-based): {"poses": [T,3] optimized,
                                "orig": [T,3], "idx": [T] global rows}}.
@@ -114,6 +138,7 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
         inv[a] = m
 
     pairs = {int(a): [] for a in agents}
+    pair_meas = {int(a): [] for a in agents}
     if closures is not None:
         # DEDUP: the online detector can log the same revisit pair
         # hundreds of times (the reference's <=30-node gap is <1 step at
@@ -121,18 +146,31 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
         # not independent measurements, and piling hundreds of identical
         # closure edges onto one node pair drives the Woodbury cap
         # matrix near-singular in f32 (solver now also guards, see
-        # slam/tridiag.py structured_gn).
-        seen = {int(a): set() for a in agents}
-        ni, nj, cagent = closures
-        for i, j, a in zip(ni, nj, cagent):
+        # slam/tridiag.py structured_gn). Among duplicates, the
+        # best-fitness MEASURED edge wins.
+        best = {int(a): {} for a in agents}   # (i, j) -> (fit, meas|None)
+        ni, nj, cagent = closures[:3]
+        meas_arr = closures[3] if len(closures) > 3 else None
+        fit_arr = closures[4] if len(closures) > 4 else None
+        fit_min = cfg.slam.merge_fitness_min
+        for k, (i, j, a) in enumerate(zip(ni, nj, cagent)):
             a = int(a)
             if a in inv and 0 <= i < len(inv[a]) and 0 <= j < len(inv[a]):
-                ii = inv[a][int(i)]
-                jj = inv[a][int(j)]
-                if ii >= 0 and jj >= 0 and ii != jj \
-                        and (jj, ii) not in seen[a]:
-                    seen[a].add((jj, ii))
-                    pairs[a].append((int(jj), int(ii)))
+                ii = inv[a][int(i)]          # stored (earlier) node
+                jj = inv[a][int(j)]          # revisit node
+                if ii < 0 or jj < 0 or ii == jj:
+                    continue
+                f = float(fit_arr[k]) if fit_arr is not None else -1.0
+                m = (np.asarray(meas_arr[k], np.float32)
+                     if meas_arr is not None and f >= fit_min else None)
+                key = (int(ii), int(jj))
+                old = best[a].get(key)
+                if old is None or f > old[0]:
+                    best[a][key] = (f, m)
+        for a in best:
+            for key, (f, m) in best[a].items():
+                pairs[a].append(key)
+                pair_meas[a].append(m)
     else:
         # re-detect: same-type landmarks within the closure radius,
         # >= min gap apart (per agent, like the online matcher but offline)
@@ -154,6 +192,7 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
                 k = np.argmin(d2)
                 if d2[k] < slam.closure_radius_m ** 2:
                     pairs[a].append((int(cand[k]), int(i)))
+                    pair_meas[a].append(None)
                     last = i
 
     out = {}
@@ -166,9 +205,12 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
             continue
         opt, _ = refine_agent_trajectory(
             orig[:, 0], orig[:, 1], orig[:, 2], pairs[a],
-            iterations=iterations, closure_weight=closure_weight)
+            iterations=iterations, closure_weight=closure_weight,
+            closure_meas=pair_meas[a],
+            meas_weight=cfg.slam.closure_meas_weight)
         out[a] = {"poses": opt, "orig": orig, "idx": rows,
-                  "closures": pairs[a]}
+                  "closures": pairs[a],
+                  "measured": sum(m is not None for m in pair_meas[a])}
     return out
 
 

@@ -68,18 +68,19 @@ def _ate(out, truth, agent_rows):
 
 def test_split_closures_cross_agent():
     session, _, closures = _two_agent_session()
-    intra, inter, rows_of, _ = split_closures(session, closures)
+    intra, intra_meas, inter, rows_of = split_closures(session, closures)
     assert intra[1] == [] and intra[2] == []
     assert len(inter) == 5
-    # canonical order + per-agent indices
-    for ai, ii, aj, jj in inter:
+    # stored->current direction + per-agent indices
+    for ai, ii, aj, jj, meas in inter:
         assert {ai, aj} == {1, 2}
         assert ii == jj                      # same step index per agent
+        assert meas is None                  # no scan measurements logged
 
 
 def test_agent_components():
     comps = agent_components([1, 2, 3, 4],
-                             [(1, 0, 2, 0), (2, 5, 1, 9)])
+                             [(1, 0, 2, 0, None), (2, 5, 1, 9, None)])
     comps = sorted(comps)
     assert (1, 2) in comps and (3,) in comps and (4,) in comps
 

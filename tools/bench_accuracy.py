@@ -7,7 +7,11 @@ multi-room world at the reference drift rates (scale bias +/-0.2 %, yaw
 bias -/+0.008 rad/m — generate_fake_dual_session.py:407-444) and reports,
 for each correction tier:
 
-  raw               — drifted odometry only (no corrections)
+  raw               — drifted odometry only (no pose corrections). This
+                      run ALSO logs scan-matched closure edges
+                      (SlamConfig.closure_scanmatch + the rendezvous
+                      cross-agent radius, detection only — the
+                      trajectory is untouched) for the offline tiers.
   ref_closures      — the REFERENCE's online mechanism: damped landmark
                       position snap (0.5 x, radius 0.60 m,
                       dual_bot_mapper.py:308-326)
@@ -16,8 +20,11 @@ for each correction tier:
                       (SlamConfig.merge_anchor), closure snap off
   ref_closures+merge — both online mechanisms together
   refined           — offline pose-graph Gauss-Newton over the RAW
-                      trajectory with the logged closure edges
-                      (slam/refine.py)
+                      trajectory with its own scan-matched closure
+                      edges (slam/refine.py)
+  joint             — offline JOINT multi-agent solve (slam/joint.py):
+                      per-agent chains coupled by fitness-verified
+                      cross-agent rendezvous edges
 
 metrics:
   ate_mean_m / ate_late_m — mean absolute trajectory error over the whole
@@ -171,9 +178,20 @@ def main():
     results = {}
     logs = {}
     variants = {
-        # raw: closures off (zero radius), merge off
-        "raw": dict(slam=dataclasses.replace(base_cfg.slam,
-                                             closure_radius_m=0.0),
+        # raw: no pose corrections (closure_correction=0 logs edges
+        # WITHOUT touching the trajectory) + scan-matched measurements
+        # at a per-agent-scaled revisit gap (the reference's 30 is a
+        # GLOBAL node gap = <1 step of separation at swarm agent
+        # counts — such edges span ~zero drift) + verified rendezvous
+        # cross-agent detection. The offline tiers refine THIS run's
+        # trajectory with THIS run's edges.
+        "raw": dict(slam=dataclasses.replace(
+                        base_cfg.slam,
+                        closure_correction=0.0,
+                        min_poses_between=100 * args.agents,
+                        closure_scanmatch=True,
+                        closure_cross_radius_m=1.2,
+                        closure_match_search=28),
                     engine=dataclasses.replace(base_cfg.engine,
                                                merge_every=0)),
         # the REFERENCE online mechanism: damped landmark position snap
@@ -214,11 +232,12 @@ def main():
               f"merges {results[name]['merges']}", flush=True)
 
     # offline refinement: the classic offline-SLAM recipe — RAW odometry
-    # (no online snap discontinuities) + closure edges + pose-graph GN.
-    # Closure edges come from the ref_closures run's online log
-    # (re-detection from telemetry is also supported via closures=None).
-    log, _ = logs["raw"]
-    _, state = logs["ref_closures"]
+    # (no online snap discontinuities) + its own scan-matched closure
+    # edges + pose-graph GN; `joint` additionally couples agents through
+    # fitness-verified cross-agent rendezvous edges (slam/joint.py).
+    from swarm_tpu.slam.joint import joint_refine_session
+
+    log, state = logs["raw"]
     t_steps, n = log["sx"].shape
     session = {
         "t": np.repeat(np.arange(t_steps, dtype=np.float64) * 0.4, n),
@@ -231,25 +250,45 @@ def main():
     cl = state.srv.closure
     c = min(int(cl.cl_count), len(np.asarray(cl.cl_node)))
     # cl_agent is 0-based; session agent ids are 1-based
+    meas = np.stack([np.asarray(cl.cl_mx)[:c], np.asarray(cl.cl_my)[:c],
+                     np.asarray(cl.cl_mth)[:c]], axis=-1)
+    fit = np.asarray(cl.cl_fit)[:c]
     closures = (np.asarray(cl.cl_lm_node)[:c], np.asarray(cl.cl_node)[:c],
-                np.asarray(cl.cl_agent)[:c] + 1)
-    refined = refine_session(session, closures=closures, cfg=base_cfg)
+                np.asarray(cl.cl_agent)[:c] + 1, meas, fit)
     true_x = log["tx"].reshape(-1)
     true_y = log["ty"].reshape(-1)
-    errs = np.zeros(t_steps * n, np.float64)
-    for a, r in refined.items():
-        idx = r["idx"]
-        errs[idx] = np.hypot(r["poses"][:, 0] - true_x[idx],
-                             r["poses"][:, 1] - true_y[idx])
-    err_steps = errs.reshape(t_steps, n).mean(axis=1)
-    a_mean, a_late = ate(err_steps)
+
+    def offline_ate(refined):
+        errs = np.zeros(t_steps * n, np.float64)
+        for r in refined.values():
+            idx = r["idx"]
+            errs[idx] = np.hypot(r["poses"][:, 0] - true_x[idx],
+                                 r["poses"][:, 1] - true_y[idx])
+        return ate(errs.reshape(t_steps, n).mean(axis=1))
+
+    refined = refine_session(session, closures=closures, cfg=base_cfg)
+    a_mean, a_late = offline_ate(refined)
+    n_edges = int(sum(len(r["closures"]) for r in refined.values()))
+    n_meas = int(sum(r.get("measured", 0) for r in refined.values()))
     results["refined"] = {"ate_mean_m": round(a_mean, 4),
                           "ate_late_m": round(a_late, 4),
-                          "closures_used": int(sum(
-                              len(r["closures"])
-                              for r in refined.values()))}
+                          "closures_used": n_edges,
+                          "measured_edges": n_meas}
     print(f"{'refined':16s} ATE mean {a_mean:.3f} m | late {a_late:.3f} m "
-          f"({results['refined']['closures_used']} closure edges)",
+          f"({n_edges} closure edges, {n_meas} scan-measured)",
+          flush=True)
+
+    joint = joint_refine_session(session, closures=closures, cfg=base_cfg)
+    a_mean, a_late = offline_ate(joint)
+    comp_inter = {tuple(r["component"]): r["inter_edges"]
+                  for r in joint.values()}
+    results["joint"] = {"ate_mean_m": round(a_mean, 4),
+                        "ate_late_m": round(a_late, 4),
+                        "components": sorted(len(c) for c in comp_inter),
+                        "inter_edges": int(sum(comp_inter.values()))}
+    print(f"{'joint':16s} ATE mean {a_mean:.3f} m | late {a_late:.3f} m "
+          f"(components {results['joint']['components']}, "
+          f"{results['joint']['inter_edges']} verified cross edges)",
           flush=True)
 
     out = {"agents": args.agents, "steps": args.steps,
