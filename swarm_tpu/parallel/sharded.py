@@ -528,8 +528,19 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     hx_a, hy_a, hv_a = g(hx), g(hy), g(hit_valid)
 
     agents_all = jnp.arange(n, dtype=jnp.int32)
+    if cfg.slam.closure_scanmatch and scan_dist is not None:
+        # measured closures need the sweeps on every device: one
+        # [N, R] all_gather per step (740 KB at 1024 x 181 — ICI noise
+        # next to the map psum); the matcher itself runs replicated
+        # under its any-closure lax.cond, so closure-free steps pay
+        # only the gather
+        yaw_a, scan_a = g(ryaw), g(scan_dist)
+    else:
+        yaw_a, scan_a = None, None
     closure, closed_a, _, _ = closure_add_poses_batch(
-        srv.closure, rx_a, ry_a, agents_all, lm_a, cfg.slam, valid=alive_a)
+        srv.closure, rx_a, ry_a, agents_all, lm_a, cfg.slam,
+        valid=alive_a, yaws=yaw_a, scans=scan_a,
+        grid=cfg.grid, sens=sens)
 
     zone = zone_observe_rows(
         srv.zone,

@@ -206,3 +206,49 @@ def test_checkpoint_migration_new_closure_leaves(tmp_path):
     loaded = load_pytree(path, state)
     assert np.all(np.asarray(loaded.srv.closure.cl_fit) == -1.0)
     assert np.all(np.asarray(loaded.srv.closure.lm_scan) == 0.0)
+
+
+def test_sharded_engine_runs_with_scanmatch():
+    """The mesh-sharded engine gathers sweeps and runs the measured-
+    closure path (parallel/sharded.py): must compile and keep the
+    closure state identical to the fused engine over the same steps
+    (the matcher's lax.cond + the [N, R] scan all_gather must not
+    perturb anything when no closure fires)."""
+    from swarm_tpu.config import EngineConfig, GridConfig
+    from swarm_tpu.engine.sim import (make_agent_params, make_sim_step,
+                                      sim_init)
+    from swarm_tpu.geom.world import BEDROOM_WALLS
+    from swarm_tpu.parallel import (make_mesh, make_sharded_sim_step,
+                                    shard_state)
+
+    n = 4
+    eng = EngineConfig(parity_mode=False, compute_frontiers=False,
+                       raster_mode="beam", scan_rays=37, raster_4way=False,
+                       beam_groups=8, kernel_endpoints=False,
+                       endpoint_hits=True, merge_every=0)
+    slam = dataclasses.replace(
+        SlamConfig(), closure_scanmatch=True, closure_correction=0.0,
+        closure_cross_radius_m=1.2)
+    grid = dataclasses.replace(GridConfig(), size=512,
+                               origin_x=-3.0, origin_y=-4.0)
+    cfg = SwarmConfig(n_agents=n, grid=grid, engine=eng, slam=slam)
+    params = make_agent_params(n, separation=2.0, cfg=cfg)
+
+    mesh = make_mesh(2)
+    sh_step = make_sharded_sim_step(cfg, BEDROOM_WALLS, params, mesh,
+                                    donate=False)
+    st_sh = shard_state(sim_init(cfg, params), mesh)
+    ref_step = make_sim_step(cfg, BEDROOM_WALLS, params, donate=False)
+    st_ref = sim_init(cfg, params)
+    for _ in range(10):
+        st_sh, _ = sh_step(st_sh)
+        st_ref, _ = ref_step(st_ref)
+    assert st_sh.srv.closure.lm_scan.shape == (slam.landmark_capacity, 37)
+    assert int(st_sh.srv.closure.cl_count) == \
+        int(st_ref.srv.closure.cl_count)
+    np.testing.assert_allclose(np.asarray(st_sh.srv.closure.lm_x),
+                               np.asarray(st_ref.srv.closure.lm_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_sh.srv.closure.lm_scan),
+                               np.asarray(st_ref.srv.closure.lm_scan),
+                               atol=1e-6)
