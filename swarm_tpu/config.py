@@ -270,6 +270,11 @@ class SlamConfig:
     # (aperture ties still resolve to zero)
     closure_match_inlier_radius: int = 1
     closure_match_prior_weight: float = 0.02
+    # matcher batch chunk: the im2col patch tensor is ~70 MB per pair at
+    # these window settings, so closure batches match in lax.map chunks
+    # of this size (peak temp = chunk windows) instead of one flat vmap
+    # that would reserve tens of GB at swarm agent counts
+    closure_match_chunk: int = 8
     # weights the refiners give a fitness-gated measured edge (x, y,
     # theta) vs the coincidence fallback (refine.py's (4, 4, 0))
     closure_meas_weight: tuple = (50.0, 50.0, 10.0)

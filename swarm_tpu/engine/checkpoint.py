@@ -46,6 +46,21 @@ def _migrate_total_writes(old, tmpl):
     return np.asarray([total // radix, total % radix], np.int32)
 
 
+def _migrate_lm_scan(old, tmpl):
+    """lm_scan capacity follows closure_scanmatch ([L, 1] placeholder vs
+    [L, R]): crossing configs keeps what fits and zero-fills the rest —
+    a scanmatch-off checkpoint stored no scans, and resuming a scanmatch
+    run at a different ray count keeps the overlapping prefix."""
+    t = np.asarray(tmpl)
+    if old.shape == t.shape:
+        return old
+    out = np.zeros(t.shape, t.dtype)
+    r = min(old.shape[1], t.shape[1])
+    n = min(old.shape[0], t.shape[0])
+    out[:n, :r] = old[:n, :r]
+    return out
+
+
 _MIGRATIONS = {
     ".srv.total_writes": _migrate_total_writes,
     ".srv.merge_dx": "zero",
@@ -55,7 +70,7 @@ _MIGRATIONS = {
     ".v2v_total": "zero",
     # r3 scan-matched closure measurements (SlamConfig.closure_scanmatch)
     ".srv.closure.lm_yaw": "zero",
-    ".srv.closure.lm_scan": "zero",
+    ".srv.closure.lm_scan": _migrate_lm_scan,
     ".srv.closure.cl_mx": "zero",
     ".srv.closure.cl_my": "zero",
     ".srv.closure.cl_mth": "zero",

@@ -251,17 +251,33 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
         # time gap — independent frames make even same-time edges
         # informative, and the scan-match fitness gate (below) is the
         # false-match filter the type heuristic was standing in for.
+        # DETECTION-ONLY and lower priority than the reference-style
+        # term: a rendezvous event logs an edge (+ measurement) but
+        # NEVER drives the online positional snap — an unverified snap
+        # toward a point up to the cross radius away is exactly the
+        # radius-grade noise this mechanism exists to avoid, and the
+        # verification result isn't known until after the (costly,
+        # cond-gated) matcher runs. It does consume the per-agent
+        # cooldown (rate-limits log flooding near a roommate; can delay
+        # an intra closure by up to min_poses_between — accepted).
         other = state.lm_agent[None, :] != agents[:, None]
         near_x = d2 < cfg.closure_cross_radius_m ** 2
-        match = match | (occupied[None, :] & other & near_x &
-                         (agent_ok & has_lm)[:, None])
+        cross = (occupied[None, :] & other & near_x &
+                 (agent_ok & has_lm)[:, None])
+        intra_any = jnp.any(match, axis=1)
+        snap = intra_any                    # only intra matches snap
+        match = jnp.where(intra_any[:, None], match, cross)
+    else:
+        snap = None
 
     closed = jnp.any(match, axis=1)                                   # [M]
+    if snap is None:
+        snap = closed
     first = jnp.argmin(jnp.where(match, slots[None, :], L), axis=1)   # [M]
     mx = state.lm_x[first]
     my = state.lm_y[first]
-    cdx = jnp.where(closed, (mx - xs) * cfg.closure_correction, 0.0)
-    cdy = jnp.where(closed, (my - ys) * cfg.closure_correction, 0.0)
+    cdx = jnp.where(snap, (mx - xs) * cfg.closure_correction, 0.0)
+    cdy = jnp.where(snap, (my - ys) * cfg.closure_correction, 0.0)
 
     safe_agents = jnp.where(valid, agents, 0)
     last_cl = state.last_closure_node.at[safe_agents].set(

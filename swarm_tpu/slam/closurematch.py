@@ -39,7 +39,12 @@ def splat_points_window(px, py, valid, side: int):
     [side, side] mass image — the separable one-hot MATMUL of
     match_scan_window's splat (one [S, P] @ [P, S] contraction instead
     of 4 TPU scatter-adds per point; out-of-window taps drop because the
-    one-hot compare never fires)."""
+    one-hot compare never fires).
+
+    NOTE: this is the rotation-free sibling of the splats inside
+    scanmatch.py (match_scan_window's splat(), _rotated_mass_stack's
+    one()) — a numerics change to the one-hot/bilinear scheme must be
+    applied to all three."""
     dtype = jnp.float32
     vf = valid.astype(dtype)
     x0 = jnp.floor(px).astype(jnp.int32)
@@ -107,6 +112,16 @@ def match_scan_pair(cur_dist, cur_pose, stored_dist, stored_pose,
     cgy = (cy - grid.origin_y) / res
     ax = cgx - ox - search - 0.5      # inside the INNER region
     ay = cgy - oy - search - 0.5
+    # Drop points whose zero-hypothesis position falls outside the inner
+    # window BEFORE counting them: the splat's one-hot never fires for
+    # them, but leaving them in n_pts deflates the inlier fraction for
+    # exactly the offset rendezvous pairs the gate must verify (the
+    # current agent sits up to the cross radius off-centre, so a
+    # crescent of far hits lies beyond the window edge).
+    pxc = ax + off_x / res
+    pyc = ay + off_y / res
+    c_valid = c_valid & (pxc >= 0) & (pxc < inner - 1) & \
+        (pyc >= 0) & (pyc < inner - 1)
 
     min_pts = min(slam.merge_min_points, max(6, r_scan // 4))
     m = match_scan_window(
@@ -132,9 +147,37 @@ def match_scan_pair(cur_dist, cur_pose, stored_dist, stored_pose,
 def match_scan_pairs_batch(cur_dist, cur_poses, stored_dist, stored_poses,
                            slam: SlamConfig, grid: GridConfig,
                            sens: SensorConfig):
-    """vmap over closure pairs: cur_dist [M, R], cur_poses ([M], [M], [M]),
-    stored likewise. Returns (WindowMatch with [M] leaves, meas [M, 3])."""
-    return jax.vmap(
-        lambda cd, cx, cy, cw, sd, sx, sy, sw: match_scan_pair(
-            cd, (cx, cy, cw), sd, (sx, sy, sw), slam, grid, sens)
-    )(cur_dist, *cur_poses, stored_dist, *stored_poses)
+    """Batched pair matching: cur_dist [M, R], cur_poses ([M], [M], [M]),
+    stored likewise. Returns (WindowMatch with [M] leaves, meas [M, 3]).
+
+    Memory-bounded: match_scan_window's im2col patch tensor is
+    inner_side^2 x (2*search+1)^2 floats (~70 MB at the closure-match
+    defaults), so a flat vmap over a swarm-scale batch would reserve
+    tens of GB inside the engine's lax.cond branch. Pairs are processed
+    in `closure_match_chunk`-sized vmap chunks under lax.map — peak
+    temp = chunk x one window, wall time still one fused loop."""
+    m = cur_dist.shape[0]
+    chunk = max(1, slam.closure_match_chunk)
+
+    def one(args):
+        cd, cx, cy, cw, sd, sx, sy, sw = args
+        return jax.vmap(
+            lambda cd_, cx_, cy_, cw_, sd_, sx_, sy_, sw_: match_scan_pair(
+                cd_, (cx_, cy_, cw_), sd_, (sx_, sy_, sw_),
+                slam, grid, sens)
+        )(cd, cx, cy, cw, sd, sx, sy, sw)
+
+    leaves = (cur_dist, *cur_poses, stored_dist, *stored_poses)
+    if m <= chunk:
+        return one(leaves)
+    pad = (-m) % chunk
+    k = (m + pad) // chunk
+
+    def shape_in(x):
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) \
+            if pad else x
+        return x.reshape((k, chunk) + x.shape[1:])
+
+    out = jax.lax.map(one, tuple(shape_in(x) for x in leaves))
+    return jax.tree.map(
+        lambda x: x.reshape((k * chunk,) + x.shape[2:])[:m], out)

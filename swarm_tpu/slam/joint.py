@@ -272,7 +272,8 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
                         iterations=iterations,
                         closure_weight=closure_weight,
                         closure_meas=intra_meas[a],
-                        meas_weight=meas_weight)
+                        meas_weight=meas_weight,
+                        damping=damping, anchor_weight=anchor_weight)
                 out[a] = {"poses": opt, "orig": orig, "idx": rows_of[a],
                           "closures": intra[a], "component": comp,
                           "inter_edges": 0}

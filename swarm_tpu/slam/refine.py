@@ -37,7 +37,9 @@ def _next_pow2(n: int) -> int:
 def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
                             iterations: int = 15,
                             closure_weight=(4.0, 4.0, 0.0),
-                            closure_meas=None, meas_weight=None):
+                            closure_meas=None, meas_weight=None,
+                            damping: float = 1e-3,
+                            anchor_weight: float = 1e6):
     """One agent's logged estimates [T] + closure index pairs [(i, j)] ->
     optimised poses [T, 3]. Capacity-padded to a power of two so repeated
     calls share compiled solvers.
@@ -78,7 +80,8 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     if np.isscalar(closure_weight):
         closure_weight = (closure_weight,) * 3
     if meas_weight is None:
-        meas_weight = (50.0, 50.0, 10.0)
+        from swarm_tpu.config import SlamConfig
+        meas_weight = SlamConfig.closure_meas_weight
     meas = np.zeros((c, 3), np.float32)
     w = np.zeros((c, 3), np.float32)
     w[:len(closure_pairs)] = np.asarray(closure_weight, np.float32)
@@ -101,10 +104,13 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
         from swarm_tpu.slam.tridiag import structured_gn
         out, costs = jax.jit(
             functools.partial(structured_gn, n_chain=cap - 1,
-                              iterations=iterations))(g)
+                              iterations=iterations, damping=damping,
+                              anchor_weight=anchor_weight))(g)
     else:
-        out, costs = jax.jit(gauss_newton,
-                             static_argnums=(1,))(g, iterations)
+        out, costs = jax.jit(
+            functools.partial(gauss_newton, iterations=iterations,
+                              damping=damping,
+                              anchor_weight=anchor_weight))(g)
     return np.asarray(out.poses[:t]), np.asarray(costs)
 
 
@@ -140,37 +146,19 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
     pairs = {int(a): [] for a in agents}
     pair_meas = {int(a): [] for a in agents}
     if closures is not None:
-        # DEDUP: the online detector can log the same revisit pair
-        # hundreds of times (the reference's <=30-node gap is <1 step at
-        # swarm agent counts) — repeated detections of one revisit are
-        # not independent measurements, and piling hundreds of identical
-        # closure edges onto one node pair drives the Woodbury cap
-        # matrix near-singular in f32 (solver now also guards, see
-        # slam/tridiag.py structured_gn). Among duplicates, the
-        # best-fitness MEASURED edge wins.
-        best = {int(a): {} for a in agents}   # (i, j) -> (fit, meas|None)
-        ni, nj, cagent = closures[:3]
-        meas_arr = closures[3] if len(closures) > 3 else None
-        fit_arr = closures[4] if len(closures) > 4 else None
-        fit_min = cfg.slam.merge_fitness_min
-        for k, (i, j, a) in enumerate(zip(ni, nj, cagent)):
-            a = int(a)
-            if a in inv and 0 <= i < len(inv[a]) and 0 <= j < len(inv[a]):
-                ii = inv[a][int(i)]          # stored (earlier) node
-                jj = inv[a][int(j)]          # revisit node
-                if ii < 0 or jj < 0 or ii == jj:
-                    continue
-                f = float(fit_arr[k]) if fit_arr is not None else -1.0
-                m = (np.asarray(meas_arr[k], np.float32)
-                     if meas_arr is not None and f >= fit_min else None)
-                key = (int(ii), int(jj))
-                old = best[a].get(key)
-                if old is None or f > old[0]:
-                    best[a][key] = (f, m)
-        for a in best:
-            for key, (f, m) in best[a].items():
-                pairs[a].append(key)
-                pair_meas[a].append(m)
+        # One parser for the (ni, nj, agent[, meas, fit]) log:
+        # slam/joint.py::split_closures dedups (best-fitness duplicate
+        # wins — the online detector can log one revisit hundreds of
+        # times, and the pile-up drove the Woodbury cap near-singular),
+        # drops self-pairs, and gates measurements at merge_fitness_min.
+        # Per-agent refinement keeps the intra edges and ignores the
+        # cross-agent ones (no graph spans two agents here — that is
+        # joint_refine_session's job).
+        from swarm_tpu.slam.joint import split_closures
+        intra, intra_meas, _inter, _ = split_closures(
+            session, closures, fit_min=cfg.slam.merge_fitness_min)
+        pairs.update(intra)
+        pair_meas.update(intra_meas)
     else:
         # re-detect: same-type landmarks within the closure radius,
         # >= min gap apart (per agent, like the online matcher but offline)
