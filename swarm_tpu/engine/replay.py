@@ -86,7 +86,10 @@ def server_init(cfg: SwarmConfig, t0: float = 0.0) -> ServerState:
     k = cfg.coord.max_frontiers
     return ServerState(
         grid=jnp.full((s, s), cfg.grid.unknown, jnp.int8),
-        closure=closure_init(n, cfg.slam),
+        closure=closure_init(
+            n, cfg.slam,
+            scan_rays=(cfg.engine.scan_rays
+                       if cfg.slam.closure_scanmatch else 0)),
         zone=zone_init(n),
         last_packet_t=jnp.zeros((n,), jnp.float32),
         pkt_counts=jnp.zeros((n,), jnp.int32),
@@ -222,7 +225,8 @@ def replay_session(stream: PacketStream, cfg: SwarmConfig,
 def ingest_frame(state: ServerState, batch: PacketStream,
                  cfg: SwarmConfig, offsets,
                  enable_targets: bool = False,
-                 compute_frontiers: bool = False):
+                 compute_frontiers: bool = False,
+                 scans=None):
     """THROUGHPUT serving mode: one FRAME of packets applied as a single
     fused computation instead of the per-packet lax.scan (`ingest_packet`
     — whose sequential body is the live server's cost at swarm packet
@@ -292,9 +296,14 @@ def ingest_frame(state: ServerState, batch: PacketStream,
         jnp.concatenate([ry, hy.reshape(-1)]),
         jnp.concatenate([valid, (hit_valid & valid[:, None]).reshape(-1)]))
 
+    # scans: optional [N, R] LATEST sweep per agent (the live server's
+    # scan payloads arrive as separate datagrams — slam/closurematch
+    # needs them only at closure cadence, so a few-frame-stale sweep is
+    # fine); enables the scan-matched closure log in serving mode
     closure, closed_a, cdx_a, cdy_a = closure_add_poses_batch(
         state.closure, rx[pl], ry[pl], jnp.arange(n, dtype=jnp.int32),
-        batch.landmark[pl], cfg.slam, valid=has)
+        batch.landmark[pl], cfg.slam, valid=has,
+        yaws=agent_yaw, scans=scans, grid=cfg.grid, sens=cfg.sensors)
 
     t_frame = jnp.max(jnp.where(valid, t, -jnp.inf))
     t_frame = jnp.where(jnp.isfinite(t_frame), t_frame,

@@ -148,14 +148,34 @@ class LiveServer:
 
         b = cfg.engine.max_packets_per_frame
 
+        # scan-matched closures in SERVING mode (SlamConfig
+        # .closure_scanmatch, throughput ingest only): scan payloads
+        # update a host-side latest-sweep table that rides into the
+        # jitted frame application, so the closure log carries measured
+        # SE(2) edges (+ fitness) for the offline refiners
+        self.latest_scans = None
+        scanmatch = (cfg.slam.closure_scanmatch
+                     and cfg.engine.scan_rays > 0
+                     and ingest_mode == "throughput")
+        if scanmatch:
+            self.latest_scans = np.zeros(
+                (self.n, cfg.engine.scan_rays), np.float32)
+
         if ingest_mode == "throughput":
             # one fused application per frame (order-exact parity grid,
             # frame-coarse closure/cadence semantics — engine.replay
             # .ingest_frame): the per-packet scan serializes ~100 us/pkt
-            def frame_fn(state, batch):
-                return ingest_frame(state, batch, cfg, self.offsets,
-                                    enable_targets=enable_targets,
-                                    compute_frontiers=True)
+            if scanmatch:
+                def frame_fn(state, batch, scans):
+                    return ingest_frame(state, batch, cfg, self.offsets,
+                                        enable_targets=enable_targets,
+                                        compute_frontiers=True,
+                                        scans=scans)
+            else:
+                def frame_fn(state, batch):
+                    return ingest_frame(state, batch, cfg, self.offsets,
+                                        enable_targets=enable_targets,
+                                        compute_frontiers=True)
         else:
             def frame_fn(state, batch):
                 def step(st, pkt):
@@ -193,6 +213,16 @@ class LiveServer:
                     self.bot_addrs.setdefault(
                         agent0, (addr[0], self.bot_tx_port_base + agent0))
                     out.append((agent0, pkt))
+            elif self.latest_scans is not None and \
+                    hasattr(pkt, "ranges"):
+                # 751/743 B scan payloads feed the measured-closure
+                # sweep table (bridge mode routes them to ScanBridge
+                # instead; the plain live server used to drop them)
+                agent0 = pkt.agent - 1
+                if 0 <= agent0 < self.n:
+                    r = np.asarray(pkt.ranges, np.float32)
+                    k = min(len(r), self.latest_scans.shape[1])
+                    self.latest_scans[agent0, :k] = r[:k]
         return out
 
     def ingest(self, pkts) -> None:
@@ -244,7 +274,11 @@ class LiveServer:
             dist=pad(cols["dist4"], np.float32, (4,)),
             landmark=pad(cols["landmark"], np.int32),
             valid=jnp.asarray(np.arange(b) < n_real))
-        self.state, outs = self._frame(self.state, batch)
+        if self.latest_scans is not None:
+            self.state, outs = self._frame(self.state, batch,
+                                           jnp.asarray(self.latest_scans))
+        else:
+            self.state, outs = self._frame(self.state, batch)
         self.pkt_total += n_real
 
         if self._trails is not None and n_real:
@@ -288,8 +322,18 @@ class LiveServer:
             return 0
         cols = parse_telemetry_buffer(buf, lens, n)
         agent0 = cols["agent"] - 1
+        if self.latest_scans is not None:
+            # scan payloads (kinds 3/4) feed the measured-closure sweep
+            # table; the codec parses their 181 ranges zero-copy
+            sk = ((cols["kind"] == 3) | (cols["kind"] == 4)) & \
+                (agent0 >= 0) & (agent0 < self.n)
+            for i in np.nonzero(sk)[0]:
+                r = cols["scans"][i]
+                k = min(len(r), self.latest_scans.shape[1])
+                self.latest_scans[int(agent0[i]), :k] = r[:k]
         # 4-way telemetry only (kinds 1/2), mirroring drain_socket's
-        # isinstance filter — scan payloads belong to the ScanBridge.
+        # isinstance filter — scan payloads otherwise belong to the
+        # ScanBridge.
         keep = ((cols["kind"] == 1) | (cols["kind"] == 2)) & \
             (agent0 >= 0) & (agent0 < self.n)
         idx = np.nonzero(keep)[0]
@@ -511,16 +555,26 @@ def main(argv=None):
     ap.add_argument("--view-bind", default="127.0.0.1",
                     help="view bind address (loopback by default; set "
                          "0.0.0.0 to expose deliberately)")
+    ap.add_argument("--closure-scanmatch", action="store_true",
+                    help="scan-match fired closures against the stored "
+                         "landmark sweeps (throughput mode; 751/743 B "
+                         "scan payloads feed the sweep table) — the "
+                         "closure log then carries measured SE(2) edges "
+                         "for the offline refiners (slam/joint.py)")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
     cfg = SwarmConfig(n_agents=args.agents)
+    import dataclasses
     if args.max_packets:
-        import dataclasses
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine, max_packets_per_frame=args.max_packets))
+    if args.closure_scanmatch:
+        cfg = cfg.replace(
+            engine=dataclasses.replace(cfg.engine, scan_rays=181),
+            slam=dataclasses.replace(cfg.slam, closure_scanmatch=True))
     srv = LiveServer(cfg, port=args.port, separation=args.separation,
                      log_dir=args.log_dir, enable_targets=args.enable_targets,
                      native_codec=not args.no_native_codec,

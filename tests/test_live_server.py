@@ -226,3 +226,77 @@ def test_throughput_ingest_matches_parity_grid(free_port, tmp_path):
     finally:
         for s_ in srvs.values():
             s_.close()
+
+
+def test_live_measured_closures(free_port):
+    """SERVING-mode measured closures (--closure-scanmatch): scan
+    payloads feed the latest-sweep table through the real socket drain,
+    telemetry with landmarks stores sweeps in the landmark ring, and a
+    revisit logs a fitness-gated SE(2) edge measurement."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from swarm_tpu.models.scan import sense_scan_true
+    from swarm_tpu.proto.packets import ScanPacket
+
+    walls = jnp.asarray([
+        [0.0, 0.0, 3.0, 0.0], [3.0, 0.0, 3.0, 3.0],
+        [3.0, 3.0, 0.0, 3.0], [0.0, 3.0, 0.0, 0.0],
+        [1.8, 0.0, 1.8, 1.0],
+    ], jnp.float32)
+    pa = (1.3, 0.7, -0.2)
+    pb = (1.5, 0.6, -0.5)
+    scan_a = np.asarray(sense_scan_true(jnp.asarray(pa), walls))
+    scan_b = np.asarray(sense_scan_true(jnp.asarray(pb), walls))
+
+    cfg = SwarmConfig(n_agents=1)
+    cfg = cfg.replace(
+        engine=dataclasses.replace(cfg.engine, scan_rays=181),
+        slam=dataclasses.replace(cfg.slam, closure_scanmatch=True,
+                                 min_poses_between=2,
+                                 closure_same_agent_only=True))
+    srv = LiveServer(cfg, port=free_port, separation=0.0,
+                     ingest_mode="throughput", native_codec=False)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        def put_scan(pose, ranges):
+            tx.sendto(ScanPacket(1, pose[0], pose[1], pose[2], 0, 0,
+                                 ranges).pack(),
+                      ("127.0.0.1", srv.port))
+            deadline = time.time() + 2.0
+            while time.time() < deadline:
+                srv.drain_socket()
+                if srv.latest_scans[0].sum() != 0 and \
+                        abs(srv.latest_scans[0][0] - ranges[0]) < 1e-5:
+                    return
+                time.sleep(0.01)
+            raise AssertionError("scan payload never reached the table")
+
+        def telemetry(pose, landmark):
+            srv.ingest([(0, QuasarPacketV2(1, pose[0], pose[1], pose[2],
+                                           0, 0, 1.0, 0.5, 4.0, 0.5,
+                                           landmark))])
+
+        put_scan(pa, scan_a)
+        telemetry(pa, 5)                 # store landmark + sweep
+        cl = srv.state.closure
+        np.testing.assert_allclose(np.asarray(cl.lm_scan[0]), scan_a,
+                                   atol=1e-6)
+        telemetry(pa, 0)                 # clear the node-index gap
+        telemetry(pa, 0)
+        put_scan(pb, scan_b)
+        telemetry((pb[0] + 0.1, pb[1] - 0.06, pb[2] + 0.05), 5)  # revisit
+        cl = srv.state.closure
+        assert int(cl.cl_count) == 1
+        assert float(cl.cl_fit[0]) >= cfg.slam.merge_fitness_min
+        # the measured edge must be closer to the true relative pose
+        # than the (drifted) estimate implies
+        d = np.array([pb[0] - pa[0], pb[1] - pa[1]])
+        ct, s_ = np.cos(pa[2]), np.sin(pa[2])
+        true_t = np.array([ct * d[0] + s_ * d[1], -s_ * d[0] + ct * d[1]])
+        meas_t = np.array([float(cl.cl_mx[0]), float(cl.cl_my[0])])
+        assert np.linalg.norm(meas_t - true_t) < 0.08
+    finally:
+        tx.close()
+        srv.close()
