@@ -275,6 +275,13 @@ class SlamConfig:
     # of this size (peak temp = chunk windows) instead of one flat vmap
     # that would reserve tens of GB at swarm agent counts
     closure_match_chunk: int = 8
+    # per-step measurement budget: a closure step gathers the <= budget
+    # packets that actually CLOSED and matches only those (scattering
+    # results back), instead of running the masked matcher over the
+    # whole fleet — at swarm agent counts a single closing agent would
+    # otherwise pay N windows. Closures beyond the budget in one step
+    # log unmeasured (fit -1); the revisit re-fires later.
+    closure_match_budget: int = 8
     # weights the refiners give a fitness-gated measured edge (x, y,
     # theta) vs the coincidence fallback (refine.py's (4, 4, 0))
     closure_meas_weight: tuple = (50.0, 50.0, 10.0)

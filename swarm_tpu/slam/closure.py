@@ -303,19 +303,28 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     if measure_on:
         from swarm_tpu.slam.closurematch import match_scan_pairs_batch
         first_safe = jnp.minimum(first, L - 1)
+        K = min(M, max(1, cfg.closure_match_budget))
 
         def run_match(_):
+            # fixed measurement budget: gather the <= K packets that
+            # CLOSED (argsort puts them first) and match only those — a
+            # masked full-fleet matcher would pay N windows for one
+            # closing agent at swarm scale
+            sel = jnp.argsort(~closed)[:K]
+            f_sel = first_safe[sel]
             m, meas = match_scan_pairs_batch(
-                scans, (xs, ys, yaws),
-                state.lm_scan[first_safe],
-                (state.lm_x[first_safe], state.lm_y[first_safe],
-                 state.lm_yaw[first_safe]),
+                scans[sel], (xs[sel], ys[sel], yaws[sel]),
+                state.lm_scan[f_sel],
+                (state.lm_x[f_sel], state.lm_y[f_sel],
+                 state.lm_yaw[f_sel]),
                 cfg, grid, sens)
-            ok = m.ok & closed
-            return (jnp.where(ok, meas[:, 0], 0.0),
-                    jnp.where(ok, meas[:, 1], 0.0),
-                    jnp.where(ok, meas[:, 2], 0.0),
-                    jnp.where(ok, m.fitness, -1.0))
+            ok = m.ok & closed[sel]
+            z = jnp.zeros_like(xs)
+            return (z.at[sel].set(jnp.where(ok, meas[:, 0], 0.0)),
+                    z.at[sel].set(jnp.where(ok, meas[:, 1], 0.0)),
+                    z.at[sel].set(jnp.where(ok, meas[:, 2], 0.0)),
+                    jnp.full_like(xs, -1.0).at[sel].set(
+                        jnp.where(ok, m.fitness, -1.0)))
 
         def skip(_):
             z = jnp.zeros_like(xs)

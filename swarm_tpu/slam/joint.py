@@ -28,7 +28,12 @@ structured solver (slam/tridiag.py) unchanged:
     low-rank Woodbury fold — the solver never needs to know which
     agents an edge connects;
   * components are solved independently; identical capacity buckets
-    (n_blocks, S, C) share one compiled solver.
+    (n_blocks, S, C) share one compiled solver. Component size bounds
+    the memory: the Woodbury fold materializes U [3*k*S, 3C], so a
+    64-agent component at S=2048 with ~64 verified edges is ~250 MB —
+    fine; rendezvous edges connect spatial NEIGHBOURS, so components
+    stay far below the fleet size in practice (a hypothetical
+    fully-connected swarm would need hierarchical splitting first).
 
 Inter-agent edges default to zero theta weight: two agents revisiting
 the same landmark constrains relative POSITION only (their headings are
