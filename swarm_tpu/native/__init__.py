@@ -71,6 +71,10 @@ def get_lib() -> ctypes.CDLL:
         lib.drain_udp.restype = ctypes.c_int
         lib.drain_udp.argtypes = [ctypes.c_int, u8p, ctypes.c_int,
                                   ctypes.c_int, i32p, u32p, i32p]
+        lib.blast_udp.restype = ctypes.c_longlong
+        lib.blast_udp.argtypes = [ctypes.c_int, u8p, ctypes.c_int,
+                                  ctypes.c_int, i32p, ctypes.c_int,
+                                  ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -219,6 +223,28 @@ def drain_udp_socket(fd: int, max_msgs: int = 1024, stride: int = 2048):
                       ip4.ctypes.data_as(ct.POINTER(ct.c_uint32)),
                       port.ctypes.data_as(i32))
     return buf, lens[:n], ip4[:n], port[:n], n
+
+
+def blast_udp_ring(port: int, packets, stop_flag: "ctypes.c_int32",
+                   burst: int = 64, sleep_us: int = 0) -> int:
+    """Cycle a ring of equal-length packets into 127.0.0.1:port with
+    sendmmsg(2) until `stop_flag.value` becomes nonzero; returns packets
+    handed to the kernel (src/codec.cpp::blast_udp). Blocks — run in a
+    thread (ctypes releases the GIL for the call). All packets must have
+    the same length; `sleep_us` paces bursts so a single-core host keeps
+    CPU for the receiver under test."""
+    import ctypes as ct
+
+    lib = get_lib()
+    pkt_len = len(packets[0])
+    assert all(len(p) == pkt_len for p in packets), \
+        "blast ring packets must be equal-length"
+    ring = np.frombuffer(b"".join(packets), np.uint8)
+    return int(lib.blast_udp(
+        int(port), ring.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        pkt_len, len(packets), ct.cast(ct.byref(stop_flag),
+                                       ct.POINTER(ct.c_int32)),
+        int(burst), int(sleep_us)))
 
 
 def parse_telemetry_buffer(buf: np.ndarray, lens: np.ndarray, n: int):

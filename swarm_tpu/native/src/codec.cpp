@@ -119,6 +119,7 @@ int parse_telemetry_batch(const uint8_t* buf, const int32_t* off,
 #include <sys/socket.h>
 #include <netinet/in.h>
 #include <cerrno>
+#include <unistd.h>
 
 extern "C" {
 
@@ -157,6 +158,67 @@ int drain_udp(int fd, uint8_t* buf, int stride, int max_msgs,
         if (got < want) break;
     }
     return total;
+}
+
+// Paced sendmmsg blaster for the serving benchmark (tools/bench_serve.py):
+// cycles a pre-packed packet ring ([n_ring, pkt_len] row-major) into
+// 127.0.0.1:port in `burst`-packet batches, sleeping sleep_us between
+// batches, until *stop != 0. Returns packets handed to the kernel
+// (UDP may still drop at the receiver's rcvbuf — the benchmark reports
+// applied vs sent separately). Rationale: the Python sendto loop costs
+// ~5-10 us/packet of interpreter time; on a single-core benchmark host
+// that halves the CPU left for the server under test, so the
+// measurement reflected the harness, not the server. sendmmsg is
+// ~1 us/packet and the sleep yields the core between bursts.
+long long blast_udp(int port, const uint8_t* ring, int pkt_len,
+                    int n_ring, const volatile int32_t* stop,
+                    int burst, int sleep_us) {
+    constexpr int kMax = 256;
+    if (burst < 1) burst = 1;
+    if (burst > kMax) burst = kMax;
+    const int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (fd < 0) return -1;
+    sockaddr_in addr;
+    std::memset(&addr, 0, sizeof(addr));
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    if (connect(fd, reinterpret_cast<const sockaddr*>(&addr),
+                sizeof(addr)) != 0) {
+        close(fd);
+        return -1;
+    }
+    mmsghdr hdrs[kMax];
+    iovec iovs[kMax];
+    long long sent = 0;
+    long long i = 0;
+    while (!*stop) {
+        for (int k = 0; k < burst; ++k) {
+            iovs[k].iov_base = const_cast<uint8_t*>(
+                ring + (i % n_ring) * pkt_len);
+            iovs[k].iov_len = static_cast<size_t>(pkt_len);
+            std::memset(&hdrs[k], 0, sizeof(mmsghdr));
+            hdrs[k].msg_hdr.msg_iov = &iovs[k];
+            hdrs[k].msg_hdr.msg_iovlen = 1;
+            ++i;
+        }
+        const int got = sendmmsg(fd, hdrs, burst, 0);
+        if (got < 0) {
+            // ECONNREFUSED: ICMP from a not-yet/no-longer bound port;
+            // ENOBUFS/EAGAIN: transient kernel queue pressure. Yield
+            // and retry until the stop flag ends the run.
+            if (errno == ECONNREFUSED || errno == ENOBUFS ||
+                errno == EAGAIN || errno == EINTR) {
+                usleep(1000);
+                continue;
+            }
+            break;
+        }
+        sent += got;
+        if (sleep_us > 0) usleep(static_cast<useconds_t>(sleep_us));
+    }
+    close(fd);
+    return sent;
 }
 
 }  // extern "C"

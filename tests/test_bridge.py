@@ -210,3 +210,57 @@ def test_native_drain_and_buffer_parse():
     finally:
         tx.close()
         rx.close()
+
+
+def test_native_blast_udp_ring():
+    """sendmmsg blaster (the serving benchmark's native load generator):
+    packets arrive intact, the stop flag ends the loop, and the sent
+    count is an upper bound on received."""
+    import ctypes
+    import socket
+    import threading
+    import time
+
+    import pytest
+
+    try:
+        from swarm_tpu.native import blast_udp_ring, drain_udp_socket
+        from swarm_tpu.native import get_lib
+        get_lib()
+    except Exception as e:                       # pragma: no cover
+        pytest.skip(f"native codec unavailable: {e}")
+    from swarm_tpu.proto.packets import QuasarPacketV2
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4 * 1024 * 1024)
+    rx.bind(("127.0.0.1", 0))
+    rx.setblocking(False)
+    port = rx.getsockname()[1]
+    ring = [QuasarPacketV2(a + 1, 0.5 * a, -0.25, 0.1, a, 3,
+                           1.0, 0.5, 4.0, 0.5, 0).pack()
+            for a in range(8)]
+    stop = ctypes.c_int32(0)
+    box: list = []
+    th = threading.Thread(
+        target=lambda: box.append(
+            blast_udp_ring(port, ring, stop, burst=16, sleep_us=1000)),
+        daemon=True)
+    try:
+        th.start()
+        time.sleep(0.15)
+    finally:
+        stop.value = 1
+        th.join(timeout=2.0)
+    assert box and box[0] > 0, "blaster sent nothing"
+    total = 0
+    first = None
+    while True:
+        buf, lens, _, _, n = drain_udp_socket(rx.fileno(), max_msgs=1024)
+        if n == 0:
+            break
+        if first is None:
+            first = bytes(buf[0, :lens[0]])
+        total += n
+    rx.close()
+    assert 0 < total <= box[0]
+    assert first == ring[0]                      # payload intact, in order

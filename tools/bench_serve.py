@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def blaster(port: int, n_agents: int, stop: threading.Event,
-            sent_box: list):
-    """Saturate loopback with v2 telemetry packets (pre-packed ring)."""
+def _packet_ring(n_agents: int):
+    """4096 pre-packed v2 telemetry packets from synthetic agents
+    walking noisy circles."""
     rng = np.random.default_rng(0)
     fmt = struct.Struct("<4sBfffiIffffB")
     ring = []
@@ -49,6 +49,15 @@ def blaster(port: int, n_agents: int, stop: threading.Event,
             np.float32(rng.uniform(0.1, 1.1)),
             np.float32(rng.uniform(0.1, 1.1)),
             np.float32(rng.uniform(0.1, 1.1)), 0))
+    return ring
+
+
+def blaster(port: int, n_agents: int, stop: threading.Event,
+            sent_box: list):
+    """Python-sendto fallback blaster (~5-10 us interpreter time per
+    packet — on a single-core host this steals roughly half the CPU from
+    the server under test; prefer the native sendmmsg blaster)."""
+    ring = _packet_ring(n_agents)
     s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     addr = ("127.0.0.1", port)
     sent = 0
@@ -64,6 +73,17 @@ def blaster(port: int, n_agents: int, stop: threading.Event,
     s.close()
 
 
+def native_blaster(port: int, n_agents: int, stop_flag, sent_box: list,
+                   burst: int, sleep_us: int):
+    """sendmmsg blaster (native.blast_udp_ring): ~1 us/packet and the
+    inter-burst usleep yields the core to the server, so the measured
+    pkt/s reflects the server, not the load generator."""
+    from swarm_tpu import native
+    sent_box.append(native.blast_udp_ring(
+        port, _packet_ring(n_agents), stop_flag,
+        burst=burst, sleep_us=sleep_us))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=10.0)
@@ -73,6 +93,14 @@ def main():
                     choices=["parity", "throughput"])
     ap.add_argument("--max-packets", type=int, default=2048)
     ap.add_argument("--no-native-codec", action="store_true")
+    ap.add_argument("--python-blaster", action="store_true",
+                    help="use the legacy Python sendto loop as the load "
+                         "generator instead of the native sendmmsg one")
+    ap.add_argument("--blast-burst", type=int, default=64)
+    ap.add_argument("--blast-sleep-us", type=int, default=500,
+                    help="native blaster inter-burst usleep; paces the "
+                         "offered load (burst/sleep ~ 128k pkt/s at the "
+                         "defaults) and yields the core to the server")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -100,16 +128,36 @@ def main():
           f"mode={args.ingest_mode} codec="
           f"{'native' if srv._native else 'python'}", flush=True)
 
-    stop = threading.Event()
+    import ctypes
+
     sent_box: list = []
-    tx = threading.Thread(target=blaster,
-                          args=(port, args.agents, stop, sent_box),
-                          daemon=True)
+    use_native_blast = not args.python_blaster
+    if use_native_blast:
+        try:
+            from swarm_tpu import native
+            native.get_lib()  # build before the timed window
+        except Exception as e:  # pragma: no cover - non-linux fallback
+            print(f"[BENCH] native blaster unavailable ({e}); "
+                  f"falling back to Python sendto", flush=True)
+            use_native_blast = False
+    stop = threading.Event()
+    stop_flag = ctypes.c_int32(0)
+    if use_native_blast:
+        tx = threading.Thread(
+            target=native_blaster,
+            args=(port, args.agents, stop_flag, sent_box,
+                  args.blast_burst, args.blast_sleep_us),
+            daemon=True)
+    else:
+        tx = threading.Thread(target=blaster,
+                              args=(port, args.agents, stop, sent_box),
+                              daemon=True)
     tx.start()
     t0 = time.time()
     srv.run(duration_s=args.duration, fps=0.0)
     dt = time.time() - t0
     stop.set()
+    stop_flag.value = 1
     tx.join(timeout=2.0)
     got = srv.pkt_total
     print(json.dumps({
@@ -125,6 +173,8 @@ def main():
             "duration_s": round(dt, 2),
             "packets_applied": got,
             "packets_sent": sent_box[0] if sent_box else None,
+            "blaster": "native_sendmmsg" if use_native_blast
+                       else "python_sendto",
             "max_packets_per_frame": args.max_packets,
         },
     }))
