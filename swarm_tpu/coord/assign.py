@@ -17,12 +17,25 @@ from swarm_tpu.config import CoordConfig
 
 
 def greedy_assign(agent_xy, online, centroids, n_centroids,
-                  cfg: CoordConfig = CoordConfig()):
+                  cfg: CoordConfig = CoordConfig(), room_boxes=None):
     """agent_xy: [N, 2]; online: [N]; centroids: [K, 2]; n_centroids: int32.
-    Returns (targets [N, 2], has_target [N] bool)."""
+    Returns (targets [N, 2], has_target [N] bool).
+
+    room_boxes [N, 4] (x0, y0, x1, y1), optional: restrict each agent's
+    candidates to centroids inside its own box. The reference's 2-bot
+    world is one shared room so every frontier is reachable by straight
+    drive (GO_TO_TARGET has no path planner, ino:556-605); in multi-room
+    swarm worlds an agent assigned a frontier in ANOTHER closed room
+    drives at a wall forever — containment is the reachability test."""
     n = agent_xy.shape[0]
     k = centroids.shape[0]
     exists = jnp.arange(k) < n_centroids
+    if room_boxes is not None:
+        pad = 1e-3
+        inside = ((centroids[None, :, 0] >= room_boxes[:, None, 0] - pad) &
+                  (centroids[None, :, 0] <= room_boxes[:, None, 2] + pad) &
+                  (centroids[None, :, 1] >= room_boxes[:, None, 1] - pad) &
+                  (centroids[None, :, 1] <= room_boxes[:, None, 3] + pad))
 
     def per_agent(carry, i):
         used, tgts, has = carry
@@ -32,6 +45,8 @@ def greedy_assign(agent_xy, online, centroids, n_centroids,
         too_close = jnp.any((sep2 < cfg.frontier_separation_m ** 2) &
                             has[None, :], axis=1)
         cand = exists & ~used & ~too_close
+        if room_boxes is not None:
+            cand = cand & inside[i]
         d2 = jnp.sum((centroids - ax[None, :]) ** 2, axis=-1)
         d2 = jnp.where(cand, d2, jnp.inf)
         best = jnp.argmin(d2)

@@ -327,7 +327,7 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
 def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     alive, t, step, cfg: SwarmConfig, params: AgentParams,
                     enable_targets: bool, scan_dist=None,
-                    merge_win_box=None):
+                    merge_win_box=None, room_boxes=None):
     """One step's N packets into the mapping server, fully batched.
 
     Reproduces dual_bot_mapper.py:814-996 semantics with the step-cadence
@@ -571,7 +571,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                else frontier_targets_coarse)
         cents, _, cnt = ffn(tri, cfg.grid, cfg.coord)
         if enable_targets:
-            tg, has = greedy_assign(agent_xy, online, cents, cnt, cfg.coord)
+            tg, has = greedy_assign(agent_xy, online, cents, cnt, cfg.coord,
+                                    room_boxes=room_boxes)
         else:
             tg = jnp.zeros((n, 2), jnp.float32)
             has = jnp.zeros((n,), bool)
@@ -661,6 +662,19 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
             jnp.asarray(a, jnp.int32)
             for a in merge_window_box(walls_grouped, room_of_agent, cfg))
 
+    # Static per-agent room AABBs restrict frontier-target assignment to
+    # the agent's own (reachable) room — GO_TO_TARGET drives straight at
+    # its target (ino:556-605, no path planner), so a frontier in another
+    # closed room is unreachable by construction.
+    room_boxes = None
+    if (enable_targets and walls_grouped is not None
+            and room_of_agent is not None
+            and not isinstance(walls_grouped, jax.core.Tracer)
+            and not isinstance(room_of_agent, jax.core.Tracer)):
+        from swarm_tpu.geom.world import agent_room_boxes
+        room_boxes = jnp.asarray(
+            agent_room_boxes(walls_grouped, room_of_agent))
+
     # Per-agent counter-based RNG streams: fold the step key by GLOBAL agent
     # id, so results are identical under any agent sharding (SURVEY §7
     # "hard parts" — RNG strategy for bit-comparability).
@@ -697,7 +711,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         _ingest_batched(
             state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
             state.t, state.step, cfg, params, enable_targets,
-            scan_dist=scan_dist, merge_win_box=merge_win_box)
+            scan_dist=scan_dist, merge_win_box=merge_win_box,
+            room_boxes=room_boxes)
     rx_t, ry_t, hx_t, hy_t, hv_t = proj
     n_merges, merge_fit = merge_m
 

@@ -126,6 +126,18 @@ def walls_by_group(walls: np.ndarray, segs_per_group: int = 4) -> np.ndarray:
     return walls.reshape(s // segs_per_group, segs_per_group, 4)
 
 
+def agent_room_boxes(walls_grouped, room_of_agent) -> np.ndarray:
+    """Per-agent room AABB in world meters: [N, 4] (x0, y0, x1, y1).
+    Trace-free numpy on the closure-constant geometry; used to restrict
+    frontier-target assignment to reachable (same-room) frontiers."""
+    wg = np.asarray(walls_grouped)
+    roa = np.asarray(room_of_agent)
+    xs = wg[..., [0, 2]].reshape(wg.shape[0], -1)
+    ys = wg[..., [1, 3]].reshape(wg.shape[0], -1)
+    return np.stack([xs.min(1)[roa], ys.min(1)[roa],
+                     xs.max(1)[roa], ys.max(1)[roa]], -1).astype(np.float32)
+
+
 def cast_rays_grouped(origins, angles, walls_grouped, group_of_ray):
     """Culled ray casting: each ray intersects only its own group's
     segments — exact when groups are closed rooms (no cross-room

@@ -222,7 +222,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                        params: AgentParams, faults: FaultSchedule,
                        enable_targets: bool, axis,
                        grid_rows: bool = False, tiles=None,
-                       guard_box=None, win_box=None):
+                       guard_box=None, win_box=None, room_boxes=None):
     """shard_map body: agent leaves arrive as [N/D] local rows, server state
     replicated. Mirrors engine.sim.sim_step stage-for-stage.
 
@@ -586,7 +586,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             if enable_targets:
                 # replicated assignment (same inputs on every device)
                 tg, has = greedy_assign(agent_xy, online, cents, cnt,
-                                        cfg.coord)
+                                        cfg.coord, room_boxes=room_boxes)
             else:
                 tg, has = no_targets
             return cents, cnt, tg, has
@@ -916,11 +916,19 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         win_box = tuple(jnp.asarray(a, jnp.int32)
                         for a in (brmin, brmax, bcmin, bcmax))
 
+    room_boxes = None
+    if enable_targets and walls_grouped is not None \
+            and room_of_agent is not None:
+        # same reachability restriction as the fused engine (sim_step):
+        # frontier targets only from the agent's own room
+        from swarm_tpu.geom.world import agent_room_boxes
+        room_boxes = jnp.asarray(
+            agent_room_boxes(walls_grouped, room_of_agent))
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis,
         grid_rows=grid_rows, tiles=tiles,
-        guard_box=guard_box, win_box=win_box)
+        guard_box=guard_box, win_box=win_box, room_boxes=room_boxes)
     specs = state_specs(axis, grid_rows,
                         lo_spec=P(*mesh.axis_names) if grid_tiles
                         else None)

@@ -69,3 +69,25 @@ def test_greedy_assign_separation_and_order():
     _, has2 = greedy_assign(xy, jnp.array([False, True]), cents,
                             jnp.int32(3), CoordConfig())
     assert not bool(has2[0])
+
+
+def test_greedy_assign_room_boxes_restrict_candidates():
+    # two closed rooms side by side: agent 0 in [0,2]x[0,2], agent 1 in
+    # [3,5]x[0,2]; nearest centroid to agent 0 sits in the OTHER room and
+    # must be skipped (unreachable: GO_TO_TARGET has no path planner)
+    cents = jnp.array([[3.2, 1.0], [0.5, 1.5], [4.5, 0.5]])
+    xy = jnp.array([[1.9, 1.0], [3.1, 1.0]])
+    online = jnp.array([True, True])
+    boxes = jnp.array([[0.0, 0.0, 2.0, 2.0], [3.0, 0.0, 5.0, 2.0]])
+    tgts, has = greedy_assign(xy, online, cents, jnp.int32(3),
+                              CoordConfig(frontier_separation_m=0.1),
+                              room_boxes=boxes)
+    assert bool(has[0]) and bool(has[1])
+    np.testing.assert_allclose(np.asarray(tgts[0]), [0.5, 1.5])
+    np.testing.assert_allclose(np.asarray(tgts[1]), [3.2, 1.0])
+    # an agent whose room holds no centroid gets nothing
+    boxes2 = jnp.array([[0.0, 0.0, 2.0, 2.0], [6.0, 0.0, 8.0, 2.0]])
+    _, has2 = greedy_assign(xy, online, cents, jnp.int32(3),
+                            CoordConfig(frontier_separation_m=0.1),
+                            room_boxes=boxes2)
+    assert bool(has2[0]) and not bool(has2[1])
