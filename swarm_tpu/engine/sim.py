@@ -261,7 +261,20 @@ class StepMetrics(NamedTuple):
     t: jnp.ndarray             # [] packet timestamp
     srv_x: jnp.ndarray         # [N] drift-corrected + offset pose (rx)
     srv_y: jnp.ndarray         # [N]
+    srv_yaw: jnp.ndarray       # [N] corrected reported yaw — the raster
+    #                               frame (yaw_q + merge corrections)
     yaw_q: jnp.ndarray         # [N] quantised reported yaw (radians)
+    # --- offline-refinement observables (VERDICT r3 item 1) ---------------
+    est_x: jnp.ndarray         # [N] RAW drifted estimate + x_offset (no
+    #                               corrections — the smooth odometry
+    #                               chain for the offline pose graph)
+    est_y: jnp.ndarray         # [N]
+    est_yaw: jnp.ndarray       # [N] unquantised estimate yaw
+    merge_ok: jnp.ndarray      # [N] bool — this agent's scan-merge match
+    #                               was applied this step; (srv_x, srv_y,
+    #                               srv_yaw) is then an ABSOLUTE pose
+    #                               observation in the anchor frame
+    merge_fit: jnp.ndarray     # [N] fitness of that match (0 if none)
     encoder: jnp.ndarray       # [N] int32 totals
     v2v: jnp.ndarray           # [N] int32 cm to nearest other live agent
     dist_m: jnp.ndarray        # [N, 4] reported ranges (metres)
@@ -351,6 +364,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         srv.merge_dyaw
     n_merges = jnp.zeros((), jnp.int32)
     merge_fit = jnp.zeros((), jnp.float32)
+    merge_ok_agent = jnp.zeros((n,), bool)
+    merge_fit_agent = jnp.zeros((n,), jnp.float32)
     if cfg.engine.merge_every > 0 and scan_dist is not None and \
             not cfg.engine.parity_mode:
         # (parity mode has no log-odds accumulator to match against, and
@@ -401,6 +416,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
+        merge_ok_agent = upd
+        merge_fit_agent = jnp.where(upd, m.fitness, 0.0)
 
     last_packet_t = jnp.where(alive, t, srv.last_packet_t)
     pkt_counts = srv.pkt_counts + alive.astype(jnp.int32)
@@ -617,7 +634,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw,
         anchor=anchor)
     return new_srv, closed, online, new_targets, new_has_target, \
-        (rx, ry, hx, hy, hit_valid), (n_merges, merge_fit)
+        (rx, ry, ryaw, hx, hy, hit_valid), \
+        (n_merges, merge_fit, merge_ok_agent, merge_fit_agent)
 
 
 def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
@@ -668,9 +686,19 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
     # closed room is unreachable by construction.
     room_boxes = None
     if (enable_targets and walls_grouped is not None
-            and room_of_agent is not None
-            and not isinstance(walls_grouped, jax.core.Tracer)
-            and not isinstance(room_of_agent, jax.core.Tracer)):
+            and room_of_agent is not None):
+        if (isinstance(walls_grouped, jax.core.Tracer)
+                or isinstance(room_of_agent, jax.core.Tracer)):
+            # Falling back to UNRESTRICTED assignment here would be the
+            # exact mode measured to crater coverage (0.40 vs 0.59,
+            # tools/bench_coverage.py) — with no signal. Refuse instead:
+            # callers must close over the room geometry as constants
+            # (every current call site does).
+            raise ValueError(
+                "enable_targets with traced walls_grouped/room_of_agent: "
+                "the room-reachability restriction needs the geometry as "
+                "trace-time constants (close over numpy arrays, don't "
+                "pass them as jit arguments)")
         from swarm_tpu.geom.world import agent_room_boxes
         room_boxes = jnp.asarray(
             agent_room_boxes(walls_grouped, room_of_agent))
@@ -713,8 +741,13 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
             state.t, state.step, cfg, params, enable_targets,
             scan_dist=scan_dist, merge_win_box=merge_win_box,
             room_boxes=room_boxes)
-    rx_t, ry_t, hx_t, hy_t, hv_t = proj
-    n_merges, merge_fit = merge_m
+    rx_t, ry_t, ryaw_t, hx_t, hy_t, hv_t = proj
+    n_merges, merge_fit, merge_ok_a, merge_fit_a = merge_m
+    # raw-estimate telemetry snapshot (PRE-motion, same timing as srv_x —
+    # `odom` is rebound post-motion in stage 7 below)
+    est_x_t = odom.x_est + params.x_offset
+    est_y_t = odom.y_est
+    est_yaw_t = odom.yaw_est
 
     # TARG delivery (ino:126-139, enabled behind the flag)
     nav = state.nav
@@ -814,7 +847,9 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
         merge_fitness=merge_fit,
         band_escapes=jnp.zeros((), jnp.int32),
         t=state.t,
-        srv_x=rx_t, srv_y=ry_t, yaw_q=yaw_q,
+        srv_x=rx_t, srv_y=ry_t, srv_yaw=ryaw_t, yaw_q=yaw_q,
+        est_x=est_x_t, est_y=est_y_t, est_yaw=est_yaw_t,
+        merge_ok=merge_ok_a, merge_fit=merge_fit_a,
         encoder=encoder_total, v2v=v2v,
         dist_m=dist4, landmark=lm,
         hits=jnp.stack([hx_t, hy_t], axis=-1),

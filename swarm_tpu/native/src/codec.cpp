@@ -215,6 +215,10 @@ long long blast_udp(int port, const uint8_t* ring, int pkt_len,
             break;
         }
         sent += got;
+        // partial send: rewind the ring index so the unsent tail goes
+        // out first on the next burst (the function is documented as
+        // cycling the ring; skipping would bias the agent mix)
+        if (got < burst) i -= (burst - got);
         if (sleep_us > 0) usleep(static_cast<useconds_t>(sleep_us));
     }
     close(fd);

@@ -155,8 +155,16 @@ def logodds_raster(logodds, rays: RayBatch, cfg: GridConfig = GridConfig(),
     return upd, writes
 
 
+# Canonical tri-state thresholds — import these instead of re-stating the
+# literals (tools/bench_coverage.py measures FREE with the engine's own
+# definition through FREE_THRESH; advisor r3 finding).
+OCC_THRESH = 0.3
+FREE_THRESH = -0.3
+
+
 def tri_state_view(logodds, cfg: GridConfig = GridConfig(),
-                   occ_thresh: float = 0.3, free_thresh: float = -0.3):
+                   occ_thresh: float = OCC_THRESH,
+                   free_thresh: float = FREE_THRESH):
     """Tri-state parity view of the log-odds accumulator."""
     out = jnp.full(logodds.shape, cfg.unknown, jnp.int8)
     out = jnp.where(logodds <= free_thresh, jnp.int8(cfg.free), out)

@@ -294,6 +294,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     # device's band (band containment keeps each agent's mass in-band).
     n_merges_loc = jnp.zeros((), jnp.int32)
     merge_fitsum_loc = jnp.zeros((), jnp.float32)
+    merge_ok_loc = jnp.zeros((n_loc,), bool)
+    merge_fit_loc = jnp.zeros((n_loc,), jnp.float32)
     cdx = cdy = cdth = jnp.zeros((n_loc,), jnp.float32)
     if cfg.engine.merge_every > 0 and scan_dist is not None:
         from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
@@ -338,6 +340,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         cdth = cfg.slam.merge_yaw_damping * jnp.clip(fdth, -cmr, cmr)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
+        merge_ok_loc = upd
+        merge_fit_loc = jnp.where(upd, m.fitness, 0.0)
 
     angles = ryaw[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]
     hit_valid = (dist4 > sens.min_range) & (dist4 <= sens.max_range)
@@ -655,6 +659,13 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     turn = jnp.where(alive, cmd.turn_cmd_rad, 0.0)
     steer = jnp.where(alive, cmd.steer_rad, 0.0)
 
+    # raw-estimate telemetry snapshot (PRE-motion, same timing as rx —
+    # `odom` is rebound post-motion in stage 7 below); feeds the offline
+    # pose-graph chain (VERDICT r3 item 1)
+    est_x_loc = odom.x_est + p.x_offset
+    est_y_loc = odom.y_est
+    est_yaw_loc = odom.yaw_est
+
     # 6. physics (local; steering = displacement arc, heading changes only
     #    via turns — see engine.sim.sim_step stage 6)
     yaw_true = wrap_pi(state.pose_true[:, 2] + turn)
@@ -717,7 +728,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                    1).astype(jnp.float32)),
         band_escapes=jax.lax.psum(band_esc_loc, axis),
         t=state.t,
-        srv_x=rx_a, srv_y=ry_a, yaw_q=g(yaw_q),
+        srv_x=rx_a, srv_y=ry_a, srv_yaw=g(ryaw), yaw_q=g(yaw_q),
+        est_x=g(est_x_loc), est_y=g(est_y_loc), est_yaw=g(est_yaw_loc),
+        merge_ok=g(merge_ok_loc), merge_fit=g(merge_fit_loc),
         encoder=g(enc_tot), v2v=v2v,
         dist_m=g(dist4), landmark=lm_a,
         hits=jnp.stack([hx_a, hy_a], axis=-1),

@@ -156,7 +156,7 @@ def agent_components(agents, inter):
 
 def _solve_joint_component(origs, intra, intra_meas, inter, iterations,
                            closure_weight, inter_weight, anchor_weight,
-                           damping, meas_weight):
+                           damping, meas_weight, unary=None):
     """One connected component -> {agent: [T, 3] optimised poses}.
 
     origs: {agent: [T, 3] float32 logged estimates} (insertion order =
@@ -166,6 +166,10 @@ def _solve_joint_component(origs, intra, intra_meas, inter, iterations,
     entries / inter 5th elements, frame = the stored node) use it at
     `meas_weight`; coincidence edges keep zero measurement at the
     intra/inter weights.
+
+    unary: optional {agent: (nodes, meas [Q,3], weight [Q,3])} absolute
+    pose observations in the shared frame (anchored-merge matches),
+    mapped to the agent's block rows — see posegraph.unary_terms.
     """
     order = sorted(origs)
     k = len(order)
@@ -222,12 +226,35 @@ def _solve_joint_component(origs, intra, intra_meas, inter, iterations,
     w[m - 1:] = wcl
     g = g._replace(weight=jnp.asarray(w))
 
+    unary_j = None
+    if unary:
+        gn, gm, gw = [], [], []
+        for a, (un, um, uw) in unary.items():
+            if a not in slot or len(un) == 0:
+                continue
+            gn.append(np.asarray(un, np.int64) + slot[a] * s_cap)
+            gm.append(np.asarray(um, np.float32))
+            gw.append(np.asarray(uw, np.float32))
+        if gn:
+            gn = np.concatenate(gn)
+            gm = np.concatenate(gm, axis=0)
+            gw = np.concatenate(gw, axis=0)
+            q = _next_pow2(max(1, len(gn)))
+            n_pad = np.zeros((q,), np.int32)
+            m_pad = np.zeros((q, 3), np.float32)
+            w_pad = np.zeros((q, 3), np.float32)
+            n_pad[:len(gn)] = gn
+            m_pad[:len(gn)] = gm
+            w_pad[:len(gn)] = gw
+            unary_j = (jnp.asarray(n_pad), jnp.asarray(m_pad),
+                       jnp.asarray(w_pad))
+
     anchor_nodes = np.arange(k_cap, dtype=np.int32) * s_cap
     import functools
     out, costs = jax.jit(functools.partial(
         structured_gn, n_chain=m - 1, iterations=iterations,
         damping=damping, anchor_weight=anchor_weight,
-        anchor_nodes=anchor_nodes))(g)
+        anchor_nodes=anchor_nodes))(g, unary=unary_j)
     opt = np.asarray(out.poses)
     return {a: opt[slot[a] * s_cap:slot[a] * s_cap + len(origs[a])]
             for a in order}, np.asarray(costs)
@@ -239,7 +266,8 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
                          closure_weight=(4.0, 4.0, 0.0),
                          inter_weight=(4.0, 4.0, 0.0),
                          anchor_weight: float = 1e6,
-                         damping: float = 1e-3):
+                         damping: float = 1e-3,
+                         unary: Optional[Dict] = None):
     """refine_session drop-in that KEEPS cross-agent closure edges.
 
     Groups of agents connected by cross-agent closures solve as one
@@ -247,6 +275,10 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
     back to the per-agent path — identical output). Returns the
     refine_session dict, each agent annotated with its `component` and
     the number of `inter_edges` its component used.
+
+    unary: optional {agent (1-based): (nodes, meas [Q,3], weight [Q,3])}
+    absolute pose observations (anchored-merge matches) in PER-AGENT
+    node indices — see refine_agent_trajectory.
     """
     if closures is None:
         raise ValueError("joint refinement needs the logged closure "
@@ -278,7 +310,8 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
                         closure_weight=closure_weight,
                         closure_meas=intra_meas[a],
                         meas_weight=meas_weight,
-                        damping=damping, anchor_weight=anchor_weight)
+                        damping=damping, anchor_weight=anchor_weight,
+                        unary=None if unary is None else unary.get(a))
                 out[a] = {"poses": opt, "orig": orig, "idx": rows_of[a],
                           "closures": intra[a], "component": comp,
                           "inter_edges": 0}
@@ -288,7 +321,9 @@ def joint_refine_session(session: Dict, closures: Optional[Tuple] = None,
             {a: intra[a] for a in comp},
             {a: intra_meas[a] for a in comp}, comp_inter,
             iterations, closure_weight, inter_weight, anchor_weight,
-            damping, meas_weight)
+            damping, meas_weight,
+            unary=None if unary is None else
+            {a: unary[a] for a in comp if a in unary})
         for a in comp:
             out[a] = {"poses": solved[a], "orig": origs[a],
                       "idx": rows_of[a], "closures": intra[a],

@@ -108,10 +108,32 @@ def _residuals_and_jac(g: PoseGraph):
     return r, Ji, Jj
 
 
+def unary_terms(poses, unary):
+    """Residuals + normal-equation contributions of ABSOLUTE pose factors.
+
+    unary: (nodes [Q] int32, meas [Q, 3], weight [Q, 3]) — each factor
+    observes node q's absolute pose directly (r = p_q - z_q, J = I), e.g.
+    a fitness-verified anchored-merge match (slam/livemerge.py): the scan
+    matched the frozen anchor map, so the matched pose IS an observation
+    in the anchor (low-drift early-epoch) frame. Zero weight disables a
+    slot. Returns (b_add [M, 3], d_add [M, 3] diagonal, cost)."""
+    nodes, meas, w = unary
+    m = poses.shape[0]
+    p = poses[nodes]
+    r = jnp.stack([p[:, 0] - meas[:, 0],
+                   p[:, 1] - meas[:, 1],
+                   wrap_pi(p[:, 2] - meas[:, 2])], axis=-1)
+    wr = w * r
+    b_add = jnp.zeros((m, 3), poses.dtype).at[nodes].add(wr)
+    d_add = jnp.zeros((m, 3), poses.dtype).at[nodes].add(w)
+    return b_add, d_add, jnp.sum(wr * r)
+
+
 def gauss_newton(g: PoseGraph, iterations: int = 10, damping: float = 1e-3,
-                 anchor_weight: float = 1e6) -> PoseGraph:
+                 anchor_weight: float = 1e6, unary=None) -> PoseGraph:
     """Dense batched GN. Node 0 is anchored (gauge freedom); padding nodes
-    are held by the damping. Returns the graph with optimised poses."""
+    are held by the damping. `unary` = optional absolute pose factors
+    (see unary_terms). Returns the graph with optimised poses."""
     m = g.poses.shape[0]
     dtype = g.poses.dtype
     wmask = jnp.where(g.e_valid[:, None], g.weight, 0.0)
@@ -125,6 +147,10 @@ def gauss_newton(g: PoseGraph, iterations: int = 10, damping: float = 1e-3,
         bi = jnp.einsum("eab,ea->eb", Ji, wr)
         bj = jnp.einsum("eab,ea->eb", Jj, wr)
         b = jnp.zeros((m, 3), dtype).at[g.ei].add(bi).at[g.ej].add(bj)
+        u_cost = 0.0
+        if unary is not None:
+            b_add, d_add, u_cost = unary_terms(poses, unary)
+            b = b + b_add
 
         # H blocks: Ji^T W Ji, Ji^T W Jj, ...
         def blk(Ja, Jb):
@@ -143,13 +169,15 @@ def gauss_newton(g: PoseGraph, iterations: int = 10, damping: float = 1e-3,
         # anchor node 0 + Levenberg damping (also pins padding nodes)
         diag = jnp.full((3 * m,), damping, dtype)
         diag = diag.at[:3].add(anchor_weight)
+        if unary is not None:
+            diag = diag + d_add.reshape(-1)   # J = I: pure diagonal
         H = H + jnp.diag(diag)
 
         dx = jax.scipy.linalg.solve(H, -b.reshape(-1), assume_a="pos")
         dx = dx.reshape(m, 3)
         new = poses + dx
         new = new.at[:, 2].set(wrap_pi(new[:, 2]))
-        return new, jnp.sum(wr * r)
+        return new, jnp.sum(wr * r) + u_cost
 
     poses, costs = jax.lax.scan(step, g.poses, None, length=iterations)
     return g._replace(poses=poses), costs

@@ -39,7 +39,8 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
                             closure_weight=(4.0, 4.0, 0.0),
                             closure_meas=None, meas_weight=None,
                             damping: float = 1e-3,
-                            anchor_weight: float = 1e6):
+                            anchor_weight: float = 1e6,
+                            unary=None):
     """One agent's logged estimates [T] + closure index pairs [(i, j)] ->
     optimised poses [T, 3]. Capacity-padded to a power of two so repeated
     calls share compiled solvers.
@@ -61,13 +62,33 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
     measurements (mx, my, mth) in frame i — the scan-matched closures
     of SlamConfig.closure_scanmatch — with None marking coincidence
     edges; measured edges get `meas_weight` (default
-    SlamConfig.closure_meas_weight's (50, 50, 10))."""
+    SlamConfig.closure_meas_weight's (50, 50, 10)).
+
+    unary: optional (nodes [Q], meas [Q, 3], weight [Q, 3]) ABSOLUTE
+    pose observations — fitness-verified anchored-merge matches
+    (slam/livemerge.py): the matched pose is an observation in the
+    anchor frame, the external reference this drift regime needs
+    (VERDICT r3 item 1; NOTES_r3 'drift is observable only against
+    EXTERNAL references'). Padded to a power-of-two capacity with zero
+    weight so repeated calls share compiled solvers."""
     t = len(xs)
     cap = _next_pow2(t)
     poses = np.zeros((cap, 3), np.float32)
     poses[:t, 0] = xs
     poses[:t, 1] = ys
     poses[:t, 2] = yaws
+    unary_j = None
+    if unary is not None:
+        un, um, uw = unary
+        q = _next_pow2(max(1, len(un)))
+        n_pad = np.zeros((q,), np.int32)
+        m_pad = np.zeros((q, 3), np.float32)
+        w_pad = np.zeros((q, 3), np.float32)
+        n_pad[:len(un)] = un
+        m_pad[:len(un)] = um
+        w_pad[:len(un)] = uw
+        unary_j = (jnp.asarray(n_pad), jnp.asarray(m_pad),
+                   jnp.asarray(w_pad))
 
     # closure capacity bucketed to a power of two: per-agent closure
     # counts vary, and an exact-capacity graph would force one solver
@@ -105,19 +126,22 @@ def refine_agent_trajectory(xs, ys, yaws, closure_pairs,
         out, costs = jax.jit(
             functools.partial(structured_gn, n_chain=cap - 1,
                               iterations=iterations, damping=damping,
-                              anchor_weight=anchor_weight))(g)
+                              anchor_weight=anchor_weight))(
+            g, unary=unary_j)
     else:
         out, costs = jax.jit(
             functools.partial(gauss_newton, iterations=iterations,
                               damping=damping,
-                              anchor_weight=anchor_weight))(g)
+                              anchor_weight=anchor_weight))(
+            g, unary=unary_j)
     return np.asarray(out.poses[:t]), np.asarray(costs)
 
 
 def refine_session(session: Dict, closures: Optional[Tuple] = None,
                    cfg: SwarmConfig = SwarmConfig(),
                    iterations: int = 15,
-                   closure_weight=(4.0, 4.0, 0.0)):
+                   closure_weight=(4.0, 4.0, 0.0),
+                   unary: Optional[Dict] = None):
     """Refine every agent trajectory of a loaded session (proto.csvio
     .load_session dict). `closures`: (node_i, node_j, agent) arrays in
     GLOBAL packet-node indices (the slam_closures.csv columns + the
@@ -195,7 +219,8 @@ def refine_session(session: Dict, closures: Optional[Tuple] = None,
             orig[:, 0], orig[:, 1], orig[:, 2], pairs[a],
             iterations=iterations, closure_weight=closure_weight,
             closure_meas=pair_meas[a],
-            meas_weight=cfg.slam.closure_meas_weight)
+            meas_weight=cfg.slam.closure_meas_weight,
+            unary=None if unary is None else unary.get(a))
         out[a] = {"poses": opt, "orig": orig, "idx": rows,
                   "closures": pairs[a],
                   "measured": sum(m is not None for m in pair_meas[a])}

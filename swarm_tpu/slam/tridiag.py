@@ -119,7 +119,7 @@ def solve_chain_plus_closures(D, O, b, U=None, s_inv=None):
 
 def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
                   damping: float = 1e-3, anchor_weight: float = 1e6,
-                  anchor_nodes=None):
+                  anchor_nodes=None, unary=None):
     """Gauss-Newton on a trajectory graph exploiting the chain+closures
     structure. Requires `graph_from_trajectory`'s edge layout: the first
     `n_chain` edges form the odometry chain (ei=k, ej=k+1), the rest are
@@ -138,16 +138,27 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
     anchor). A joint multi-agent graph (slam/joint.py) passes every
     agent block's first node instead: swarm agents START from known
     home poses, so each block is anchored at its start and inter-agent
-    edges redistribute mid-trajectory drift."""
+    edges redistribute mid-trajectory drift.
+
+    unary: optional absolute pose factors (nodes [Q], meas [Q, 3],
+    weight [Q, 3]) — see posegraph.unary_terms. With J = I their
+    Hessian contribution is a pure block-diagonal add, so they fold
+    into the chain solve at zero extra structure (no Woodbury columns).
+    This is how fitness-verified anchored-merge matches enter the
+    offline solve as external-frame observations (VERDICT r3 item 1)."""
     m = g.poses.shape[0]
     assert n_chain == m - 1, "chain edges must be the first m-1 edges"
     c = g.ei.shape[0] - n_chain
     dtype = g.poses.dtype
     wmask_all = jnp.where(g.e_valid[:, None], g.weight, 0.0)
+    from swarm_tpu.slam.posegraph import unary_terms
 
     def cost_at(poses):
         r, _, _ = _residuals_and_jac(g._replace(poses=poses))
-        return jnp.sum(wmask_all * r * r)
+        cost = jnp.sum(wmask_all * r * r)
+        if unary is not None:
+            cost = cost + unary_terms(poses, unary)[2]
+        return cost
 
     ci = g.ei[n_chain:]
     cj = g.ej[n_chain:]
@@ -162,6 +173,10 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
         bi = jnp.einsum("eab,ea->eb", Ji, wr)
         bj = jnp.einsum("eab,ea->eb", Jj, wr)
         b = jnp.zeros((m, 3), dtype).at[g.ei].add(bi).at[g.ej].add(bj)
+        u_cost = 0.0
+        if unary is not None:
+            b_add, d_add, u_cost = unary_terms(poses, unary)
+            b = b + b_add
 
         # chain Hessian: block tridiagonal
         Jic, Jjc = Ji[:n_chain], Jj[:n_chain]
@@ -180,6 +195,9 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
         diag = (jnp.full((m,), 1.0, dtype) * lam).at[anchors].add(
             anchor_weight)
         D = D + diag[:, None, None] * jnp.eye(3, dtype=dtype)
+        if unary is not None:
+            # J = I absolute factors: per-component diagonal add
+            D = D + d_add[:, :, None] * jnp.eye(3, dtype=dtype)
 
         if c > 0:
             # closures: U S Uᵀ with U = scattered J_eᵀ ([m, 3, 3C]),
@@ -210,7 +228,7 @@ def structured_gn(g: PoseGraph, n_chain: int, iterations: int = 10,
 
         new = poses + dx
         new = new.at[:, 2].set(wrap_pi(new[:, 2]))
-        cost_old = jnp.sum(wr * r)
+        cost_old = jnp.sum(wr * r) + u_cost
         cost_new = cost_at(new)
         # accept transient rises up to 2.5x: plain GN routinely overshoots
         # ~2x on its first step of a noisy loop graph then plummets, and

@@ -71,6 +71,76 @@ def test_merge_recovers_offset():
     assert merged_occ >= (np.asarray(g0) > 0.5).sum()
 
 
+def _wall_submap(origin, width, height, drift_x=0.0, res=0.05):
+    """Synthetic submap of a 4x2 m room perimeter (walls y=1, y=3, x=0,
+    x=4) cropped to this map's own extent. drift_x shifts the REPORTED
+    origin while the evidence stays true — emulating inter-map drift."""
+    grid = np.zeros((height, width), np.int8)
+    ox, oy = origin
+
+    def mark(x, y):
+        cx = int(np.floor((x - ox) / res))
+        cy = int(np.floor((y - oy) / res))
+        if 0 <= cx < width and 0 <= cy < height:
+            grid[cy, cx] = 100
+
+    ts = np.arange(0.0, 4.0, res / 2)
+    for t in ts:
+        mark(t, 1.0)
+        mark(t, 3.0)
+    for t in np.arange(1.0, 3.0, res / 2):
+        mark(0.0, t)
+        mark(4.0, t)
+    # interior doorway wall at x=2 — a vertical feature inside the
+    # overlap region, pinning x-translation (horizontal walls alone are
+    # aperture-degenerate along x)
+    for t in np.arange(1.0, 2.0, res / 2):
+        mark(2.0, t)
+    return grid, (ox + drift_x, oy)
+
+
+def test_dynamic_merge_offset_submaps():
+    """merge_submaps_dynamic accepts differently-sized, offset submaps and
+    produces a bounds-fitted global map (map_merger.py:87-127 semantics —
+    the r3 VERDICT's one missing reference behavior)."""
+    from swarm_tpu.slam.merge import merge_submaps_dynamic
+
+    res = 0.05
+    # submap A: the full room, true origin
+    a = _wall_submap((-0.25, 0.75), 92, 50, res=res)
+    # submap B: right crop, DIFFERENT size, origin offset +0.15 m in x
+    b = _wall_submap((1.25, 0.75), 62, 52, drift_x=0.15, res=res)
+    grid, origin, reports = merge_submaps_dynamic(
+        [a, b], res, fitness_min=0.6)
+
+    assert reports[0]["ok"] and reports[1]["ok"], reports
+    # the matcher must recover (and undo) the injected +0.15 m drift
+    assert abs(reports[1]["dx"] + 0.15) < 0.06, reports[1]
+    assert abs(reports[1]["dy"]) < 0.06, reports[1]
+    # bounds-fitted extent: merged walls span [0, 4] x [1, 3] ->
+    # origin near (0, 1), ~81 x 41 cells (+ alignment slack)
+    assert abs(origin[0] - 0.0) < 0.15 and abs(origin[1] - 1.0) < 0.15
+    h, w = grid.shape
+    assert 70 <= w <= 92 and 34 <= h <= 50, grid.shape
+    assert (grid == 100).sum() > 200
+    # unknown filler is the reference's -1
+    assert (grid == -1).sum() > 0
+
+
+def test_dynamic_merge_rejects_unrelated_submap():
+    from swarm_tpu.slam.merge import merge_submaps_dynamic
+
+    res = 0.05
+    a = _wall_submap((-0.25, 0.75), 60, 50, res=res)
+    rng = np.random.default_rng(0)
+    noise = (rng.random((48, 48)) < 0.01).astype(np.int8) * 100
+    grid, origin, reports = merge_submaps_dynamic(
+        [a, (noise, (10.0, 10.0))], res, fitness_min=0.6)
+    assert reports[0]["ok"] and not reports[1]["ok"]
+    # global map stays A-only: extent must not include the far noise blob
+    assert origin[0] < 5.0 and grid.shape[1] < 120
+
+
 def test_merge_rejects_unrelated_map():
     cfg, g0, _ = _session_grids(offset_m=0.0)
     noise = jnp.asarray(

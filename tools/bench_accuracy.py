@@ -106,8 +106,10 @@ def wall_metrics(occ, wall_mask, max_d=12):
 
 
 def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
-    """Rollout collecting per-step ATE + trajectories (+ scans for the
-    refined re-raster). Returns dict of host arrays + final state."""
+    """Rollout collecting per-step ATE + trajectories + the offline-
+    refinement observables (raw-estimate chain, merge-event absolute
+    observations; optionally the scans for the refined-map re-raster).
+    Returns dict of host arrays + final state."""
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +124,26 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
                         walls_grouped=wg, room_of_agent=roa)
         out = (m.pose_err, m.srv_x, m.srv_y, m.yaw_q,
                s.pose_true[:, 0] + params.x_offset, s.pose_true[:, 1],
-               m.landmark, m.closures, m.merges)
+               m.landmark, m.closures, m.merges,
+               m.srv_yaw, m.est_x, m.est_y, m.est_yaw,
+               m.merge_ok, m.merge_fit)
+        if collect_scans:
+            # replicate the step's scan sensing (same per-agent
+            # counter-based RNG folds as sim_step stage 1) so the
+            # offline tiers can re-raster from refined poses
+            n = cfg.n_agents
+            _, k_step = jax.random.split(s.key)
+            ids = jnp.arange(n, dtype=jnp.uint32)
+            k_a = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(ids)
+            k_scan = jax.vmap(lambda k: jax.random.fold_in(k, 2))(k_a)
+            wa = wg[roa] if wg is not None else jnp.broadcast_to(
+                walls_j, (n,) + walls_j.shape)
+            scan = jax.vmap(
+                lambda k, pp, w: sense_scan(k, pp, w,
+                                            cfg.engine.scan_rays,
+                                            cfg.sensors))(
+                k_scan, s.pose_true, wa)
+            out = out + (scan,)
         return s2, out
 
     @jax.jit
@@ -130,7 +151,10 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, collect_scans):
         return jax.lax.scan(body, s, None, length=chunk)
 
     state = sim_init(cfg, params)
-    keys = ("err", "sx", "sy", "yq", "tx", "ty", "lm", "ncl", "nmg")
+    keys = ("err", "sx", "sy", "yq", "tx", "ty", "lm", "ncl", "nmg",
+            "syaw", "ex", "ey", "eyaw", "mok", "mfit")
+    if collect_scans:
+        keys = keys + ("scan",)
     host = {k: [] for k in keys}
     for _ in range(steps // chunk):
         state, outs = chunk_fn(state)
@@ -146,6 +170,42 @@ def ate(err, late_frac=0.1):
     return float(err.mean()), float(err[-k:].mean())
 
 
+def reraster_from_poses(poses, scans, cfg, chunk=100):
+    """Re-project every step's scans from OPTIMISED poses into a fresh
+    log-odds grid (the XLA beam tier) — the offline analogue of
+    map_merger.py:87-127's re-rasterisation, for the refined tiers' map
+    metrics. poses [T, N, 3] (server frame), scans [T, N, R]."""
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_tpu.ops.beam_raster import (
+        BeamSpec, beam_raster_reference, beams_from_scan, reach_cells)
+
+    spec = BeamSpec.scan(scans.shape[-1])
+    reach = reach_cells(cfg)
+
+    def body(lo, inp):
+        pose, sc = inp
+        db, tb = beams_from_scan(sc, cfg.sensors.max_range,
+                                 cfg.sensors.min_range)
+        lo, _ = beam_raster_reference(lo, pose[:, :2], pose[:, 2], db, tb,
+                                      spec, cfg.grid, reach=reach)
+        return lo, None
+
+    @jax.jit
+    def run_chunk(lo, poses_c, scans_c):
+        lo, _ = jax.lax.scan(body, lo, (poses_c, scans_c))
+        return lo
+
+    lo = jnp.zeros((cfg.grid.size, cfg.grid.size), jnp.float32)
+    t = len(poses)
+    assert t % chunk == 0 or chunk > t
+    for i in range(0, t, chunk):
+        lo = run_chunk(lo, jnp.asarray(poses[i:i + chunk]),
+                       jnp.asarray(scans[i:i + chunk]))
+    return np.asarray(lo)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=64)
@@ -153,6 +213,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--unary-weight", type=float, default=25.0,
+                    help="x/y information weight of one anchored-merge "
+                         "absolute observation in the offline GN")
+    ap.add_argument("--unary-theta-weight", type=float, default=4.0)
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -202,9 +266,17 @@ def main():
             slam=dataclasses.replace(base_cfg.slam,
                                      closure_correction=0.5),
             engine=dataclasses.replace(base_cfg.engine, merge_every=0)),
-        # OUR deployable preset: anchored scan-merge, no closure snap
+        # OUR deployable preset: anchored scan-merge, no closure snap.
+        # Closure DETECTION stays on (correction=0.0 — trajectory
+        # untouched, like the raw tier) so the anchored+GN offline tiers
+        # below get scan-matched edges from THIS run's own log.
         "merge_anchored": dict(
-            slam=dataclasses.replace(base_cfg.slam, closure_radius_m=0.0),
+            slam=dataclasses.replace(base_cfg.slam,
+                                     closure_correction=0.0,
+                                     min_poses_between=100 * args.agents,
+                                     closure_scanmatch=True,
+                                     closure_cross_radius_m=1.2,
+                                     closure_match_search=28),
             engine=dataclasses.replace(base_cfg.engine, merge_every=16)),
         "ref_closures+merge": dict(
             slam=dataclasses.replace(base_cfg.slam,
@@ -214,7 +286,8 @@ def main():
     for name, over in variants.items():
         cfg = base_cfg.replace(**over)
         log, state = run_variant(cfg, walls, params, rooms, args.steps,
-                                 args.chunk, collect_scans=False)
+                                 args.chunk,
+                                 collect_scans=(name == "merge_anchored"))
         a_mean, a_late = ate(log["err"])
         occ = np.asarray(tri_state_view(state.srv.logodds,
                                         cfg.grid)) == cfg.grid.occupied
@@ -258,12 +331,14 @@ def main():
     true_x = log["tx"].reshape(-1)
     true_y = log["ty"].reshape(-1)
 
-    def offline_ate(refined):
+    def offline_ate(refined, tx=None, ty=None):
+        tx = true_x if tx is None else tx
+        ty = true_y if ty is None else ty
         errs = np.zeros(t_steps * n, np.float64)
         for r in refined.values():
             idx = r["idx"]
-            errs[idx] = np.hypot(r["poses"][:, 0] - true_x[idx],
-                                 r["poses"][:, 1] - true_y[idx])
+            errs[idx] = np.hypot(r["poses"][:, 0] - tx[idx],
+                                 r["poses"][:, 1] - ty[idx])
         return ate(errs.reshape(t_steps, n).mean(axis=1))
 
     refined = refine_session(session, closures=closures, cfg=base_cfg)
@@ -290,6 +365,81 @@ def main():
           f"(components {results['joint']['components']}, "
           f"{results['joint']['inter_edges']} verified cross edges)",
           flush=True)
+
+    # ----- anchored-merge absolute-observation tiers (VERDICT r4 item 1):
+    # the merge_anchored run's fitness-verified matches ARE external-frame
+    # observations (the scan matched the frozen anchor map) — feed them to
+    # the offline GN as unary factors on the raw-odometry chain, so the
+    # correction distributes over the WHOLE trajectory (the online path
+    # only corrects forward, damped).
+    log_m, state_m = logs["merge_anchored"]
+    session_m = {
+        "t": np.repeat(np.arange(t_steps, dtype=np.float64) * 0.4, n),
+        "agent": np.tile(np.arange(1, n + 1), t_steps),
+        "x": log_m["ex"].reshape(-1),
+        "y": log_m["ey"].reshape(-1),
+        "yaw_deg": np.degrees(log_m["eyaw"].reshape(-1)),
+        "landmark": log_m["lm"].reshape(-1),
+    }
+    cl_m = state_m.srv.closure
+    c_m = min(int(cl_m.cl_count), len(np.asarray(cl_m.cl_node)))
+    meas_m = np.stack([np.asarray(cl_m.cl_mx)[:c_m],
+                       np.asarray(cl_m.cl_my)[:c_m],
+                       np.asarray(cl_m.cl_mth)[:c_m]], axis=-1)
+    closures_m = (np.asarray(cl_m.cl_lm_node)[:c_m],
+                  np.asarray(cl_m.cl_node)[:c_m],
+                  np.asarray(cl_m.cl_agent)[:c_m] + 1,
+                  meas_m, np.asarray(cl_m.cl_fit)[:c_m])
+    uw = np.array([args.unary_weight, args.unary_weight,
+                   args.unary_theta_weight], np.float32)
+    unary = {}
+    n_obs = 0
+    for a in range(n):
+        idx = np.nonzero(log_m["mok"][:, a])[0]
+        if len(idx) == 0:
+            continue
+        z = np.stack([log_m["sx"][idx, a], log_m["sy"][idx, a],
+                      log_m["syaw"][idx, a]], -1).astype(np.float32)
+        unary[a + 1] = (idx.astype(np.int64), z,
+                        np.tile(uw, (len(idx), 1)))
+        n_obs += len(idx)
+    true_xm = log_m["tx"].reshape(-1)
+    true_ym = log_m["ty"].reshape(-1)
+
+    def tier_map_metrics(refined):
+        poses = np.stack([log_m["ex"], log_m["ey"], log_m["eyaw"]],
+                         axis=-1).astype(np.float32)
+        for a, r in refined.items():
+            poses[:, a - 1, :] = r["poses"]
+        lo = reraster_from_poses(poses, log_m["scan"], base_cfg)
+        occ = np.asarray(tri_state_view(lo, base_cfg.grid)) == \
+            base_cfg.grid.occupied
+        return {k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in wall_metrics(occ, wall_mask).items()}
+
+    for tier_name, solver in (("anchored_gn", refine_session),
+                              ("anchored_joint", joint_refine_session)):
+        ref_t = solver(session_m, closures=closures_m, cfg=base_cfg,
+                       unary=unary)
+        a_mean, a_late = offline_ate(ref_t, true_xm, true_ym)
+        results[tier_name] = {"ate_mean_m": round(a_mean, 4),
+                              "ate_late_m": round(a_late, 4),
+                              "merge_obs": n_obs,
+                              **tier_map_metrics(ref_t)}
+        extra = ""
+        if tier_name == "anchored_joint":
+            comp_inter = {tuple(r["component"]): r["inter_edges"]
+                          for r in ref_t.values()}
+            results[tier_name]["inter_edges"] = int(
+                sum(comp_inter.values()))
+            results[tier_name]["components"] = sorted(
+                len(cmp) for cmp in comp_inter)
+            extra = (f", {results[tier_name]['inter_edges']} cross "
+                     f"edges")
+        print(f"{tier_name:16s} ATE mean {a_mean:.3f} m | "
+              f"late {a_late:.3f} m | "
+              f"IoU {results[tier_name]['wall_iou']} "
+              f"({n_obs} merge observations{extra})", flush=True)
 
     out = {"agents": args.agents, "steps": args.steps,
            "platform": jax.devices()[0].platform,

@@ -73,11 +73,18 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, reach,
 
     from swarm_tpu.engine.sim import sim_init, sim_step
 
+    from swarm_tpu.ops.raster import FREE_THRESH
+
+    if steps % chunk != 0:
+        raise ValueError(
+            f"--steps {steps} must be a multiple of --chunk {chunk} "
+            "(range(steps // chunk) would silently drop the remainder "
+            "and report a step count that did not run)")
     walls_j = jnp.asarray(walls)
     reach_j = jnp.asarray(reach)
     denom = float(reach.sum())
     wg, roa = rooms
-    free_thresh = -0.3    # tri_state_view FREE threshold (ops/raster.py)
+    free_thresh = FREE_THRESH   # the engine's own FREE definition
 
     def body(s, _):
         s2, m = sim_step(s, cfg, walls_j, params,

@@ -73,15 +73,28 @@ def blaster(port: int, n_agents: int, stop: threading.Event,
     s.close()
 
 
-def native_blaster(port: int, n_agents: int, stop_flag, sent_box: list,
+def native_blaster(port: int, n_agents: int, stop_flag, stop_event,
+                   sent_box: list, fellback: list,
                    burst: int, sleep_us: int):
     """sendmmsg blaster (native.blast_udp_ring): ~1 us/packet and the
     inter-burst usleep yields the core to the server, so the measured
-    pkt/s reflects the server, not the load generator."""
+    pkt/s reflects the server, not the load generator.
+
+    blast_udp returns -1 on socket()/connect() failure; without the
+    check the benchmark would report packets_sent: -1 and proceed
+    measuring ZERO offered load (advisor r3 finding) — fall back to the
+    Python sendto blaster instead and record that it happened."""
     from swarm_tpu import native
-    sent_box.append(native.blast_udp_ring(
+    sent = native.blast_udp_ring(
         port, _packet_ring(n_agents), stop_flag,
-        burst=burst, sleep_us=sleep_us))
+        burst=burst, sleep_us=sleep_us)
+    if sent < 0:
+        print("[BENCH] native blaster socket/connect failed; falling "
+              "back to the Python sendto blaster", flush=True)
+        fellback.append(True)
+        blaster(port, n_agents, stop_event, sent_box)
+        return
+    sent_box.append(sent)
 
 
 def main():
@@ -142,10 +155,11 @@ def main():
             use_native_blast = False
     stop = threading.Event()
     stop_flag = ctypes.c_int32(0)
+    fellback: list = []
     if use_native_blast:
         tx = threading.Thread(
             target=native_blaster,
-            args=(port, args.agents, stop_flag, sent_box,
+            args=(port, args.agents, stop_flag, stop, sent_box, fellback,
                   args.blast_burst, args.blast_sleep_us),
             daemon=True)
     else:
@@ -173,8 +187,9 @@ def main():
             "duration_s": round(dt, 2),
             "packets_applied": got,
             "packets_sent": sent_box[0] if sent_box else None,
-            "blaster": "native_sendmmsg" if use_native_blast
-                       else "python_sendto",
+            "blaster": ("python_sendto_fallback" if fellback
+                        else "native_sendmmsg" if use_native_blast
+                        else "python_sendto"),
             "max_packets_per_frame": args.max_packets,
         },
     }))
