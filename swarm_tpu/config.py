@@ -223,6 +223,29 @@ class SlamConfig:
     # (measured: a 0.34 m slip stalls at ~0.26 m instead of recovering).
     merge_max_step_m: float = 0.15
     merge_max_step_rad: float = 0.05
+    # Escalating re-acquisition (VERDICT r3 item 2): after this many
+    # CONSECUTIVE failed/railing merge events for an agent (failed = in
+    # the matched chunk but fitness-rejected; railing = matched but the
+    # persistent increment hit merge_max_step_*), the agent's next merge
+    # event re-matches with a WIDER rotation capture range
+    # (merge_recover_angle_range over merge_recover_angles hypotheses —
+    # the observed escape mode is yaw drift outrunning the +/-0.2 rad
+    # default: the 15->22 deg turn quirk piles ~0.12 rad per bite) and,
+    # on success, persists the correction under the wider
+    # merge_recover_max_step_* clamps so the frame genuinely re-acquires
+    # instead of crawling back at merge_max_step_m per event. Rotation-
+    # only widening leaves the window FOOTPRINT unchanged, so the
+    # sharded decompositions' static containment proofs are untouched.
+    # 0 = disabled (default; the deployable preset enables it).
+    merge_recover_after: int = 0
+    merge_recover_angles: int = 33
+    merge_recover_angle_range: float = 0.60
+    merge_recover_max_step_m: float = 0.40
+    merge_recover_max_step_rad: float = 0.50
+    # Absolute scale of the wide pass's rotation prior (scanmatch
+    # theta_prior_scale): at the steady-state 0.1, a true 0.4 rad frame
+    # error pays 16x prior_weight x n_pts and can never win the argmax.
+    merge_recover_theta_prior_scale: float = 0.3
     # Freeze window (steps): cells may enter the anchor only this early.
     # Without a cutoff the anchor slowly ACCRETES ghost walls painted at
     # drifted poses later in the run (they become confident, freeze, and
@@ -310,6 +333,12 @@ class CoordConfig:
     frontier_min_cluster: int = 3
     frontier_separation_m: float = 1.0
     max_frontiers: int = 64             # fixed-capacity centroid list
+    # At/above this agent count (with room_boxes available) the engines
+    # use coord.assign.greedy_assign_rooms — R rounds of vectorized
+    # per-room greedy instead of the N-iteration sequential scan (launch
+    # latency ~5 ms/event at 1024 agents). Below it the exact
+    # reference-order scan runs (small-scale bench numbers stay pinned).
+    assign_rooms_min_agents: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

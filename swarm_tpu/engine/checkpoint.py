@@ -78,6 +78,8 @@ _MIGRATIONS = {
     # measured edge of fitness 0; both gate out, but the sentinel keeps
     # the log's semantics honest)
     ".srv.closure.cl_fit": "neg_ones",
+    # r4 merge-recovery escalation counter (SlamConfig.merge_recover_after)
+    ".srv.merge_fail": "zero",
 }
 
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from swarm_tpu.config import SwarmConfig
-from swarm_tpu.coord.assign import greedy_assign
+from swarm_tpu.coord.assign import greedy_assign, greedy_assign_rooms
 from swarm_tpu.coord.heartbeat import heartbeat_update
 from swarm_tpu.coord.zones import ZoneState, zone_init, zone_observe_rows, zones_for_agents
 from swarm_tpu.models import nav as navm
@@ -195,6 +195,9 @@ class MapState(NamedTuple):
     # frozen first-evidence anchor map for drift-stable scan matching
     # (SlamConfig.merge_anchor); [1, 1] placeholder when disabled
     anchor: jnp.ndarray           # [S, S] (or [1, 1]) lo_dtype
+    # consecutive failed/railing merge events per agent — the escalation
+    # trigger for SlamConfig.merge_recover_after (slam/livemerge.py)
+    merge_fail: jnp.ndarray       # [N] int32
 
 
 WRITES_RADIX = 1 << 30
@@ -321,7 +324,8 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         merge_dy=jnp.zeros((n,), jnp.float32),
         merge_dyaw=jnp.zeros((n,), jnp.float32),
         anchor=jnp.zeros((s, s) if cfg.slam.merge_anchor else (1, 1),
-                         cfg.grid.lo_dtype))
+                         cfg.grid.lo_dtype),
+        merge_fail=jnp.zeros((n,), jnp.int32))
     state = SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
@@ -366,11 +370,14 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     merge_fit = jnp.zeros((), jnp.float32)
     merge_ok_agent = jnp.zeros((n,), bool)
     merge_fit_agent = jnp.zeros((n,), jnp.float32)
+    merge_fail = srv.merge_fail
     if cfg.engine.merge_every > 0 and scan_dist is not None and \
             not cfg.engine.parity_mode:
         # (parity mode has no log-odds accumulator to match against, and
         # pose corrections would break reference bit-parity by design)
-        from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
+        from swarm_tpu.slam.livemerge import (
+            merge_fail_update, merge_increments, merge_zero,
+            scan_merge_recover)
         do_merge = (step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
         def run_merge(_):
@@ -383,13 +390,15 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                                       srv.anchor, srv.logodds)
             else:
                 match_map = srv.logodds
-            return scan_merge_chunked(
+            return scan_merge_recover(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=step // cfg.engine.merge_every, n_global=n,
-                win_bounds=merge_win_box)
+                fail_count=srv.merge_fail, win_bounds=merge_win_box)
 
-        m = jax.lax.cond(do_merge, run_merge,
-                         lambda _: merge_zero(n), None)
+        m, att, rec = jax.lax.cond(
+            do_merge, run_merge,
+            lambda _: (merge_zero(n), jnp.zeros((n,), bool),
+                       jnp.zeros((n,), bool)), None)
         upd = m.ok & alive
         # FULL correction to THIS step's raster pose (the scan's evidence
         # is inserted aligned — map_merger.py:87-127's re-rasterisation;
@@ -398,21 +407,18 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         # slip then stalls at ~0.26 m instead of recovering). Only the
         # PERSISTENT increment is clamped — one bad match may pollute a
         # single scan insert but cannot move the agent's frame more than
-        # merge_max_step_m; the next good match restores it.
-        cmx = cfg.slam.merge_max_step_m
-        cmr = cfg.slam.merge_max_step_rad
-        fdx = jnp.where(upd, m.ddx, 0.0)
-        fdy = jnp.where(upd, m.ddy, 0.0)
-        fdth = jnp.where(upd, m.ddtheta, 0.0)
+        # merge_max_step_m (recover clamps when escalated); the next good
+        # match restores it.
+        fdx, fdy, fdth, inc_dx, inc_dy, inc_dth = merge_increments(
+            m, upd, rec, cfg)
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
-        merge_dx = merge_dx + cfg.slam.merge_damping * \
-            jnp.clip(fdx, -cmx, cmx)
-        merge_dy = merge_dy + cfg.slam.merge_damping * \
-            jnp.clip(fdy, -cmx, cmx)
-        merge_dyaw = merge_dyaw + cfg.slam.merge_yaw_damping * \
-            jnp.clip(fdth, -cmr, cmr)
+        merge_dx = merge_dx + inc_dx
+        merge_dy = merge_dy + inc_dy
+        merge_dyaw = merge_dyaw + inc_dth
+        merge_fail = merge_fail_update(srv.merge_fail, m, att, rec,
+                                       alive, cfg)
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
@@ -586,10 +592,20 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     def recompute(_):
         ffn = (frontier_clusters if cfg.grid.size <= 512
                else frontier_targets_coarse)
-        cents, _, cnt = ffn(tri, cfg.grid, cfg.coord)
+        # tri-state view built INSIDE the branch: as a cond operand it
+        # would be a full-grid pass EVERY step (NOTES r3 gotcha), not
+        # just at the 3 s cadence
+        tri_f = tri if cfg.engine.parity_mode or \
+            cfg.engine.raster_mode == "off" else \
+            tri_state_view(logodds, cfg.grid)
+        cents, _, cnt = ffn(tri_f, cfg.grid, cfg.coord)
         if enable_targets:
-            tg, has = greedy_assign(agent_xy, online, cents, cnt, cfg.coord,
-                                    room_boxes=room_boxes)
+            afn = (greedy_assign_rooms
+                   if room_boxes is not None and
+                   n >= cfg.coord.assign_rooms_min_agents
+                   else greedy_assign)
+            tg, has = afn(agent_xy, online, cents, cnt, cfg.coord,
+                          room_boxes=room_boxes)
         else:
             tg = jnp.zeros((n, 2), jnp.float32)
             has = jnp.zeros((n,), bool)
@@ -632,7 +648,7 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         total_writes=writes_accumulate(srv.total_writes,
                                        writes.astype(jnp.int32)),
         merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw,
-        anchor=anchor)
+        anchor=anchor, merge_fail=merge_fail)
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, ryaw, hx, hy, hit_valid), \
         (n_merges, merge_fit, merge_ok_agent, merge_fit_agent)

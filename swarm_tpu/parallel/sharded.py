@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from swarm_tpu.config import SwarmConfig
-from swarm_tpu.coord.assign import greedy_assign
+from swarm_tpu.coord.assign import greedy_assign, greedy_assign_rooms
 from swarm_tpu.coord.heartbeat import heartbeat_update
 from swarm_tpu.coord.zones import ZoneState, zone_observe_rows, zones_for_agents
 from swarm_tpu.engine.sim import (
@@ -80,7 +80,7 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
             zone_boxes=rep, zone_active=rep,
             frontier_centroids=rep, n_frontiers=rep, total_writes=rep,
             merge_dx=rep, merge_dy=rep, merge_dyaw=rep,
-            anchor=lo))
+            anchor=lo, merge_fail=rep))
 
 
 def shard_state(state: SimState, mesh,
@@ -297,8 +297,12 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     merge_ok_loc = jnp.zeros((n_loc,), bool)
     merge_fit_loc = jnp.zeros((n_loc,), jnp.float32)
     cdx = cdy = cdth = jnp.zeros((n_loc,), jnp.float32)
+    fail_loc = srv.merge_fail[ridx]
+    new_fail_loc = fail_loc
     if cfg.engine.merge_every > 0 and scan_dist is not None:
-        from swarm_tpu.slam.livemerge import merge_zero, scan_merge_chunked
+        from swarm_tpu.slam.livemerge import (
+            merge_fail_update, merge_increments, merge_zero,
+            scan_merge_recover)
         do_merge = (state.step % cfg.engine.merge_every) == \
             (cfg.engine.merge_every - 1)
         band_row0 = (shard * srv.logodds.shape[0]) if grid_rows else None
@@ -314,30 +318,28 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                 match_map = srv.logodds
             wb = None if win_box is None else tuple(
                 b[ridx] for b in win_box)
-            return scan_merge_chunked(
+            return scan_merge_recover(
                 match_map, rx, ry, ryaw, scan_dist, alive, cfg,
                 event=state.step // cfg.engine.merge_every, n_global=n,
-                id0=shard * n_loc, band_row0=band_row0,
-                band_col0=band_col0, win_bounds=wb)
+                fail_count=fail_loc, id0=shard * n_loc,
+                band_row0=band_row0, band_col0=band_col0, win_bounds=wb)
 
-        m = jax.lax.cond(do_merge, run_merge,
-                         lambda _: merge_zero(n_loc), None)
+        m, att, rec = jax.lax.cond(
+            do_merge, run_merge,
+            lambda _: (merge_zero(n_loc), jnp.zeros((n_loc,), bool),
+                       jnp.zeros((n_loc,), bool)), None)
         upd = m.ok & alive
         # full correction to THIS step's raster; damped fraction persists
         # (mirrors engine.sim._ingest_batched: FULL correction to this
         # step's raster insert, only the persistent increment is clamped
         # — see the ghost-wall note there)
-        cmx = cfg.slam.merge_max_step_m
-        cmr = cfg.slam.merge_max_step_rad
-        fdx = jnp.where(upd, m.ddx, 0.0)
-        fdy = jnp.where(upd, m.ddy, 0.0)
-        fdth = jnp.where(upd, m.ddtheta, 0.0)
+        fdx, fdy, fdth, cdx, cdy, cdth = merge_increments(
+            m, upd, rec, cfg)
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
-        cdx = cfg.slam.merge_damping * jnp.clip(fdx, -cmx, cmx)
-        cdy = cfg.slam.merge_damping * jnp.clip(fdy, -cmx, cmx)
-        cdth = cfg.slam.merge_yaw_damping * jnp.clip(fdth, -cmr, cmr)
+        new_fail_loc = merge_fail_update(fail_loc, m, att, rec, alive,
+                                         cfg)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
         merge_ok_loc = upd
@@ -589,8 +591,12 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                  tri, cfg.grid, cfg.coord)
             if enable_targets:
                 # replicated assignment (same inputs on every device)
-                tg, has = greedy_assign(agent_xy, online, cents, cnt,
-                                        cfg.coord, room_boxes=room_boxes)
+                afn = (greedy_assign_rooms
+                       if room_boxes is not None and
+                       n >= cfg.coord.assign_rooms_min_agents
+                       else greedy_assign)
+                tg, has = afn(agent_xy, online, cents, cnt,
+                              cfg.coord, room_boxes=room_boxes)
             else:
                 tg, has = no_targets
             return cents, cnt, tg, has
@@ -629,7 +635,8 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         merge_dx=srv.merge_dx + g(cdx),
         merge_dy=srv.merge_dy + g(cdy),
         merge_dyaw=srv.merge_dyaw + g(cdth),
-        anchor=anchor)
+        anchor=anchor,
+        merge_fail=g(new_fail_loc))
 
     # TARG delivery (local rows of the replicated assignment; mirrors
     # engine.sim.sim_step — server frame back into the odometry frame)

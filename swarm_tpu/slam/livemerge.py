@@ -34,7 +34,9 @@ def merge_window_side(cfg: SwarmConfig) -> int:
 def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
                cfg: SwarmConfig, band_row0: int | None = None,
                band_col0: int | None = None,
-               win_bounds=None) -> WindowMatch:
+               win_bounds=None, n_theta: int | None = None,
+               theta_range: float | None = None,
+               theta_prior_scale: float = 0.1) -> WindowMatch:
     """Batched scan-to-map matching of every agent's current servo sweep
     against `logodds` (the global map BEFORE this step's raster — a scan
     must never match its own evidence).
@@ -130,20 +132,50 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
         ay = gy_i - syg_i - search - 0.5
         return match_scan_window(
             ox, oy, v, win, (ax, ay), inner, search,
-            n_theta=slam.merge_angles, theta_range=slam.merge_angle_range,
+            n_theta=(slam.merge_angles if n_theta is None else n_theta),
+            theta_range=(slam.merge_angle_range if theta_range is None
+                         else theta_range),
             resolution=res,
             inlier_radius_cells=slam.merge_inlier_radius_cells,
             fitness_min=slam.merge_fitness_min,
             min_points=min_pts,
-            prior_weight=slam.merge_prior_weight)
+            prior_weight=slam.merge_prior_weight,
+            theta_prior_scale=theta_prior_scale)
 
     return jax.vmap(one)(sx, sy, sxg, syg, gx, gy, off_x, off_y, valid)
+
+
+def chunk_attempt(cfg: SwarmConfig, event, n_global: int, n_loc: int,
+                  id0=None):
+    """Which local agents does merge event `event` attempt to match?
+
+    Returns (full, lstart, sl, mask): `full` (static bool) — chunking
+    disabled, every agent is attempted; otherwise `mask` [n_loc] is the
+    attempted set and [lstart, lstart+sl) its local slice. Shared by
+    scan_merge_chunked and the recovery fail-counter so the "attempted"
+    definition cannot drift between them."""
+    c = cfg.slam.merge_chunk
+    full = (c <= 0 or c >= n_global or n_global % c != 0 or
+            (n_loc < n_global and
+             (c % n_loc != 0 if c > n_loc else n_loc % c != 0)))
+    if full:
+        return True, None, None, jnp.ones((n_loc,), bool)
+    k = n_global // c
+    g0 = (event % k) * c
+    sl = min(c, n_loc)
+    base = jnp.zeros((), jnp.int32) if id0 is None else id0
+    lstart = jnp.clip(g0 - base, 0, n_loc - sl)
+    gids = base + jnp.arange(n_loc, dtype=jnp.int32)
+    mask = (gids >= g0) & (gids < g0 + c)
+    return False, lstart, sl, mask
 
 
 def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
                        cfg: SwarmConfig, event, n_global: int, id0=None,
                        band_row0=None, band_col0=None,
-                       win_bounds=None) -> WindowMatch:
+                       win_bounds=None, n_theta=None,
+                       theta_range=None,
+                       theta_prior_scale: float = 0.1) -> WindowMatch:
     """Rotating-chunk scan merge: merge event `e` matches only the
     global-agent chunk [(e mod K)*c, ...+c), c = slam.merge_chunk,
     K = n_global/c — mirroring the reference merger's one-submap-at-a-
@@ -156,18 +188,13 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
     across mesh sizes. Falls back to the full-fleet match when c covers
     the fleet or sizes don't divide evenly (small-swarm configs)."""
     n_loc = rx.shape[0]
-    c = cfg.slam.merge_chunk
-    full = (c <= 0 or c >= n_global or n_global % c != 0 or
-            (n_loc < n_global and
-             (c % n_loc != 0 if c > n_loc else n_loc % c != 0)))
+    full, lstart, sl, mask = chunk_attempt(cfg, event, n_global, n_loc,
+                                           id0)
     if full:
         return scan_merge(logodds, rx, ry, ryaw, scan_dist, alive, cfg,
-                          band_row0, band_col0, win_bounds)
-    k = n_global // c
-    g0 = (event % k) * c
-    sl = min(c, n_loc)
-    base = jnp.zeros((), jnp.int32) if id0 is None else id0
-    lstart = jnp.clip(g0 - base, 0, n_loc - sl)
+                          band_row0, band_col0, win_bounds,
+                          n_theta=n_theta, theta_range=theta_range,
+                          theta_prior_scale=theta_prior_scale)
 
     def sub(a):
         return jax.lax.dynamic_slice_in_dim(a, lstart, sl, 0)
@@ -175,9 +202,9 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
     wb = None if win_bounds is None else tuple(
         sub(b) for b in win_bounds)
     m = scan_merge(logodds, sub(rx), sub(ry), sub(ryaw), sub(scan_dist),
-                   sub(alive), cfg, band_row0, band_col0, wb)
-    gids = base + jnp.arange(n_loc, dtype=jnp.int32)
-    mask = (gids >= g0) & (gids < g0 + c)
+                   sub(alive), cfg, band_row0, band_col0, wb,
+                   n_theta=n_theta, theta_range=theta_range,
+                   theta_prior_scale=theta_prior_scale)
 
     def put(v):
         return jax.lax.dynamic_update_slice_in_dim(
@@ -193,3 +220,116 @@ def merge_zero(n: int) -> WindowMatch:
     z = jnp.zeros((n,), jnp.float32)
     return WindowMatch(ddx=z, ddy=z, ddtheta=z, fitness=z,
                        ok=jnp.zeros((n,), bool))
+
+
+def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
+                       cfg: SwarmConfig, event, n_global: int,
+                       fail_count, id0=None, band_row0=None,
+                       band_col0=None, win_bounds=None):
+    """Chunked scan merge with escalating re-acquisition (VERDICT r3
+    item 2: recover-and-continue, the reference's failover philosophy —
+    dual_bot_mapper.py:804-812 — applied to the merge matcher).
+
+    Agents whose consecutive-failure counter (`fail_count`, maintained
+    by merge_fail_update) has reached slam.merge_recover_after get a
+    SECOND match with the wide rotation capture range when the normal
+    one rejects them. The wide pass is itself cond-gated on any such
+    agent existing, so healthy fleets never pay for it. Same window
+    footprint, so sharded containment proofs are unaffected.
+
+    Returns (m, attempted, recovered):
+      m          WindowMatch [n_loc] — wide-pass results adopted where
+                 the normal pass failed and the wide one verified
+      attempted  [n_loc] bool — agents this event tried to match
+      recovered  [n_loc] bool — escalated agents whose correction should
+                 persist under the wider merge_recover_max_step_* clamps
+                 (wide-pass adoptions AND normal matches that rail while
+                 escalated)
+    """
+    n_loc = rx.shape[0]
+    slam = cfg.slam
+    m = scan_merge_chunked(match_map, rx, ry, ryaw, scan_dist, alive,
+                           cfg, event=event, n_global=n_global, id0=id0,
+                           band_row0=band_row0, band_col0=band_col0,
+                           win_bounds=win_bounds)
+    _, _, _, attempted = chunk_attempt(cfg, event, n_global, n_loc, id0)
+    recovered = jnp.zeros((n_loc,), bool)
+    if slam.merge_recover_after <= 0:
+        return m, attempted, recovered
+
+    esc = fail_count >= slam.merge_recover_after
+    need = jnp.any(esc & attempted & alive & ~m.ok)
+
+    def wide(_):
+        return scan_merge_chunked(
+            match_map, rx, ry, ryaw, scan_dist, alive, cfg, event=event,
+            n_global=n_global, id0=id0, band_row0=band_row0,
+            band_col0=band_col0, win_bounds=win_bounds,
+            n_theta=slam.merge_recover_angles,
+            theta_range=slam.merge_recover_angle_range,
+            theta_prior_scale=slam.merge_recover_theta_prior_scale)
+
+    mw = jax.lax.cond(need, wide, lambda _: merge_zero(n_loc), None)
+    take = esc & ~m.ok & mw.ok & alive
+    rail = m.ok & ((jnp.abs(m.ddx) > slam.merge_max_step_m) |
+                   (jnp.abs(m.ddy) > slam.merge_max_step_m) |
+                   (jnp.abs(m.ddtheta) > slam.merge_max_step_rad))
+    recovered = take | (esc & rail & alive)
+    m = WindowMatch(ddx=jnp.where(take, mw.ddx, m.ddx),
+                    ddy=jnp.where(take, mw.ddy, m.ddy),
+                    ddtheta=jnp.where(take, mw.ddtheta, m.ddtheta),
+                    fitness=jnp.where(take, mw.fitness, m.fitness),
+                    ok=m.ok | take)
+    return m, attempted, recovered
+
+
+def merge_fail_update(fail_count, m: WindowMatch, attempted, recovered,
+                      alive, cfg: SwarmConfig):
+    """Consecutive-failure counter driving the escalation trigger.
+
+    An attempted live agent's event is BAD when the match was rejected,
+    or applied but railing at the persistent clamp without the recovery
+    path claiming it — both mean the frame error is outrunning the
+    normal capture range. Bad increments; an attempted good event (or a
+    recovery) resets; unattempted agents carry their count."""
+    slam = cfg.slam
+    rail = m.ok & ((jnp.abs(m.ddx) > slam.merge_max_step_m) |
+                   (jnp.abs(m.ddy) > slam.merge_max_step_m) |
+                   (jnp.abs(m.ddtheta) > slam.merge_max_step_rad))
+    bad = ~m.ok | (rail & ~recovered)
+    tried = attempted & alive
+    return jnp.where(tried,
+                     jnp.where(bad & ~recovered, fail_count + 1, 0),
+                     fail_count)
+
+
+def merge_increments(m: WindowMatch, upd, recovered, cfg: SwarmConfig):
+    """Persistent correction increments (merge_dx/dy/dyaw deltas) with
+    the recovery-aware clamps. `upd` = m.ok & alive (the applied set).
+
+    Normal events keep the tight merge_max_step_* clamps (one bad match
+    cannot jump the frame); recovered events use the wider
+    merge_recover_max_step_* so re-acquisition lands in one bite, and
+    their yaw increment persists under merge_damping even when
+    merge_yaw_damping is 0 (a re-acquired rotation must stick, or the
+    next event needs the wide pass again). With recovery disabled the
+    arithmetic is IDENTICAL to the pre-recovery engines' inline code."""
+    slam = cfg.slam
+    fdx = jnp.where(upd, m.ddx, 0.0)
+    fdy = jnp.where(upd, m.ddy, 0.0)
+    fdth = jnp.where(upd, m.ddtheta, 0.0)
+    cmx = slam.merge_max_step_m
+    cmr = slam.merge_max_step_rad
+    if slam.merge_recover_after <= 0:
+        inc_dx = slam.merge_damping * jnp.clip(fdx, -cmx, cmx)
+        inc_dy = slam.merge_damping * jnp.clip(fdy, -cmx, cmx)
+        inc_dth = slam.merge_yaw_damping * jnp.clip(fdth, -cmr, cmr)
+        return fdx, fdy, fdth, inc_dx, inc_dy, inc_dth
+    cmx_a = jnp.where(recovered, slam.merge_recover_max_step_m, cmx)
+    cmr_a = jnp.where(recovered, slam.merge_recover_max_step_rad, cmr)
+    yaw_damp = jnp.where(recovered, slam.merge_damping,
+                         slam.merge_yaw_damping)
+    inc_dx = slam.merge_damping * jnp.clip(fdx, -cmx_a, cmx_a)
+    inc_dy = slam.merge_damping * jnp.clip(fdy, -cmx_a, cmx_a)
+    inc_dth = yaw_damp * jnp.clip(fdth, -cmr_a, cmr_a)
+    return fdx, fdy, fdth, inc_dx, inc_dy, inc_dth

@@ -213,7 +213,8 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
                       inlier_radius_cells: int = 2,
                       fitness_min: float = 0.6,
                       min_points: int = 16,
-                      prior_weight: float = 0.05) -> WindowMatch:
+                      prior_weight: float = 0.05,
+                      theta_prior_scale: float = 0.1) -> WindowMatch:
     """Correlative scan-to-map matching of ONE agent's current scan against
     a window of the global map — the continuously-running realignment the
     reference's merger performs on every incoming submap
@@ -323,7 +324,12 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     # 0.2 rad rotation shifts points ~3.6 cells laterally with near-zero
     # penalty) — measured: a 0.34 m injected slip then stalls ~0.26 m
     # with the wrong-sign lateral correction instead of recovering.
-    pen_t = (thetas / 0.1) ** 2
+    # `theta_prior_scale` is that absolute scale: the RECOVERY pass
+    # (slam/livemerge.scan_merge_recover) raises it — at the default 0.1
+    # a TRUE 0.4 rad frame error pays 16x prior_weight x n_pts and can
+    # never win, which is the point in steady state but defeats
+    # re-acquisition after yaw drift has outrun the normal capture range.
+    pen_t = (thetas / theta_prior_scale) ** 2
     scores = scores - prior_weight * n_pts * (
         pen_xy[None] + pen_t[:, None, None])
 

@@ -91,3 +91,68 @@ def test_greedy_assign_room_boxes_restrict_candidates():
                             CoordConfig(frontier_separation_m=0.1),
                             room_boxes=boxes2)
     assert bool(has2[0]) and not bool(has2[1])
+
+
+def test_greedy_assign_rooms_matches_sequential_on_disjoint_rooms():
+    """Room-parallel assignment == exact sequential greedy whenever room
+    candidate sets are disjoint and cross-room targets stay separated —
+    the documented equivalence domain (assign.greedy_assign_rooms)."""
+    from swarm_tpu.coord.assign import greedy_assign_rooms
+
+    rng = np.random.default_rng(11)
+    coord = CoordConfig(frontier_separation_m=1.0)
+    for trial in range(8):
+        n_rooms = int(rng.integers(2, 6))
+        per_room = int(rng.integers(1, 4))
+        n = n_rooms * per_room
+        boxes = []
+        xy = []
+        cents = []
+        for r in range(n_rooms):
+            # 8 m pitch keeps cross-room centroids > separation apart
+            x0 = r * 8.0
+            box = [x0, 0.0, x0 + 6.0, 6.0]
+            boxes += [box] * per_room
+            for _ in range(per_room):
+                xy.append([x0 + rng.uniform(1, 5), rng.uniform(1, 5)])
+            for _ in range(int(rng.integers(0, 5))):
+                cents.append([x0 + rng.uniform(1, 5), rng.uniform(1, 5)])
+        k = coord.max_frontiers
+        c = np.zeros((k, 2), np.float32)
+        n_c = min(len(cents), k)
+        if n_c:
+            c[:n_c] = np.asarray(cents, np.float32)[:n_c]
+        online = rng.random(n) < 0.8
+        args = (jnp.asarray(np.asarray(xy, np.float32)),
+                jnp.asarray(online), jnp.asarray(c), jnp.int32(n_c))
+        t_seq, h_seq = greedy_assign(*args, coord,
+                                     room_boxes=jnp.asarray(
+                                         np.asarray(boxes, np.float32)))
+        t_par, h_par = greedy_assign_rooms(*args, coord,
+                                           room_boxes=jnp.asarray(
+                                               np.asarray(boxes,
+                                                          np.float32)))
+        np.testing.assert_array_equal(np.asarray(h_seq), np.asarray(h_par),
+                                      err_msg=str(trial))
+        np.testing.assert_allclose(np.asarray(t_par)[np.asarray(h_seq)],
+                                   np.asarray(t_seq)[np.asarray(h_seq)],
+                                   err_msg=str(trial))
+
+
+def test_greedy_assign_rooms_conflict_lowest_index_wins():
+    """A centroid inside two agents' boxes (shared-wall corner) goes to
+    the lowest agent index; the loser goes targetless (documented
+    deviation from sequential next-best)."""
+    from swarm_tpu.coord.assign import greedy_assign_rooms
+
+    cents = jnp.zeros((8, 2), jnp.float32).at[0].set(
+        jnp.array([2.0, 1.0]))
+    xy = jnp.array([[1.5, 1.0], [2.5, 1.0]], jnp.float32)
+    online = jnp.array([True, True])
+    # overlapping boxes put the single centroid in BOTH candidate sets;
+    # distinct boxes put both agents at rank 0 (different "rooms")
+    boxes = jnp.array([[0.0, 0.0, 2.5, 2.0], [1.5, 0.0, 4.0, 2.0]])
+    tgts, has = greedy_assign_rooms(xy, online, cents, jnp.int32(1),
+                                    CoordConfig(), room_boxes=boxes)
+    assert bool(has[0]) and not bool(has[1])
+    np.testing.assert_allclose(np.asarray(tgts[0]), [2.0, 1.0])

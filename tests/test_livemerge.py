@@ -358,3 +358,60 @@ def test_chunked_merge_rotates_and_matches_fused():
                                    atol=1e-6)
         seen |= inchunk
     assert seen.all()
+
+
+def test_merge_fail_update_and_increments_semantics():
+    """Unit semantics of the escalation plumbing (slam/livemerge.py):
+    failed attempts increment, good attempts reset, unattempted carry;
+    with recovery disabled merge_increments reproduces the pre-recovery
+    inline arithmetic exactly."""
+    from swarm_tpu.slam.livemerge import merge_fail_update, merge_increments
+    from swarm_tpu.slam.scanmatch import WindowMatch
+
+    cfg = _engine_cfg(merge_every=4, merge_recover_after=3)
+    slam = cfg.slam
+    n = 5
+    # agents: 0 fails, 1 good small, 2 good but railing (> max_step),
+    # 3 unattempted, 4 recovered (railing but claimed by recovery)
+    m = WindowMatch(
+        ddx=jnp.array([0.0, 0.05, 0.30, 0.0, 0.30], jnp.float32),
+        ddy=jnp.zeros((n,), jnp.float32),
+        ddtheta=jnp.array([0.0, 0.01, 0.0, 0.0, 0.20], jnp.float32),
+        fitness=jnp.full((n,), 0.9, jnp.float32),
+        ok=jnp.array([False, True, True, False, True]))
+    attempted = jnp.array([True, True, True, False, True])
+    recovered = jnp.array([False, False, False, False, True])
+    alive = jnp.ones((n,), bool)
+    fail0 = jnp.array([2, 2, 2, 2, 5], jnp.int32)
+    fail1 = merge_fail_update(fail0, m, attempted, recovered, alive, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(fail1), [3, 0, 3, 2, 0])  # fail+1, reset, rail+1,
+    #                                          carry, recovery resets
+
+    upd = m.ok & alive
+    fdx, fdy, fdth, idx, idy, idth = merge_increments(m, upd, recovered,
+                                                      cfg)
+    # full correction passes through unclamped where applied
+    np.testing.assert_allclose(np.asarray(fdx),
+                               np.where(np.asarray(upd),
+                                        np.asarray(m.ddx), 0.0))
+    cmx, cmr = slam.merge_max_step_m, slam.merge_max_step_rad
+    # normal agents: tight clamps, yaw increment off (yaw_damping 0)
+    assert abs(float(idx[1]) - slam.merge_damping * 0.05) < 1e-7
+    assert abs(float(idx[2]) - slam.merge_damping * cmx) < 1e-7
+    assert float(idth[2]) == 0.0
+    # recovered agent: wide clamps and yaw persists under merge_damping
+    assert abs(float(idx[4]) - slam.merge_damping * 0.30) < 1e-7
+    assert abs(float(idth[4]) - slam.merge_damping * 0.20) < 1e-7
+
+    # disabled path == pre-recovery inline arithmetic
+    cfg0 = _engine_cfg(merge_every=4)
+    assert cfg0.slam.merge_recover_after == 0
+    _, _, _, jdx, jdy, jdth = merge_increments(m, upd, recovered, cfg0)
+    np.testing.assert_allclose(
+        np.asarray(jdx),
+        cfg0.slam.merge_damping * np.clip(np.asarray(fdx), -cmx, cmx))
+    np.testing.assert_allclose(
+        np.asarray(jdth),
+        cfg0.slam.merge_yaw_damping * np.clip(np.asarray(fdth),
+                                              -cmr, cmr))
