@@ -114,6 +114,10 @@ def main():
                     help="native blaster inter-burst usleep; paces the "
                          "offered load (burst/sleep ~ 128k pkt/s at the "
                          "defaults) and yields the core to the server")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="frame-application pipeline depth (see "
+                         "server.live.LiveServer.run); overlaps the "
+                         "tunnel RTT with the next frame's drain")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -168,7 +172,7 @@ def main():
                               daemon=True)
     tx.start()
     t0 = time.time()
-    srv.run(duration_s=args.duration, fps=0.0)
+    srv.run(duration_s=args.duration, fps=0.0, pipeline=args.pipeline)
     dt = time.time() - t0
     stop.set()
     stop_flag.value = 1
@@ -191,6 +195,7 @@ def main():
                         else "native_sendmmsg" if use_native_blast
                         else "python_sendto"),
             "max_packets_per_frame": args.max_packets,
+            "pipeline": args.pipeline,
         },
     }))
 
