@@ -66,7 +66,7 @@ def reachable_mask(walls, grid_cfg, inset_cells: int = 1):
 
 
 def run_variant(cfg, walls, params, rooms, steps, chunk, reach,
-                enable_targets):
+                enable_targets, seed: int = 42):
     """Chunked rollout returning the per-step coverage fraction [steps]."""
     import jax
     import jax.numpy as jnp
@@ -99,7 +99,7 @@ def run_variant(cfg, walls, params, rooms, steps, chunk, reach,
     def chunk_fn(s):
         return jax.lax.scan(body, s, None, length=chunk)
 
-    state = sim_init(cfg, params)
+    state = sim_init(cfg, params, key=jax.random.PRNGKey(seed))
     cov, nfr = [], []
     for _ in range(steps // chunk):
         state, (c, f) = chunk_fn(state)
@@ -121,6 +121,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent replicates (distinct sim_init PRNG "
+                         "keys): the closed loop is chaotic — a single "
+                         "run cannot rank the variants (the r3 CPU run "
+                         "flipped the TPU plateau ordering); report "
+                         "mean +/- range over N >= 5 for claims")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -132,8 +138,9 @@ def main():
     from __graft_entry__ import _cfg_and_world
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    seeds = [42 + 1000 * k for k in range(args.seeds)]
     results = {}
-    curves = {}
+    curves = {}          # name -> [n_seeds, steps]
     for name, frontiers, targets in (
             ("wall_follow", False, False),
             ("frontier_targets", True, True)):
@@ -142,37 +149,62 @@ def main():
             raster_mode="beam", use_pallas=on_tpu, scan_rays=181,
             tiled=True)
         reach = reachable_mask(walls, cfg.grid)
-        cov, nfr = run_variant(cfg, walls, params, rooms, args.steps,
-                               args.chunk, reach, targets)
-        curves[name] = cov
+        covs, nfr = [], None
+        for seed in seeds:
+            cov, nfr = run_variant(cfg, walls, params, rooms, args.steps,
+                                   args.chunk, reach, targets, seed=seed)
+            covs.append(cov)
+            print(f"[{name} seed={seed}] final={cov[-1]:.3f}", flush=True)
+        covs = np.stack(covs)
+        curves[name] = covs
+        finals = covs[:, -1]
+
+        def agg(vals):
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                return None
+            return {"mean": round(float(np.mean(vals)), 1),
+                    "min": int(np.min(vals)), "max": int(np.max(vals)),
+                    "n": len(vals)}
+
         results[name] = {
-            "coverage_final": round(float(cov[-1]), 4),
-            "steps_to_50pct": steps_to(cov, 0.5),
-            "steps_to_70pct": steps_to(cov, 0.7),
-            "steps_to_90pct": steps_to(cov, 0.9),
+            "coverage_final_mean": round(float(finals.mean()), 4),
+            "coverage_final_min": round(float(finals.min()), 4),
+            "coverage_final_max": round(float(finals.max()), 4),
+            "steps_to_50pct": agg([steps_to(c, 0.5) for c in covs]),
+            "steps_to_70pct": agg([steps_to(c, 0.7) for c in covs]),
+            "steps_to_90pct": agg([steps_to(c, 0.9) for c in covs]),
             "frontiers_final": int(nfr[-1]),
         }
-        print(f"[{name}] final={cov[-1]:.3f} "
-              f"t50={results[name]['steps_to_50pct']} "
-              f"t70={results[name]['steps_to_70pct']} "
-              f"t90={results[name]['steps_to_90pct']}", flush=True)
+        print(f"[{name}] final={finals.mean():.3f} "
+              f"[{finals.min():.3f}, {finals.max():.3f}] over "
+              f"{len(seeds)} seed(s)", flush=True)
 
-    wf = curves["wall_follow"][-1]
-    ft = curves["frontier_targets"][-1]
+    wf = curves["wall_follow"][:, -1]
+    ft = curves["frontier_targets"][:, -1]
     out = {
         "metric": "coverage_final_frontier_targets",
-        "value": round(float(ft), 4),
+        "value": round(float(ft.mean()), 4),
         "unit": "fraction of reachable free space",
-        "vs_wall_follow": round(float(ft / max(wf, 1e-9)), 3),
+        "vs_wall_follow": round(float(ft.mean() / max(wf.mean(), 1e-9)),
+                                3),
         "detail": {
             "agents": args.agents, "steps": args.steps,
             "platform": jax.devices()[0].platform,
+            "seeds": seeds,
+            # per-seed paired ratio (same-seed frontier/wall pairing)
+            "vs_wall_follow_per_seed": [
+                round(float(f / max(w, 1e-9)), 3)
+                for f, w in zip(ft, wf)],
             "reachable_cells": int(
                 reachable_mask(walls, cfg.grid).sum()),
             "curve_every": args.chunk,
+            # seed-mean curves (per-seed finals above carry the spread)
             "curves": {k: [round(float(v), 4)
-                           for v in c[args.chunk - 1::args.chunk]]
+                           for v in c.mean(0)[args.chunk - 1::args.chunk]]
                        for k, c in curves.items()},
+            "finals_per_seed": {k: [round(float(v), 4) for v in c[:, -1]]
+                                for k, c in curves.items()},
             **{k: v for k, v in results.items()},
         },
     }
