@@ -198,6 +198,14 @@ class SlamConfig:
     merge_inlier_radius_cells: int = 2  # inlier radius for fitness
     merge_prior_weight: float = 0.15    # zero-motion prior (aperture fix +
     #                                     false-correction suppression)
+    # Absolute scale (rad) of the rotation prior inside the matcher
+    # (scanmatch theta_prior_scale): rotations pay
+    # prior_weight * n_pts * (theta/scale)^2. At 0.1 a true 0.1 rad frame
+    # error is systematically SHRUNK toward 0 in the measured ddtheta —
+    # safe for translation-only correction (the r1-r3 default) but it
+    # starves the persistent yaw tracker (merge_yaw_damping > 0) of
+    # signal; yaw-tracking presets raise it.
+    merge_theta_prior_scale: float = 0.1
     # ANCHOR-map matching (beyond the reference): matching against the
     # LIVE map has no restoring force — the map itself migrates with the
     # drifting fleet (free-space carving erodes early wall evidence and

@@ -36,7 +36,7 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
                band_col0: int | None = None,
                win_bounds=None, n_theta: int | None = None,
                theta_range: float | None = None,
-               theta_prior_scale: float = 0.1) -> WindowMatch:
+               theta_prior_scale: float | None = None) -> WindowMatch:
     """Batched scan-to-map matching of every agent's current servo sweep
     against `logodds` (the global map BEFORE this step's raster — a scan
     must never match its own evidence).
@@ -140,7 +140,9 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
             fitness_min=slam.merge_fitness_min,
             min_points=min_pts,
             prior_weight=slam.merge_prior_weight,
-            theta_prior_scale=theta_prior_scale)
+            theta_prior_scale=(slam.merge_theta_prior_scale
+                               if theta_prior_scale is None
+                               else theta_prior_scale))
 
     return jax.vmap(one)(sx, sy, sxg, syg, gx, gy, off_x, off_y, valid)
 
@@ -175,7 +177,7 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
                        band_row0=None, band_col0=None,
                        win_bounds=None, n_theta=None,
                        theta_range=None,
-                       theta_prior_scale: float = 0.1) -> WindowMatch:
+                       theta_prior_scale: float | None = None) -> WindowMatch:
     """Rotating-chunk scan merge: merge event `e` matches only the
     global-agent chunk [(e mod K)*c, ...+c), c = slam.merge_chunk,
     K = n_global/c — mirroring the reference merger's one-submap-at-a-

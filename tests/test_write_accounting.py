@@ -20,9 +20,10 @@ from __graft_entry__ import _cfg_and_world
 from swarm_tpu.engine.sim import make_sim_step, sim_init
 
 
-def _measure_ratio(use_pallas: bool, steps_warm=2, steps_meas=4):
+def _measure_ratio(use_pallas: bool, steps_warm=2, steps_meas=4,
+                   agents=8):
     cfg, walls, params, rooms = _cfg_and_world(
-        8, frontiers=False, parity=False, raster_mode="beam",
+        agents, frontiers=False, parity=False, raster_mode="beam",
         use_pallas=use_pallas, scan_rays=61, tiled=use_pallas,
         room_kernel=False)
     cfg = cfg.replace(engine=dataclasses.replace(
@@ -68,3 +69,19 @@ def test_reference_tier_counts_painted_cells():
     r = _measure_ratio(use_pallas=False)
     assert (r > 0.9).all(), r
     assert (r < 1.02).all(), r
+
+
+def test_kernel_tier_counter_floor_at_swarm_density():
+    """VERDICT r3 item 6: the headline bench reports delta_ratio_fresh
+    ~0.68 at 1024 agents — below the 8-agent test floor — explained as
+    start-area clamp saturation when many agents' fans overlap. Pin that
+    explanation at a swarm-denser config: 64 agents on the same tiled
+    world (8x the 8-agent test's overlap density). The ratio may sit
+    lower than the sparse config's but must hold the 0.6 bench floor,
+    and the FIRST (freshest) window must stay the highest — saturation
+    decays the ratio with map age; counter inflation would not."""
+    with pltpu.force_tpu_interpret_mode():
+        r = _measure_ratio(use_pallas=True, steps_meas=3, agents=64)
+    assert (r > 0.6).all(), r
+    assert (r < 1.02).all(), r
+    assert r[0] >= r[-1] - 0.02, r   # decay (noise slack), not inflation
