@@ -254,6 +254,43 @@ class SlamConfig:
     # theta_prior_scale): at the steady-state 0.1, a true 0.4 rad frame
     # error pays 16x prior_weight x n_pts and can never win the argmax.
     merge_recover_theta_prior_scale: float = 0.3
+    # Online per-agent yaw-RATE bias estimator (VERDICT r4 item 1): the
+    # dominant swarm-scale drift mode is a per-meter yaw bias
+    # (generate_fake_dual_session.py:414,444 — +/-0.008 rad/m), a frame
+    # ROTATION that grows with distance; the level-only persistent
+    # correction (merge_dyaw) cannot track it, so the frame error ramps
+    # until it outruns the matcher's +/-merge_angle_range capture. Each
+    # verified merge's residual ddtheta divided by the distance travelled
+    # since that agent's last verified merge IS a noisy observation of the
+    # remaining rate error; an exponential update (gain merge_bias_alpha)
+    # integrates it into a per-agent rad/m estimate applied as continuous
+    # feed-forward (ryaw += rate x distance-since-rebase). Integral
+    # action: the estimate converges to the TRUE bias even though the
+    # matcher's rotation prior systematically shrinks each ddtheta, and
+    # the +/-7.5 deg reported-yaw quantisation oscillation (the reason
+    # merge_yaw_damping defaults to 0) is zero-mean over distance and
+    # averages out. 0 = disabled.
+    merge_bias_alpha: float = 0.0
+    merge_bias_max: float = 0.02        # |rad/m| clamp on the estimate
+    merge_bias_min_dist: float = 0.25   # m floor on the observation window
+    # Extrapolation bound (metres) on the feed-forward: ff = rate x
+    # min(dist-since-rebase, this). Between verified events the window
+    # is ~merge_every x step_len (~1 m), far below the bound, so the
+    # feed-forward is unaffected in normal operation; but an agent whose
+    # merges stop verifying (escaped capture, occluded room) would
+    # otherwise keep integrating a possibly-wrong rate without any
+    # observation to correct it — a railed estimate (0.02 rad/m) turns
+    # a recoverable escape into an unbounded frame spin. Bounding the
+    # lever caps the worst-case open-loop contribution at
+    # merge_bias_max x merge_bias_ff_max_m radians.
+    merge_bias_ff_max_m: float = 4.0
+    # P term of the PI loop: fraction of the DEBIASED residual persisted
+    # into merge_dyaw per verified event (unlike merge_yaw_damping, the
+    # quantisation oscillation has been subtracted, so persisting it
+    # doesn't inject the +/-7.5 deg noise); the I term alone is unstable
+    # (level observation integrated as a rate rails the estimate).
+    merge_bias_level_damp: float = 0.5
+    merge_bias_level_cap: float = 0.10  # rad per-event level-step clamp
     # Freeze window (steps): cells may enter the anchor only this early.
     # Without a cutoff the anchor slowly ACCRETES ghost walls painted at
     # drifted poses later in the run (they become confident, freeze, and

@@ -80,6 +80,12 @@ _MIGRATIONS = {
     ".srv.closure.cl_fit": "neg_ones",
     # r4 merge-recovery escalation counter (SlamConfig.merge_recover_after)
     ".srv.merge_fail": "zero",
+    # r4 online yaw-rate-bias estimator (SlamConfig.merge_bias_alpha).
+    # mark=0 on a resumed run means the first observation window spans
+    # the whole pre-checkpoint distance — the oversized divisor only
+    # SHRINKS the first rate update, so the estimate re-converges safely.
+    ".srv.merge_yaw_rate": "zero",
+    ".srv.merge_dist_mark": "zero",
 }
 
 

@@ -198,6 +198,11 @@ class MapState(NamedTuple):
     # consecutive failed/railing merge events per agent — the escalation
     # trigger for SlamConfig.merge_recover_after (slam/livemerge.py)
     merge_fail: jnp.ndarray       # [N] int32
+    # online per-agent yaw-rate-bias estimate (rad/m) + the total_dist
+    # value at its last rebase (SlamConfig.merge_bias_alpha;
+    # slam/livemerge.py merge_bias_ff / merge_bias_update)
+    merge_yaw_rate: jnp.ndarray   # [N] float32
+    merge_dist_mark: jnp.ndarray  # [N] float32
 
 
 WRITES_RADIX = 1 << 30
@@ -325,7 +330,9 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
         merge_dyaw=jnp.zeros((n,), jnp.float32),
         anchor=jnp.zeros((s, s) if cfg.slam.merge_anchor else (1, 1),
                          cfg.grid.lo_dtype),
-        merge_fail=jnp.zeros((n,), jnp.int32))
+        merge_fail=jnp.zeros((n,), jnp.int32),
+        merge_yaw_rate=jnp.zeros((n,), jnp.float32),
+        merge_dist_mark=jnp.zeros((n,), jnp.float32))
     state = SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
@@ -344,7 +351,8 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
 def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                     alive, t, step, cfg: SwarmConfig, params: AgentParams,
                     enable_targets: bool, scan_dist=None,
-                    merge_win_box=None, room_boxes=None):
+                    merge_win_box=None, room_boxes=None,
+                    total_dist=None, yaw_quant_resid=None):
     """One step's N packets into the mapping server, fully batched.
 
     Reproduces dual_bot_mapper.py:814-996 semantics with the step-cadence
@@ -358,6 +366,10 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     rx = est_x + params.x_offset + srv.closure.drift_dx + srv.merge_dx
     ry = est_y + srv.closure.drift_dy + srv.merge_dy
     ryaw = est_yaw + srv.merge_dyaw
+    if cfg.slam.merge_bias_alpha > 0.0 and total_dist is not None:
+        from swarm_tpu.slam.livemerge import merge_bias_ff
+        ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate,
+                                    srv.merge_dist_mark, total_dist, cfg)
 
     # continuous map merge at cadence (reference merger runs on every
     # incoming submap, map_merger.py:35-62): match this step's scan
@@ -366,6 +378,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     # insertion is the merge.
     merge_dx, merge_dy, merge_dyaw = srv.merge_dx, srv.merge_dy, \
         srv.merge_dyaw
+    merge_yaw_rate, merge_dist_mark = srv.merge_yaw_rate, \
+        srv.merge_dist_mark
     n_merges = jnp.zeros((), jnp.int32)
     merge_fit = jnp.zeros((), jnp.float32)
     merge_ok_agent = jnp.zeros((n,), bool)
@@ -417,6 +431,14 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         merge_dx = merge_dx + inc_dx
         merge_dy = merge_dy + inc_dy
         merge_dyaw = merge_dyaw + inc_dth
+        if cfg.slam.merge_bias_alpha > 0.0 and total_dist is not None:
+            from swarm_tpu.slam.livemerge import merge_bias_update
+            fold, rate_d, mark_d = merge_bias_update(
+                srv.merge_yaw_rate, srv.merge_dist_mark, total_dist, m,
+                upd, cfg, quant_resid=yaw_quant_resid)
+            merge_dyaw = merge_dyaw + fold
+            merge_yaw_rate = merge_yaw_rate + rate_d
+            merge_dist_mark = merge_dist_mark + mark_d
         merge_fail = merge_fail_update(srv.merge_fail, m, att, rec,
                                        alive, cfg)
         n_merges = jnp.sum(upd.astype(jnp.int32))
@@ -648,7 +670,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         total_writes=writes_accumulate(srv.total_writes,
                                        writes.astype(jnp.int32)),
         merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw,
-        anchor=anchor, merge_fail=merge_fail)
+        anchor=anchor, merge_fail=merge_fail,
+        merge_yaw_rate=merge_yaw_rate, merge_dist_mark=merge_dist_mark)
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, ryaw, hx, hy, hit_valid), \
         (n_merges, merge_fit, merge_ok_agent, merge_fit_agent)
@@ -756,7 +779,8 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
             state.srv, odom.x_est, odom.y_est, yaw_q, dist4, lm, alive,
             state.t, state.step, cfg, params, enable_targets,
             scan_dist=scan_dist, merge_win_box=merge_win_box,
-            room_boxes=room_boxes)
+            room_boxes=room_boxes, total_dist=state.total_dist,
+            yaw_quant_resid=wrap_pi(yaw_q - odom.yaw_est))
     rx_t, ry_t, ryaw_t, hx_t, hy_t, hv_t = proj
     n_merges, merge_fit, merge_ok_a, merge_fit_a = merge_m
     # raw-estimate telemetry snapshot (PRE-motion, same timing as srv_x —

@@ -80,7 +80,8 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
             zone_boxes=rep, zone_active=rep,
             frontier_centroids=rep, n_frontiers=rep, total_writes=rep,
             merge_dx=rep, merge_dy=rep, merge_dyaw=rep,
-            anchor=lo, merge_fail=rep))
+            anchor=lo, merge_fail=rep,
+            merge_yaw_rate=rep, merge_dist_mark=rep))
 
 
 def shard_state(state: SimState, mesh,
@@ -279,6 +280,11 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         srv.merge_dx[ridx]
     ry = odom.y_est + srv.closure.drift_dy[ridx] + srv.merge_dy[ridx]
     ryaw = yaw_q + srv.merge_dyaw[ridx]
+    if cfg.slam.merge_bias_alpha > 0.0:
+        from swarm_tpu.slam.livemerge import merge_bias_ff
+        ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate[ridx],
+                                    srv.merge_dist_mark[ridx],
+                                    state.total_dist, cfg)
     beam_mode = cfg.engine.raster_mode == "beam" and \
         not cfg.engine.parity_mode
     scan_dist = None
@@ -297,6 +303,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     merge_ok_loc = jnp.zeros((n_loc,), bool)
     merge_fit_loc = jnp.zeros((n_loc,), jnp.float32)
     cdx = cdy = cdth = jnp.zeros((n_loc,), jnp.float32)
+    rate_d_loc = mark_d_loc = jnp.zeros((n_loc,), jnp.float32)
     fail_loc = srv.merge_fail[ridx]
     new_fail_loc = fail_loc
     if cfg.engine.merge_every > 0 and scan_dist is not None:
@@ -338,6 +345,13 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
+        if cfg.slam.merge_bias_alpha > 0.0:
+            from swarm_tpu.slam.livemerge import merge_bias_update
+            fold, rate_d_loc, mark_d_loc = merge_bias_update(
+                srv.merge_yaw_rate[ridx], srv.merge_dist_mark[ridx],
+                state.total_dist, m, upd, cfg,
+                quant_resid=wrap_pi(yaw_q - odom.yaw_est))
+            cdth = cdth + fold
         new_fail_loc = merge_fail_update(fail_loc, m, att, rec, alive,
                                          cfg)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
@@ -636,7 +650,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         merge_dy=srv.merge_dy + g(cdy),
         merge_dyaw=srv.merge_dyaw + g(cdth),
         anchor=anchor,
-        merge_fail=g(new_fail_loc))
+        merge_fail=g(new_fail_loc),
+        merge_yaw_rate=srv.merge_yaw_rate + g(rate_d_loc),
+        merge_dist_mark=srv.merge_dist_mark + g(mark_d_loc))
 
     # TARG delivery (local rows of the replicated assignment; mirrors
     # engine.sim.sim_step — server frame back into the odometry frame)

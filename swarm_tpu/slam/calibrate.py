@@ -1,0 +1,155 @@
+"""Per-agent odometry drift calibration from absolute position fixes.
+
+The reference's drift model (generate_fake_dual_session.py:407-444) is
+dominated by two PARAMETERS per agent: a signed yaw-rate bias
+(-/+0.008 rad/m — the estimated frame slowly ROTATES as the robot
+travels) and a translation scale bias (x0.998 / x1.002). Neither is
+observable from same-agent relative edges (the r3 finding: drift is a
+near-rigid frame transform), but both are strongly observable offline
+against the anchored-merge ABSOLUTE fixes the deployable preset already
+produces: a yaw-rate bias delta_b bends the whole trajectory, displacing
+the pose at distance-travelled D by ~delta_b * D^2 / 2 laterally — at
+the reference rates that is ~0.4 m per 10 m travelled against ~0.1 m
+fix noise, an SNR the per-event ONLINE theta residual (~0.01 rad signal
+under ~0.07 rad quantisation sawtooth) never approaches. This module
+fits (yaw-rate bias, scale) per agent by re-integrating the odometry
+chain under candidate corrections and scoring against the fixes, fully
+batched over agents and candidates (one [B, N, T] jit — MXU-friendly
+cumsums, no per-agent Python).
+
+The calibrated chain then feeds the existing offline tiers
+(slam/refine.py, slam/joint.py): with the systematic bend explained by
+one explicit parameter, the pose-graph GN no longer has to pay odometry
+-factor cost at every step to absorb it, and the closure/unary factors
+pull the residual instead of fighting the bias.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_bias",))
+def _score_biases(xy, w_obs, z_xy, bias_lo, bias_hi, n_bias: int):
+    """SSE of every candidate yaw-rate bias for one agent batch.
+
+    xy    [N, T, 2] logged estimate positions
+    w_obs [N, T]    observation weights (0 where no fix)
+    z_xy  [N, T, 2] absolute fixes (ignored where w_obs == 0)
+    Returns (biases [B], sse [B, N], vlast [B, N, T, 2] is NOT kept —
+    recomputed for the winner by _reintegrate).
+    """
+    biases = jnp.linspace(bias_lo, bias_hi, n_bias)
+    d = jnp.diff(xy, axis=1)                          # [N, T-1, 2]
+    seg = jnp.linalg.norm(d, axis=-1)                 # [N, T-1]
+    # distance travelled BEFORE each segment
+    dist = jnp.concatenate([jnp.zeros_like(seg[:, :1]),
+                            jnp.cumsum(seg[:, :-1], axis=1)], axis=1)
+
+    def sse_of(b):
+        a = b * dist                                  # [N, T-1]
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        rx = ca * d[..., 0] - sa * d[..., 1]
+        ry = sa * d[..., 0] + ca * d[..., 1]
+        px = xy[:, :1, 0] + jnp.concatenate(
+            [jnp.zeros_like(rx[:, :1]), jnp.cumsum(rx, axis=1)], axis=1)
+        py = xy[:, :1, 1] + jnp.concatenate(
+            [jnp.zeros_like(ry[:, :1]), jnp.cumsum(ry, axis=1)], axis=1)
+        e2 = (px - z_xy[..., 0]) ** 2 + (py - z_xy[..., 1]) ** 2
+        return jnp.sum(w_obs * e2, axis=1)            # [N]
+
+    return biases, jax.lax.map(sse_of, biases)
+
+
+@jax.jit
+def _reintegrate(xy, yaw, bias, scale):
+    """Apply per-agent (bias [N], scale [N]) to the chain [N, T, ...]."""
+    d = jnp.diff(xy, axis=1)
+    seg = jnp.linalg.norm(d, axis=-1)
+    dist = jnp.concatenate([jnp.zeros_like(seg[:, :1]),
+                            jnp.cumsum(seg[:, :-1], axis=1)], axis=1)
+    a = bias[:, None] * dist
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    rx = scale[:, None] * (ca * d[..., 0] - sa * d[..., 1])
+    ry = scale[:, None] * (sa * d[..., 0] + ca * d[..., 1])
+    px = xy[:, :1, 0] + jnp.concatenate(
+        [jnp.zeros_like(rx[:, :1]), jnp.cumsum(rx, axis=1)], axis=1)
+    py = xy[:, :1, 1] + jnp.concatenate(
+        [jnp.zeros_like(ry[:, :1]), jnp.cumsum(ry, axis=1)], axis=1)
+    # distance AT each pose (0 at t=0) rotates the yaw too
+    dist_at = jnp.concatenate([jnp.zeros_like(seg[:, :1]),
+                               jnp.cumsum(seg, axis=1)], axis=1)
+    return (jnp.stack([px, py], axis=-1),
+            yaw + bias[:, None] * dist_at,
+            dist_at)
+
+
+@jax.jit
+def _fit_scale(xy_cal, w_obs, z_xy):
+    """Closed-form per-agent scale given the bias-corrected chain: with
+    p(s) = p0 + s * v (v = bias-rotated cumulative deltas), the LS
+    scale is <z - p0, v> / <v, v> over the weighted fixes."""
+    p0 = xy_cal[:, :1, :]
+    v = xy_cal - p0
+    num = jnp.sum(w_obs[..., None] * v * (z_xy - p0), axis=(1, 2))
+    den = jnp.sum(w_obs[..., None] * v * v, axis=(1, 2))
+    return num / jnp.maximum(den, 1e-9)
+
+
+def calibrate_chains(ex, ey, eyaw, obs_mask, zx, zy,
+                     bias_range: float = 0.015, n_bias: int = 61,
+                     scale_band: float = 0.01, min_obs: int = 5):
+    """Fit (yaw-rate bias, translation scale) per agent and return the
+    calibrated chains.
+
+    ex, ey, eyaw [T, N]: logged raw odometry estimates (step-major, the
+      tools/bench_accuracy.py log layout).
+    obs_mask [T, N] bool: steps with a fitness-verified anchored-merge
+      fix (slam/livemerge.py `upd`).
+    zx, zy [T, N]: the fix positions (server/anchor frame) at those
+      steps — e.g. the logged post-match srv_x/srv_y.
+
+    Returns dict with bias [N], scale [N], x/y/yaw [T, N] calibrated,
+    n_obs [N]. Agents with fewer than min_obs fixes keep bias=0,
+    scale=1 (nothing to calibrate against).
+    """
+    xy = jnp.stack([jnp.asarray(ex).T, jnp.asarray(ey).T], axis=-1)
+    yaw = jnp.asarray(eyaw).T                             # [N, T]
+    w = jnp.asarray(obs_mask).T.astype(jnp.float32)       # [N, T]
+    z = jnp.stack([jnp.asarray(zx).T, jnp.asarray(zy).T], axis=-1)
+    n_obs = jnp.sum(w, axis=1)
+
+    biases, sse = _score_biases(xy, w, z, -bias_range, bias_range,
+                                n_bias)                   # [B], [B, N]
+    k = jnp.argmin(sse, axis=0)                           # [N]
+    # parabolic refinement around the grid minimum (same recipe as the
+    # scan matcher's sub-cell peak)
+    km = jnp.clip(k - 1, 0, n_bias - 1)
+    kp = jnp.clip(k + 1, 0, n_bias - 1)
+    ar = jnp.arange(sse.shape[1])
+    c0, cm, cp = sse[k, ar], sse[km, ar], sse[kp, ar]
+    denom = cm - 2 * c0 + cp
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (cm - cp) / denom, 0.0)
+    off = jnp.where((k > 0) & (k < n_bias - 1),
+                    jnp.clip(off, -0.5, 0.5), 0.0)
+    step = biases[1] - biases[0]
+    bias = biases[k] + off * step
+    bias = jnp.where(n_obs >= min_obs, bias, 0.0)
+
+    xy_b, yaw_b, _ = _reintegrate(xy, yaw, bias, jnp.ones_like(bias))
+    scale = jnp.clip(_fit_scale(xy_b, w, z),
+                     1.0 - scale_band, 1.0 + scale_band)
+    scale = jnp.where(n_obs >= min_obs, scale, 1.0)
+    xy_c, yaw_c, dist = _reintegrate(xy, yaw, bias, scale)
+
+    return {"bias": np.asarray(bias), "scale": np.asarray(scale),
+            "n_obs": np.asarray(n_obs, np.int64),
+            "x": np.asarray(xy_c[..., 0].T), "y": np.asarray(xy_c[..., 1].T),
+            "yaw": np.asarray(yaw_c.T),
+            "dist": np.asarray(dist.T)}

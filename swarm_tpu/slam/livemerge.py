@@ -214,14 +214,15 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
 
     return WindowMatch(ddx=put(m.ddx), ddy=put(m.ddy),
                        ddtheta=put(m.ddtheta), fitness=put(m.fitness),
-                       ok=put(m.ok) & mask)
+                       ok=put(m.ok) & mask,
+                       ddtheta_meas=put(m.ddtheta_meas))
 
 
 def merge_zero(n: int) -> WindowMatch:
     """The no-op result for off-cadence steps (lax.cond partner)."""
     z = jnp.zeros((n,), jnp.float32)
     return WindowMatch(ddx=z, ddy=z, ddtheta=z, fitness=z,
-                       ok=jnp.zeros((n,), bool))
+                       ok=jnp.zeros((n,), bool), ddtheta_meas=z)
 
 
 def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
@@ -281,7 +282,9 @@ def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
                     ddy=jnp.where(take, mw.ddy, m.ddy),
                     ddtheta=jnp.where(take, mw.ddtheta, m.ddtheta),
                     fitness=jnp.where(take, mw.fitness, m.fitness),
-                    ok=m.ok | take)
+                    ok=m.ok | take,
+                    ddtheta_meas=jnp.where(take, mw.ddtheta_meas,
+                                           m.ddtheta_meas))
     return m, attempted, recovered
 
 
@@ -303,6 +306,100 @@ def merge_fail_update(fail_count, m: WindowMatch, attempted, recovered,
     return jnp.where(tried,
                      jnp.where(bad & ~recovered, fail_count + 1, 0),
                      fail_count)
+
+
+def merge_bias_ff(yaw_rate, dist_mark, total_dist, cfg: SwarmConfig):
+    """Continuous feed-forward yaw correction accrued since the agent's
+    last rate rebase (SlamConfig.merge_bias_alpha): the estimated per-
+    meter yaw-rate bias times the distance travelled since the mark.
+    Added to the corrected yaw every step — the level state
+    (merge_dyaw) stays event-driven. Elementwise [N] (or local-shard
+    [n_loc] on gathered leaves), so fused and sharded engines compute
+    bit-identical values."""
+    if cfg.slam.merge_bias_alpha <= 0.0:
+        return jnp.zeros_like(total_dist)
+    led = jnp.minimum(total_dist - dist_mark, cfg.slam.merge_bias_ff_max_m)
+    return yaw_rate * led
+
+
+def merge_bias_update(yaw_rate, dist_mark, total_dist, m: WindowMatch,
+                      upd, cfg: SwarmConfig, quant_resid=None):
+    """Per-agent yaw-rate-bias update at a verified merge event.
+
+    Observation: the RAW-map rotation re-measurement `m.ddtheta_meas`
+    (scanmatch.match_scan_window) — NOT the pose-correction `m.ddtheta`,
+    which is rotation-blind below ~2 cells of tangential misalignment
+    (the dilation plateau + zero-motion prior resolve small rotations
+    to "no change"; measured forensics: ddtheta ~= 0 on every verified
+    event while the true frame error ramped to 0.3 rad, so the debiased
+    residual degenerated to exactly the quantisation sawtooth and the
+    rate estimate railed on it).
+
+    The measured residual accumulated over `led` metres (distance since
+    the agent's last rebase) observes the REMAINING rate error: under
+    feed-forward rate r and true bias b the frame yaw error grows at
+    (b + r) rad/m and the matcher measures ddtheta_meas ~=
+    -(accumulated error), so rate' = rate + alpha * ddtheta_meas / led
+    converges on r = -b (integral action; the level term keeps the
+    accumulated part bounded so the quotient tracks the slope).
+
+    quant_resid [N]: the reported-yaw QUANTISATION residual
+    (yaw_q - unquantised estimate, wrapped) at this step. The raster
+    frame uses the firmware's 15-degree-grid reported yaw, so the
+    measurement contains -(quant_resid + drift + corr); the +/-7.5 deg
+    residual is piecewise-CONSTANT between turns (NOT zero-mean per
+    event — consecutive observations re-measure the same offset) and
+    would swamp the ~0.01 rad/window drift signal. It is exactly known
+    on the agent (its own odometry minus what it reported — firmware-
+    side calibration knowledge, like gyro bias calibration), so the
+    update debiases with it.
+
+    Updates apply only where the observation window is meaningful
+    (led >= merge_bias_min_dist): near-stationary re-verifications
+    divide a noise-sized residual by a tiny distance.
+
+    Returns DELTAS so sharded callers can all-gather them like the
+    merge_dx/dy/dyaw increments:
+      fold        [N] — accrued feed-forward (rate x led, extrapolation-
+                  bounded) + the level step, folded into merge_dyaw at
+                  the rebase so the total correction is continuous
+                  across the mark reset
+      rate_delta  [N] — change to merge_yaw_rate
+      mark_delta  [N] — change to merge_dist_mark (= led where rebased)
+    """
+    slam = cfg.slam
+    if slam.merge_bias_alpha <= 0.0:
+        z = jnp.zeros_like(yaw_rate)
+        return z, z, z
+    led = total_dist - dist_mark
+    # the ACCRUED feed-forward to fold must mirror merge_bias_ff's
+    # extrapolation bound, or the rebase would fold more yaw into the
+    # level than was ever applied
+    led_ff = jnp.minimum(led, slam.merge_bias_ff_max_m)
+    dth = m.ddtheta_meas if quant_resid is None else \
+        m.ddtheta_meas + quant_resid
+    # PI structure on the integrator plant e' = b + r: the level term
+    # (merge_bias_level_damp) cancels the accumulated frame-yaw error,
+    # the slow integral (merge_bias_alpha) absorbs its per-meter slope
+    # into the feed-forward rate.
+    dth_c = jnp.clip(dth, -slam.merge_bias_level_cap,
+                     slam.merge_bias_level_cap)
+    level = slam.merge_bias_level_damp * dth_c
+    # clipped numerator for the rate too: one recovery-scale event
+    # (|dth| up to merge_recover_angle_range) must not kick the
+    # estimate by more than alpha x cap / min_dist
+    rate_obs = dth_c / jnp.maximum(led, slam.merge_bias_min_dist)
+    new_rate = jnp.clip(yaw_rate + slam.merge_bias_alpha * rate_obs,
+                        -slam.merge_bias_max, slam.merge_bias_max)
+    # level: every verified event (a parked agent can still carry frame
+    # error from an earlier kick); rate + rebase: only meaningful
+    # observation windows
+    gate = upd & (led >= slam.merge_bias_min_dist)
+    fold = jnp.where(upd, level, 0.0) + \
+        jnp.where(gate, yaw_rate * led_ff, 0.0)
+    rate_delta = jnp.where(gate, new_rate - yaw_rate, 0.0)
+    mark_delta = jnp.where(gate, led, 0.0)
+    return fold, rate_delta, mark_delta
 
 
 def merge_increments(m: WindowMatch, upd, recovered, cfg: SwarmConfig):

@@ -204,6 +204,16 @@ class WindowMatch(NamedTuple):
     ddtheta: jnp.ndarray   # [] radians — add to the reported yaw
     fitness: jnp.ndarray   # [] matched fraction of scan points
     ok: jnp.ndarray        # [] bool — fitness gate (ref: >= 0.6)
+    # Rotation re-measured on the UNDILATED map at the chosen
+    # translation, with no zero-motion prior. The pose-correction
+    # ddtheta above is deliberately rotation-blind below ~2 cells of
+    # tangential misalignment (the dilation plateau + prior resolve
+    # small rotations to "no change" — the anti-runaway design); this
+    # field exists for the yaw-rate-bias ESTIMATOR
+    # (slam/livemerge.merge_bias_update), which needs the small
+    # residual rotations the correction path intentionally ignores.
+    # Never fed back into the pose directly.
+    ddtheta_meas: jnp.ndarray  # [] radians
 
 
 def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
@@ -383,12 +393,30 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     inliers = jnp.sum(rot[ai] * jnp.minimum(win, 1.0))
     fitness = jnp.where(n_pts > 0, inliers / jnp.maximum(n_pts, 1e-6), 0.0)
     fitness = jnp.minimum(fitness, 1.0)
+
+    # Rotation re-measurement for the bias estimator: score every theta
+    # hypothesis against the RAW (undilated) mass at the chosen
+    # translation and refine the prior-free peak. The dilated surface is
+    # flat for tangential displacements under ~inlier_radius cells, so
+    # `ddtheta` above cannot see the per-window drift increment
+    # (~0.01 rad) the yaw-rate estimator needs; the raw wall profile
+    # (1-2 cells wide) still has curvature there. One [A, s_in^2] @
+    # [s_in^2] matvec — negligible next to the translation scoring.
+    win_raw = jax.lax.dynamic_slice(window_mass.astype(dtype), (di, dj),
+                                    (s_in, s_in))
+    t_line = jnp.dot(rot.reshape(n_theta, -1), win_raw.reshape(-1),
+                     preferred_element_type=jnp.float32)
+    ai_r = jnp.argmax(t_line)
+    off_r = refine_t(ai_r, t_line)
+    ddtheta_meas = thetas[ai_r] + off_r * dth_step
+
     return WindowMatch(
         ddx=dx_cells * resolution,
         ddy=dy_cells * resolution,
         ddtheta=ddtheta,
         fitness=fitness,
-        ok=(fitness >= fitness_min) & (n_pts >= min_points))
+        ok=(fitness >= fitness_min) & (n_pts >= min_points),
+        ddtheta_meas=ddtheta_meas)
 
 
 def occupancy_mass(tri_grid, cfg: GridConfig = GridConfig()):

@@ -378,7 +378,8 @@ def test_merge_fail_update_and_increments_semantics():
         ddy=jnp.zeros((n,), jnp.float32),
         ddtheta=jnp.array([0.0, 0.01, 0.0, 0.0, 0.20], jnp.float32),
         fitness=jnp.full((n,), 0.9, jnp.float32),
-        ok=jnp.array([False, True, True, False, True]))
+        ok=jnp.array([False, True, True, False, True]),
+        ddtheta_meas=jnp.zeros((n,), jnp.float32))
     attempted = jnp.array([True, True, True, False, True])
     recovered = jnp.array([False, False, False, False, True])
     alive = jnp.ones((n,), bool)

@@ -417,9 +417,45 @@ def main():
         return {k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in wall_metrics(occ, wall_mask).items()}
 
-    for tier_name, solver in (("anchored_gn", refine_session),
-                              ("anchored_joint", joint_refine_session)):
-        ref_t = solver(session_m, closures=closures_m, cfg=base_cfg,
+    # ----- drift-calibrated tiers (VERDICT r4 item 1): fit each agent's
+    # (yaw-rate bias, translation scale) — the reference drift model's
+    # actual parameters (generate_fake_dual_session.py:407-444) — against
+    # the merge_anchored run's fitness-verified absolute fixes, then
+    # re-run the offline solvers on the CALIBRATED chain. The pose-graph
+    # alone cannot absorb a parametric bend (it pays odometry-factor
+    # cost at every step); one explicit parameter per agent can.
+    from swarm_tpu.slam.calibrate import calibrate_chains
+    x_off = np.asarray(params.x_offset)
+    cal = calibrate_chains(log_m["ex"] + x_off[None, :], log_m["ey"],
+                           log_m["eyaw"], log_m["mok"],
+                           log_m["sx"], log_m["sy"])
+    cal_dict = {a + 1: {"poses": np.stack(
+                            [cal["x"][:, a], cal["y"][:, a],
+                             cal["yaw"][:, a]], -1).astype(np.float32),
+                        "idx": np.arange(t_steps) * n + a}
+                for a in range(n)}
+    a_mean, a_late = offline_ate(cal_dict, true_xm, true_ym)
+    results["calibrated"] = {
+        "ate_mean_m": round(a_mean, 4), "ate_late_m": round(a_late, 4),
+        "bias_hat_mean_abs": round(float(np.abs(cal["bias"]).mean()), 5),
+        "merge_obs": n_obs,
+        **tier_map_metrics(cal_dict)}
+    print(f"{'calibrated':16s} ATE mean {a_mean:.3f} m | "
+          f"late {a_late:.3f} m | IoU {results['calibrated']['wall_iou']} "
+          f"(|bias| mean {results['calibrated']['bias_hat_mean_abs']})",
+          flush=True)
+
+    session_c = dict(session_m,
+                     x=cal["x"].reshape(-1).astype(np.float64),
+                     y=cal["y"].reshape(-1).astype(np.float64),
+                     yaw_deg=np.degrees(cal["yaw"].reshape(-1)))
+
+    for tier_name, solver, sess in (
+            ("anchored_gn", refine_session, session_m),
+            ("anchored_joint", joint_refine_session, session_m),
+            ("calibrated_gn", refine_session, session_c),
+            ("calibrated_joint", joint_refine_session, session_c)):
+        ref_t = solver(sess, closures=closures_m, cfg=base_cfg,
                        unary=unary)
         a_mean, a_late = offline_ate(ref_t, true_xm, true_ym)
         results[tier_name] = {"ate_mean_m": round(a_mean, 4),
@@ -427,7 +463,7 @@ def main():
                               "merge_obs": n_obs,
                               **tier_map_metrics(ref_t)}
         extra = ""
-        if tier_name == "anchored_joint":
+        if tier_name.endswith("_joint"):
             comp_inter = {tuple(r["component"]): r["inter_edges"]
                           for r in ref_t.values()}
             results[tier_name]["inter_edges"] = int(
