@@ -291,6 +291,76 @@ class SlamConfig:
     # (level observation integrated as a rate rails the estimate).
     merge_bias_level_damp: float = 0.5
     merge_bias_level_cap: float = 0.10  # rad per-event level-step clamp
+    # Online per-agent FRAME tracker (VERDICT r4 item 1, the mechanism
+    # that works where the yaw-rate estimator above measurably did not —
+    # see NOTES_r4.md forensics): the server estimates each agent's
+    # reported-frame rotation theta and velocity scale from the
+    # POSITION-fix innovations, which carry a ~merge-interval lever arm
+    # (|path| ~1.6 m vs ~0.1 m fix noise), instead of the rotation
+    # matcher's dilation-blind ddtheta. Model: D_rep = s_rep R(e) D_true
+    # per step, so the server applies D_corr = s_hat R(-theta_hat) D_rep
+    # continuously (every step, [N] vector math), which corrects drift
+    # at the SOURCE rate — the event matcher then only trims residuals,
+    # and its capture range / persistent clamp never bind. At each
+    # verified merge event the residual r against the accumulated
+    # corrected path a observes both errors in closed form:
+    #   delta_theta = -cross(a, r)/|a|^2,  delta_scale = dot(a, r)/|a|^2
+    # (first-order exact; derivation in slam/livemerge.py). 0 = off.
+    merge_frame_gain: float = 0.0
+    merge_frame_scale_gain: float = 0.1   # innovation gain on the scale
+    # min lever arm |a| for a SUB-WINDOW to enter the accumulators
+    merge_frame_min_path_m: float = 0.4
+    # accumulated lever (metres, squared internally) at which the
+    # estimates update: one window is noise-dominated (the matcher's
+    # 2-cell dilation plateau puts ~0.1 m on each residual against a
+    # ~2 cm/window drift signal — measured sign-agreement 48%), so
+    # windows accumulate until sqrt(dacc) reaches this; noise falls as
+    # 1/sqrt(windows) while the drift signal is constant
+    merge_frame_inno_path_m: float = 2.0
+    # per-step teleport guard on the reported delta: a respawn/packet gap
+    # must not enter the velocity correction or the path accumulator
+    merge_frame_max_step_m: float = 1.0
+    # rad, APPLIED theta step clamp per event: must exceed the per-window
+    # drift growth (bias_max x window path ~ 0.03 rad) so acquisition
+    # tracks, while bounding the damage of any one corrupted innovation
+    merge_frame_inno_clamp: float = 0.05
+    # |s_hat - 1| bound: the reference's translation-scale biases are
+    # +/-0.2% (generate_fake_dual_session.py:407-444); 2x margin without
+    # letting a run of false matches rail the velocity (measured: a 6%
+    # rail alone costs ~6 cm/m of position error)
+    merge_frame_scale_clamp: float = 0.004
+    # innovations (NOT corrections) require this fitness — false matches
+    # in symmetric rooms cluster at the 0.6 accept floor, and one biased
+    # innovation poisons the estimate for many events
+    merge_frame_fit_min: float = 0.7
+    # TURN gate: innovate only on windows whose reported QUANTIZED yaw
+    # did not change. The raster/matcher frame uses the firmware's
+    # 15-degree-grid yaw; its +/-7.5-degree residual biases each match
+    # by ~q x scan-centroid-radius (0.1-0.25 m). The bias is CONSTANT
+    # between turns (the leftover carry differences it away) but STEPS
+    # at every turn — a spike of ~0.2 m against a ~2 cm/window drift
+    # signal, riding exactly on turn events. Skipping those windows
+    # drops the corrupted minority; the rate feed-forward carries the
+    # estimate through them. (rad; 0 disables the gate)
+    merge_frame_turn_gate: float = 0.01
+    # second-order loop: per-meter frame-yaw RATE estimate (the drift
+    # model's actual parameter, +/-0.008 rad/m) learned from the applied
+    # theta steps, fed forward continuously (theta += rate x step
+    # distance) so theta needs no per-event kick to track growth
+    merge_frame_rate_gain: float = 0.2
+    merge_frame_rate_max: float = 0.02   # |rad/m| clamp
+    # Scan projection de-rotates by theta QUANTIZED to this step (rad).
+    # Continuous de-rotation couples the estimate into its own
+    # observation: a theta error rotates the projected scan, the
+    # matcher's zero-rotation prior makes the TRANSLATION absorb the
+    # rotation bias (~theta_err x scan radius, comparable to the drift
+    # signal), and the innovation loop can lock onto a wrong theta
+    # (measured: 3/8 agents wrong-sign/2x at 8 agents x 800 steps).
+    # Quantized de-rotation keeps the scan's residual rotation inside
+    # the matcher's +/-merge_angle_range capture (where its rotation
+    # SEARCH, not the translation, compensates), changes rarely, and
+    # each change gates the window's innovation exactly like a turn.
+    merge_frame_derot_quant: float = 0.1
     # Freeze window (steps): cells may enter the anchor only this early.
     # Without a cutoff the anchor slowly ACCRETES ghost walls painted at
     # drifted poses later in the run (they become confident, freeze, and

@@ -86,6 +86,13 @@ _MIGRATIONS = {
     # SHRINKS the first rate update, so the estimate re-converges safely.
     ".srv.merge_yaw_rate": "zero",
     ".srv.merge_dist_mark": "zero",
+    # r4 online frame tracker (SlamConfig.merge_frame_gain,
+    # slam/livemerge.py FrameState). px/py = 0 is safe on resume: the
+    # tracker's per-step teleport guard skips the one oversized delta
+    # and rebases on the next step; a zeroed theta/rate just re-acquires.
+    **{f".srv.frame.{f}": "zero"
+       for f in ("theta", "scale_dev", "rate", "px", "py", "ax", "ay",
+                 "lx", "ly", "qy", "nacc", "dacc", "sacc")},
 }
 
 

@@ -47,6 +47,7 @@ from swarm_tpu.models.odometry import OdomState, drift_integrate, encoder_emit, 
 from swarm_tpu.models.sensors import sense_4way
 from swarm_tpu.ops.frontier import frontier_clusters, frontier_targets_coarse
 from swarm_tpu.ops.raster import RayBatch, logodds_raster, parity_raster, tri_state_view
+from swarm_tpu.slam.livemerge import FrameState, frame_init
 from swarm_tpu.slam.closure import (
     ClosureState, closure_add_pose, closure_add_poses_batch, closure_init)
 from swarm_tpu.utils.angles import wrap_pi
@@ -203,6 +204,9 @@ class MapState(NamedTuple):
     # slam/livemerge.py merge_bias_ff / merge_bias_update)
     merge_yaw_rate: jnp.ndarray   # [N] float32
     merge_dist_mark: jnp.ndarray  # [N] float32
+    # online per-agent FRAME tracker (SlamConfig.merge_frame_gain;
+    # slam/livemerge.py FrameState / frame_advance / frame_innovate)
+    frame: "FrameState"
 
 
 WRITES_RADIX = 1 << 30
@@ -332,7 +336,13 @@ def sim_init(cfg: SwarmConfig, params: AgentParams,
                          cfg.grid.lo_dtype),
         merge_fail=jnp.zeros((n,), jnp.int32),
         merge_yaw_rate=jnp.zeros((n,), jnp.float32),
-        merge_dist_mark=jnp.zeros((n,), jnp.float32))
+        merge_dist_mark=jnp.zeros((n,), jnp.float32),
+        # initial RAW reported positions (est = home at t0, plus the
+        # separation offset) so the tracker's first step sees a real
+        # delta; a zero-init (checkpoint migration, live server) is
+        # caught by the teleport guard instead
+        frame=frame_init(n, px=params.home_x + params.x_offset,
+                         py=params.home_y))
     state = SimState(
         t=jnp.zeros(()), step=jnp.zeros((), jnp.int32), key=key,
         pose_true=pose_true,
@@ -363,9 +373,34 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
 
     # separation offset + accumulated SLAM drift correction (:851-857)
     # + accumulated scan-merge correction (slam/livemerge.py)
-    rx = est_x + params.x_offset + srv.closure.drift_dx + srv.merge_dx
-    ry = est_y + srv.closure.drift_dy + srv.merge_dy
-    ryaw = est_yaw + srv.merge_dyaw
+    merge_dx, merge_dy, merge_dyaw = srv.merge_dx, srv.merge_dy, \
+        srv.merge_dyaw
+    frame = srv.frame
+    gate_yaw = est_yaw
+    if cfg.slam.merge_frame_gain > 0.0:
+        # continuous frame-tracked velocity correction (every step):
+        # de-rotate + re-scale this step's RAW reported delta by the
+        # per-agent estimates before any matching happens; theta itself
+        # advances by the learned per-meter rate (slam/livemerge.py
+        # FrameState docs)
+        from swarm_tpu.slam.livemerge import (
+            frame_add, frame_advance, frame_theta_q)
+        adx, ady, fd = frame_advance(
+            frame, est_x + params.x_offset, est_y, alive, cfg)
+        merge_dx = merge_dx + adx
+        merge_dy = merge_dy + ady
+        frame = frame_add(frame, fd)
+    rx = est_x + params.x_offset + srv.closure.drift_dx + merge_dx
+    ry = est_y + srv.closure.drift_dy + merge_dy
+    ryaw = est_yaw + merge_dyaw
+    if cfg.slam.merge_frame_gain > 0.0:
+        # scans project at the de-rotated yaw: the frame rotation the
+        # tracker estimates from positions IS the yaw-estimate error
+        # (drift_integrate moves along the biased yaw). De-rotation is
+        # QUANTIZED (frame_theta_q docs).
+        theta_q = frame_theta_q(frame.theta, cfg)
+        ryaw = ryaw - theta_q
+        gate_yaw = est_yaw - theta_q
     if cfg.slam.merge_bias_alpha > 0.0 and total_dist is not None:
         from swarm_tpu.slam.livemerge import merge_bias_ff
         ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate,
@@ -376,8 +411,6 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
     # against the map as of the PREVIOUS step, damp-accumulate the
     # correction, and raster this step at the corrected pose — the
     # insertion is the merge.
-    merge_dx, merge_dy, merge_dyaw = srv.merge_dx, srv.merge_dy, \
-        srv.merge_dyaw
     merge_yaw_rate, merge_dist_mark = srv.merge_yaw_rate, \
         srv.merge_dist_mark
     n_merges = jnp.zeros((), jnp.int32)
@@ -441,6 +474,10 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
             merge_dist_mark = merge_dist_mark + mark_d
         merge_fail = merge_fail_update(srv.merge_fail, m, att, rec,
                                        alive, cfg)
+        if cfg.slam.merge_frame_gain > 0.0:
+            from swarm_tpu.slam.livemerge import frame_add, frame_innovate
+            frame = frame_add(frame, frame_innovate(
+                frame, gate_yaw, m, upd, inc_dx, inc_dy, cfg))
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
@@ -671,7 +708,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                                        writes.astype(jnp.int32)),
         merge_dx=merge_dx, merge_dy=merge_dy, merge_dyaw=merge_dyaw,
         anchor=anchor, merge_fail=merge_fail,
-        merge_yaw_rate=merge_yaw_rate, merge_dist_mark=merge_dist_mark)
+        merge_yaw_rate=merge_yaw_rate, merge_dist_mark=merge_dist_mark,
+        frame=frame)
     return new_srv, closed, online, new_targets, new_has_target, \
         (rx, ry, ryaw, hx, hy, hit_valid), \
         (n_merges, merge_fit, merge_ok_agent, merge_fit_agent)

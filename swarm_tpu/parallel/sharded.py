@@ -46,6 +46,7 @@ from swarm_tpu.geom.world import cast_rays
 from swarm_tpu.ops.frontier import frontier_clusters, frontier_targets_coarse
 from swarm_tpu.ops.raster import RayBatch, logodds_delta, tri_state_view
 from swarm_tpu.slam.closure import ClosureState, closure_add_poses_batch
+from swarm_tpu.slam.livemerge import FrameState
 from swarm_tpu.utils.angles import wrap_pi
 
 
@@ -81,7 +82,8 @@ def state_specs(axis="agents", grid_rows_sharded: bool = False,
             frontier_centroids=rep, n_frontiers=rep, total_writes=rep,
             merge_dx=rep, merge_dy=rep, merge_dyaw=rep,
             anchor=lo, merge_fail=rep,
-            merge_yaw_rate=rep, merge_dist_mark=rep))
+            merge_yaw_rate=rep, merge_dist_mark=rep,
+            frame=FrameState(*([rep] * len(FrameState._fields)))))
 
 
 def shard_state(state: SimState, mesh,
@@ -276,10 +278,33 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                          cfg.noise.yaw_quantize_deg))
 
     # 4. server ingest — local raster + psum, gathered coordination
+    from swarm_tpu.slam.livemerge import (
+        frame_add, frame_advance, frame_init, frame_theta_q)
+    merge_dx_loc = srv.merge_dx[ridx]
+    merge_dy_loc = srv.merge_dy[ridx]
+    frame_loc = jax.tree.map(lambda x: x[ridx], srv.frame)
+    adv_d = inno_d = frame_init(n_loc)       # zero deltas
+    adv_x = adv_y = jnp.zeros((n_loc,), jnp.float32)
+    if cfg.slam.merge_frame_gain > 0.0:
+        # continuous frame-tracked velocity correction (mirrors
+        # engine.sim._ingest_batched; same `leaf + delta` float
+        # expressions through frame_add, so decompositions stay
+        # bit-equal)
+        adv_x, adv_y, adv_d = frame_advance(
+            frame_loc, odom.x_est + p.x_offset, odom.y_est, alive, cfg)
+        merge_dx_loc = merge_dx_loc + adv_x
+        merge_dy_loc = merge_dy_loc + adv_y
+        frame_loc = frame_add(frame_loc, adv_d)
     rx = odom.x_est + p.x_offset + srv.closure.drift_dx[ridx] + \
-        srv.merge_dx[ridx]
-    ry = odom.y_est + srv.closure.drift_dy[ridx] + srv.merge_dy[ridx]
+        merge_dx_loc
+    ry = odom.y_est + srv.closure.drift_dy[ridx] + merge_dy_loc
     ryaw = yaw_q + srv.merge_dyaw[ridx]
+    gate_yaw = yaw_q
+    if cfg.slam.merge_frame_gain > 0.0:
+        # quantized de-rotation (mirrors engine.sim._ingest_batched)
+        theta_q = frame_theta_q(frame_loc.theta, cfg)
+        ryaw = ryaw - theta_q
+        gate_yaw = yaw_q - theta_q
     if cfg.slam.merge_bias_alpha > 0.0:
         from swarm_tpu.slam.livemerge import merge_bias_ff
         ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate[ridx],
@@ -354,6 +379,13 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             cdth = cdth + fold
         new_fail_loc = merge_fail_update(fail_loc, m, att, rec, alive,
                                          cfg)
+        if cfg.slam.merge_frame_gain > 0.0:
+            # event innovation; the innovation delta applies AFTER the
+            # advance delta (same float grouping as the fused engine,
+            # so decompositions stay bit-equal)
+            from swarm_tpu.slam.livemerge import frame_innovate
+            inno_d = frame_innovate(frame_loc, gate_yaw, m, upd,
+                                    cdx, cdy, cfg)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
         merge_ok_loc = upd
@@ -646,13 +678,15 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
         frontier_centroids=cents, n_frontiers=n_fr,
         total_writes=writes_accumulate(srv.total_writes,
                                        writes.astype(jnp.int32)),
-        merge_dx=srv.merge_dx + g(cdx),
-        merge_dy=srv.merge_dy + g(cdy),
+        merge_dx=(srv.merge_dx + g(adv_x)) + g(cdx),
+        merge_dy=(srv.merge_dy + g(adv_y)) + g(cdy),
         merge_dyaw=srv.merge_dyaw + g(cdth),
         anchor=anchor,
         merge_fail=g(new_fail_loc),
         merge_yaw_rate=srv.merge_yaw_rate + g(rate_d_loc),
-        merge_dist_mark=srv.merge_dist_mark + g(mark_d_loc))
+        merge_dist_mark=srv.merge_dist_mark + g(mark_d_loc),
+        frame=frame_add(frame_add(srv.frame, jax.tree.map(g, adv_d)),
+                        jax.tree.map(g, inno_d)))
 
     # TARG delivery (local rows of the replicated assignment; mirrors
     # engine.sim.sim_step — server frame back into the odometry frame)

@@ -153,3 +153,66 @@ def calibrate_chains(ex, ey, eyaw, obs_mask, zx, zy,
             "x": np.asarray(xy_c[..., 0].T), "y": np.asarray(xy_c[..., 1].T),
             "yaw": np.asarray(yaw_c.T),
             "dist": np.asarray(dist.T)}
+
+
+def relocalize_fixes(anchor_logodds, x, y, yaw, scans, cfg,
+                     every: int = 16, n_theta: int = 15,
+                     theta_range: float = 0.3,
+                     theta_prior_scale: float = 0.3):
+    """Offline re-localization against the frozen anchor map: match each
+    agent's logged scan, projected at the (calibrated) pose, against the
+    anchor at a step cadence — the offline analogue of the reference
+    merger's submap re-alignment (map_merger.py:35-62), free of the
+    online pass's real-time constraints.
+
+    The ONLINE fixes are only as good as the live correction loop that
+    produced them (measured: 0.25 m median / 0.8 m p90 error vs truth at
+    64 agents / 2000 steps — the matcher's search window saturates once
+    drift outruns it, biasing the calibration toward the drifted chain).
+    Re-matching from an already-calibrated chain re-centres every search
+    window near truth, so the second-round fixes are capture-unsaturated.
+
+    anchor_logodds [S, S]; x/y/yaw/scans step-major [T, N(, R)].
+    Returns (mask [T, N] bool, zx, zy [T, N]) — fitness-verified fixes.
+    """
+    from swarm_tpu.slam.livemerge import scan_merge
+
+    anchor = jnp.asarray(anchor_logodds)
+    match_map = jnp.where(jnp.abs(anchor) >= 0.5, anchor, 0.0)
+    t_steps, n = np.shape(x)[:2]
+    alive = jnp.ones((n,), bool)
+
+    @jax.jit
+    def one(rx, ry, ryaw, sd):
+        m = scan_merge(match_map, rx, ry, ryaw, sd, alive, cfg,
+                       n_theta=n_theta, theta_range=theta_range,
+                       theta_prior_scale=theta_prior_scale)
+        return m.ok, rx + m.ddx, ry + m.ddy
+
+    mask = np.zeros((t_steps, n), bool)
+    zx = np.zeros((t_steps, n), np.float32)
+    zy = np.zeros((t_steps, n), np.float32)
+    for t in range(every - 1, t_steps, every):
+        ok, fx, fy = one(jnp.asarray(x[t]), jnp.asarray(y[t]),
+                         jnp.asarray(yaw[t]), jnp.asarray(scans[t]))
+        mask[t] = np.asarray(ok)
+        zx[t] = np.asarray(fx)
+        zy[t] = np.asarray(fy)
+    return mask, zx, zy
+
+
+def calibrate_reloc(ex, ey, eyaw, obs_mask, zx, zy, anchor_logodds,
+                    scans, cfg, rounds: int = 2, every: int = 16,
+                    **cal_kw):
+    """Calibrate, then iterate (re-localize fixes from the calibrated
+    chain -> re-calibrate the RAW chain on them) `rounds` times.
+    Returns (cal dict, mask, zx, zy) — the final calibration and the
+    final fix set (for downstream pose-graph unary factors)."""
+    cal = calibrate_chains(ex, ey, eyaw, obs_mask, zx, zy, **cal_kw)
+    mask, fx, fy = obs_mask, zx, zy
+    for _ in range(rounds):
+        mask, fx, fy = relocalize_fixes(
+            anchor_logodds, cal["x"], cal["y"], cal["yaw"], scans, cfg,
+            every=every)
+        cal = calibrate_chains(ex, ey, eyaw, mask, fx, fy, **cal_kw)
+    return cal, mask, fx, fy

@@ -19,6 +19,8 @@ inside a `lax.cond` on the merge cadence, so off-cadence steps pay nothing.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -400,6 +402,204 @@ def merge_bias_update(yaw_rate, dist_mark, total_dist, m: WindowMatch,
     rate_delta = jnp.where(gate, new_rate - yaw_rate, 0.0)
     mark_delta = jnp.where(gate, led, 0.0)
     return fold, rate_delta, mark_delta
+
+
+class FrameState(NamedTuple):
+    """Per-agent online frame-tracker state (SlamConfig.merge_frame_gain;
+    one MapState leaf group — all [N] float32).
+
+    The tracker estimates each agent's reported-frame rotation `theta`
+    (the yaw-bias drift, generate_fake_dual_session.py:407-444), its
+    per-meter growth `rate`, and the velocity scale `scale_dev`
+    (s_hat - 1) from position-fix innovations, and de-rotates every
+    step's reported velocity with them — drift correction at the SOURCE
+    rate, so the event matcher's capture range and persistent clamp
+    never bind (the r3 soak's escape mechanism)."""
+    theta: jnp.ndarray      # estimated frame rotation (rad)
+    scale_dev: jnp.ndarray  # estimated velocity scale - 1
+    rate: jnp.ndarray       # per-meter frame-yaw rate (rad/m)
+    px: jnp.ndarray         # last RAW reported position (velocity tap)
+    py: jnp.ndarray
+    ax: jnp.ndarray         # corrected path since last verified event
+    ay: jnp.ndarray
+    lx: jnp.ndarray         # leftover carry (un-persisted correction)
+    ly: jnp.ndarray
+    qy: jnp.ndarray         # projection-rotation quantum at last event
+    nacc: jnp.ndarray       # accumulated -cross(a, r) innovation numerator
+    dacc: jnp.ndarray       # accumulated |a|^2 lever arm
+    sacc: jnp.ndarray       # accumulated dot(a, r) scale numerator
+
+
+def frame_init(n: int, px=None, py=None) -> FrameState:
+    z = jnp.zeros((n,), jnp.float32)
+    return FrameState(
+        theta=z, scale_dev=z, rate=z,
+        px=z if px is None else jnp.asarray(px, jnp.float32),
+        py=z if py is None else jnp.asarray(py, jnp.float32),
+        ax=z, ay=z, lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z)
+
+
+def frame_add(fs: FrameState, d: FrameState) -> FrameState:
+    """leaf + delta, leafwise — BOTH engines apply updates through this
+    exact expression so decompositions stay bit-equal."""
+    return jax.tree.map(jnp.add, fs, d)
+
+
+def frame_theta_q(theta, cfg: SwarmConfig):
+    """Scan-projection de-rotation, QUANTIZED (see SlamConfig
+    .merge_frame_derot_quant): continuous de-rotation couples the
+    estimate into its own observation — a theta error rotates the
+    projected scan and the matcher's zero-rotation prior makes the
+    TRANSLATION absorb the rotation bias (~theta_err x scan radius,
+    comparable to the drift signal), so the innovation loop can lock
+    onto a wrong theta (measured: 3/8 agents wrong-sign/2x). Quantized
+    de-rotation keeps the scan's residual rotation inside the matcher's
+    +/-merge_angle_range capture (where its rotation SEARCH, not the
+    translation, compensates), changes rarely, and each change gates
+    that window's innovation exactly like a turn."""
+    dq = cfg.slam.merge_frame_derot_quant
+    if dq <= 0.0:
+        return theta
+    return jnp.round(theta / dq) * dq
+
+
+def frame_advance(fs: FrameState, raw_x, raw_y, alive,
+                  cfg: SwarmConfig):
+    """Per-step continuous frame correction (SlamConfig.merge_frame_gain).
+
+    Drift model (models/odometry.py drift_integrate): the agent
+    integrates displacement along its biased yaw with a scaled length,
+    so each step's REPORTED delta is D_rep = s_rep R(e) D_true, where e
+    is the (growing) frame-yaw error and s_rep the translation scale.
+    The server de-rotates every reported step with its current
+    estimates: D_corr = (1 + scale_dev) R(-theta) D_rep. Applied as a
+    merge_dx/dy increment, this corrects drift at the rate it accrues —
+    the event matcher then only trims residual noise. `theta` itself
+    advances by the learned per-meter rate (feed-forward), so it tracks
+    drift growth between innovations.
+
+    raw_x/y: this step's RAW reported position (est + separation
+    offset, NO corrections — the closure/merge corrections are level
+    shifts that must not enter the velocity).
+
+    Returns (add_x, add_y, deltas: FrameState) — merge_dx/dy increments
+    plus tracker-state DELTAS to apply via frame_add.
+    """
+    slam = cfg.slam
+    dpx = raw_x - fs.px
+    dpy = raw_y - fs.py
+    # teleport/gap/first-packet guard: a zero-init px (fresh server,
+    # checkpoint migration) or a respawn makes one oversized delta —
+    # skip the correction and the accumulator, rebase only
+    ok = alive & (dpx * dpx + dpy * dpy <=
+                  slam.merge_frame_max_step_m ** 2)
+    c = jnp.cos(fs.theta)
+    s = jnp.sin(fs.theta)
+    sc = 1.0 + fs.scale_dev
+    cdx = sc * (c * dpx + s * dpy)      # R(-theta) @ D_rep, scaled
+    cdy = sc * (c * dpy - s * dpx)
+    add_x = jnp.where(ok, cdx - dpx, 0.0)
+    add_y = jnp.where(ok, cdy - dpy, 0.0)
+    z = jnp.zeros_like(dpx)
+    deltas = FrameState(
+        theta=jnp.where(ok, fs.rate * jnp.sqrt(cdx * cdx + cdy * cdy),
+                        0.0),
+        scale_dev=z, rate=z, px=dpx, py=dpy,
+        ax=jnp.where(ok, cdx, 0.0), ay=jnp.where(ok, cdy, 0.0),
+        lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z)
+    return add_x, add_y, deltas
+
+
+def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
+                   inc_dx, inc_dy, cfg: SwarmConfig) -> FrameState:
+    """Event-time innovation for the frame tracker. Returns DELTAS.
+
+    With a = the corrected path accumulated since the last verified
+    event and r = the residual the drift accrued over THAT window,
+    first-order in the estimate errors (delta = e - theta,
+    ds = 1/s_rep - (1+scale_dev)):
+
+        r = sum[(1/s_rep) R(-e) - s_hat R(-theta)] D_rep
+          ~= (ds I - delta J) a          (J = 90-degree rotation)
+
+    so delta = -cross(a, r)/|a|^2 and ds = dot(a, r)/|a|^2. One window
+    is noise-dominated (the matcher's 2-cell dilation plateau puts
+    ~0.1 m on r against a ~0.01 rad x 1.6 m signal — measured: per-event
+    innovations agreed with the true theta gap only 48% of the time),
+    so windows ACCUMULATE: nacc += -cross, sacc += dot, dacc += |a|^2,
+    and the estimates update only when the accumulated lever dacc
+    reaches merge_frame_inno_path_m^2 (noise ~1/sqrt(windows), signal
+    constant). The per-meter rate learns from the same averaged
+    innovation, divided by the lever distance (second-order loop, small
+    gain: it integrates over the whole run and a railed rate was
+    MEASURED to drag theta 2.5x past truth).
+
+    Window gates (corrupted windows are DISCARDED, not accumulated):
+      * merge_frame_fit_min — false matches cluster at the 0.6 floor;
+      * the TURN gate (gate_yaw vs the stored quantum qy): the raster
+        frame uses the firmware's 15-degree-quantized yaw MINUS the
+        quantized de-rotation; each quantum change step-changes the
+        match's rotation-projection bias by ~0.2 m, a spike riding
+        exactly on turn windows;
+      * the sub-window lever floor merge_frame_min_path_m.
+
+    lx/ly — the LEFTOVER carry: merge_increments persists only
+    damping x clip(residual) into merge_dx/dy, so the unabsorbed part
+    of each event's measured correction reappears in the NEXT event's
+    measurement; subtracting it keeps window residuals unbiased
+    (without it the scale estimate railed at 30x the true deviation).
+    The accumulator, leftover, and quantum re-baseline at every
+    verified event regardless of the gates.
+    """
+    from swarm_tpu.utils.angles import wrap_pi
+    slam = cfg.slam
+    rx = m.ddx - fs.lx
+    ry = m.ddy - fs.ly
+    a2 = fs.ax * fs.ax + fs.ay * fs.ay
+    straight = (jnp.abs(wrap_pi(gate_yaw - fs.qy)) <=
+                slam.merge_frame_turn_gate) \
+        if slam.merge_frame_turn_gate > 0.0 else jnp.ones_like(upd)
+    sub_ok = upd & straight & \
+        (a2 >= slam.merge_frame_min_path_m ** 2) & \
+        (m.fitness >= slam.merge_frame_fit_min)
+    nacc = fs.nacc + jnp.where(sub_ok, -(fs.ax * ry - fs.ay * rx), 0.0)
+    sacc = fs.sacc + jnp.where(sub_ok, fs.ax * rx + fs.ay * ry, 0.0)
+    dacc = fs.dacc + jnp.where(sub_ok, a2, 0.0)
+    fire = dacc >= slam.merge_frame_inno_path_m ** 2
+    inv = 1.0 / jnp.maximum(dacc, 1e-9)
+    d_th = jnp.clip(nacc * inv,
+                    -slam.merge_frame_inno_clamp / jnp.maximum(
+                        slam.merge_frame_gain, 1e-6),
+                    slam.merge_frame_inno_clamp / jnp.maximum(
+                        slam.merge_frame_gain, 1e-6))
+    th_step = jnp.clip(slam.merge_frame_gain * d_th,
+                       -slam.merge_frame_inno_clamp,
+                       slam.merge_frame_inno_clamp)
+    new_theta = wrap_pi(fs.theta + th_step)
+    new_scale = jnp.clip(
+        fs.scale_dev + slam.merge_frame_scale_gain * sacc * inv,
+        -slam.merge_frame_scale_clamp, slam.merge_frame_scale_clamp)
+    new_rate = jnp.clip(
+        fs.rate + slam.merge_frame_rate_gain * d_th / jnp.sqrt(
+            jnp.maximum(dacc, slam.merge_frame_min_path_m ** 2)),
+        -slam.merge_frame_rate_max, slam.merge_frame_rate_max)
+    z = jnp.zeros_like(fs.theta)
+    return FrameState(
+        theta=jnp.where(fire, new_theta - fs.theta, 0.0),
+        scale_dev=jnp.where(fire, new_scale - fs.scale_dev, 0.0),
+        rate=jnp.where(fire, new_rate - fs.rate, 0.0),
+        px=z, py=z,
+        ax=jnp.where(upd, -fs.ax, 0.0),
+        ay=jnp.where(upd, -fs.ay, 0.0),
+        lx=jnp.where(upd, (m.ddx - inc_dx) - fs.lx, 0.0),
+        ly=jnp.where(upd, (m.ddy - inc_dy) - fs.ly, 0.0),
+        qy=jnp.where(upd, gate_yaw - fs.qy, 0.0),
+        nacc=jnp.where(fire, -fs.nacc, jnp.where(sub_ok, nacc - fs.nacc,
+                                                 0.0)),
+        dacc=jnp.where(fire, -fs.dacc, jnp.where(sub_ok, dacc - fs.dacc,
+                                                 0.0)),
+        sacc=jnp.where(fire, -fs.sacc, jnp.where(sub_ok, sacc - fs.sacc,
+                                                 0.0)))
 
 
 def merge_increments(m: WindowMatch, upd, recovered, cfg: SwarmConfig):
