@@ -347,8 +347,22 @@ class SlamConfig:
     # model's actual parameter, +/-0.008 rad/m) learned from the applied
     # theta steps, fed forward continuously (theta += rate x step
     # distance) so theta needs no per-event kick to track growth
-    merge_frame_rate_gain: float = 0.2
-    merge_frame_rate_max: float = 0.02   # |rad/m| clamp
+    merge_frame_rate_gain: float = 0.05
+    # |rad/m| clamp: the reference's bias is 0.008; leaving 2.5x
+    # headroom let a railed rate overshoot theta by 50% between
+    # innovations (measured runaway at 0.02) — 0.010 bounds the
+    # overshoot at 25% while still covering the true rate
+    merge_frame_rate_max: float = 0.010
+    # Stationarity gate on event CORRECTIONS (tracker on only): an agent
+    # that has not moved since its last verified event re-matches the
+    # SAME scan against the same map — zero new information, but in a
+    # symmetric room the repeated false match ratchets the correction
+    # toward the false attractor ~0.15 m per event (measured: a parked
+    # soak agent's error crept 0.82 -> 1.13 m through the 1.0 m band
+    # budget). Drift cannot accrue without motion, so corrections are
+    # simply withheld until the agent moves again. (metres of corrected
+    # path since the last verified event; 1 grid cell)
+    merge_frame_still_m: float = 0.05
     # Scan projection de-rotates by theta QUANTIZED to this step (rad).
     # Continuous de-rotation couples the estimate into its own
     # observation: a theta error rotates the projected scan, the

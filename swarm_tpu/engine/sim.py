@@ -398,9 +398,14 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         # tracker estimates from positions IS the yaw-estimate error
         # (drift_integrate moves along the biased yaw). De-rotation is
         # QUANTIZED (frame_theta_q docs).
-        theta_q = frame_theta_q(frame.theta, cfg)
-        ryaw = ryaw - theta_q
-        gate_yaw = est_yaw - theta_q
+        # turn gate signal: the REPORTED quantized yaw only. Folding the
+        # de-rotation quantum in gated a fast-drifting agent's own
+        # corrective innovations (quantum flips every ~10 events at
+        # rail rate) — measured runaway: theta 0.55->3.2 while true e
+        # reached 2.0. A quantum flip's match-bias step (~0.1 rad x
+        # scan centroid ~ 0.15 m) is tolerable accumulation noise.
+        ryaw = ryaw - frame_theta_q(frame.theta, cfg)
+        gate_yaw = est_yaw
     if cfg.slam.merge_bias_alpha > 0.0 and total_dist is not None:
         from swarm_tpu.slam.livemerge import merge_bias_ff
         ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate,
@@ -447,6 +452,12 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
             lambda _: (merge_zero(n), jnp.zeros((n,), bool),
                        jnp.zeros((n,), bool)), None)
         upd = m.ok & alive
+        if cfg.slam.merge_frame_gain > 0.0:
+            # stationarity gate (SlamConfig.merge_frame_still_m): a
+            # parked agent re-matching the same scan carries no new
+            # information, and repeated false matches ratchet
+            upd = upd & (frame.ax * frame.ax + frame.ay * frame.ay >=
+                         cfg.slam.merge_frame_still_m ** 2)
         # FULL correction to THIS step's raster pose (the scan's evidence
         # is inserted aligned — map_merger.py:87-127's re-rasterisation;
         # clamping here would insert residually-offset evidence whose

@@ -301,10 +301,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
     ryaw = yaw_q + srv.merge_dyaw[ridx]
     gate_yaw = yaw_q
     if cfg.slam.merge_frame_gain > 0.0:
-        # quantized de-rotation (mirrors engine.sim._ingest_batched)
-        theta_q = frame_theta_q(frame_loc.theta, cfg)
-        ryaw = ryaw - theta_q
-        gate_yaw = yaw_q - theta_q
+        # quantized de-rotation; gate on the reported yaw only (mirrors
+        # engine.sim._ingest_batched — see the runaway note there)
+        ryaw = ryaw - frame_theta_q(frame_loc.theta, cfg)
     if cfg.slam.merge_bias_alpha > 0.0:
         from swarm_tpu.slam.livemerge import merge_bias_ff
         ryaw = ryaw + merge_bias_ff(srv.merge_yaw_rate[ridx],
@@ -361,6 +360,11 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             lambda _: (merge_zero(n_loc), jnp.zeros((n_loc,), bool),
                        jnp.zeros((n_loc,), bool)), None)
         upd = m.ok & alive
+        if cfg.slam.merge_frame_gain > 0.0:
+            # stationarity gate (mirrors engine.sim._ingest_batched)
+            upd = upd & (frame_loc.ax * frame_loc.ax +
+                         frame_loc.ay * frame_loc.ay >=
+                         cfg.slam.merge_frame_still_m ** 2)
         # full correction to THIS step's raster; damped fraction persists
         # (mirrors engine.sim._ingest_batched: FULL correction to this
         # step's raster insert, only the persistent increment is clamped
