@@ -254,6 +254,19 @@ class SlamConfig:
     # theta_prior_scale): at the steady-state 0.1, a true 0.4 rad frame
     # error pays 16x prior_weight x n_pts and can never win the argmax.
     merge_recover_theta_prior_scale: float = 0.3
+    # TRANSLATION re-acquisition (r4): the wide pass also tries the
+    # match at 8 window placements offset by this ring radius — an
+    # agent whose level error exceeded the +/-merge_search_cells
+    # capture (0.4 m) is otherwise unrecoverable no matter how many
+    # rotation hypotheses are searched (measured: a capture-escaped
+    # soak agent frozen at ~1.1 m for 4000 steps). Effective capture
+    # becomes +/-(offset + search) ~ 0.95 m. Cond-gated with the rest
+    # of the wide pass: healthy fleets never pay. 0 disables offsets.
+    merge_recover_offset_m: float = 0.55
+    # wide-pass adoptions need a higher fitness than the 0.6 accept
+    # floor: 9 placements x 33 rotations in a symmetric room is a lot
+    # of chances for a plausible false re-acquisition
+    merge_recover_fit_min: float = 0.7
     # Online per-agent yaw-RATE bias estimator (VERDICT r4 item 1): the
     # dominant swarm-scale drift mode is a per-meter yaw bias
     # (generate_fake_dual_session.py:414,444 — +/-0.008 rad/m), a frame
@@ -353,16 +366,20 @@ class SlamConfig:
     # innovations (measured runaway at 0.02) — 0.010 bounds the
     # overshoot at 25% while still covering the true rate
     merge_frame_rate_max: float = 0.010
-    # Stationarity gate on event CORRECTIONS (tracker on only): an agent
-    # that has not moved since its last verified event re-matches the
-    # SAME scan against the same map — zero new information, but in a
-    # symmetric room the repeated false match ratchets the correction
-    # toward the false attractor ~0.15 m per event (measured: a parked
-    # soak agent's error crept 0.82 -> 1.13 m through the 1.0 m band
-    # budget). Drift cannot accrue without motion, so corrections are
-    # simply withheld until the agent moves again. (metres of corrected
-    # path since the last verified event; 1 grid cell)
+    # Stationarity damping on event CORRECTIONS (tracker on only): an
+    # agent that has not moved since its last verified event re-matches
+    # the SAME scan against the same map — near-zero new information,
+    # but in a symmetric room the repeated false match ratchets the
+    # correction toward the false attractor ~0.15 m per event
+    # (measured: a parked soak agent's error crept 0.82 -> 1.13 m
+    # through the 1.0 m band budget). Drift cannot accrue without
+    # motion, so parked corrections are DAMPED by still_damp (a hard
+    # gate was measured to also block genuine healing of parked error
+    # at short horizons: 4 agents x 400 steps late ATE 0.22 vs 0.20
+    # with the tracker otherwise on). still_m: metres of corrected path
+    # since the last verified event below which the damping applies.
     merge_frame_still_m: float = 0.05
+    merge_frame_still_damp: float = 0.25
     # Scan projection de-rotates by theta QUANTIZED to this step (rad).
     # Continuous de-rotation couples the estimate into its own
     # observation: a theta error rotates the projected scan, the

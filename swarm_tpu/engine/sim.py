@@ -452,12 +452,6 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
             lambda _: (merge_zero(n), jnp.zeros((n,), bool),
                        jnp.zeros((n,), bool)), None)
         upd = m.ok & alive
-        if cfg.slam.merge_frame_gain > 0.0:
-            # stationarity gate (SlamConfig.merge_frame_still_m): a
-            # parked agent re-matching the same scan carries no new
-            # information, and repeated false matches ratchet
-            upd = upd & (frame.ax * frame.ax + frame.ay * frame.ay >=
-                         cfg.slam.merge_frame_still_m ** 2)
         # FULL correction to THIS step's raster pose (the scan's evidence
         # is inserted aligned — map_merger.py:87-127's re-rasterisation;
         # clamping here would insert residually-offset evidence whose
@@ -469,6 +463,17 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         # match restores it.
         fdx, fdy, fdth, inc_dx, inc_dy, inc_dth = merge_increments(
             m, upd, rec, cfg)
+        if cfg.slam.merge_frame_gain > 0.0:
+            # stationarity damping (SlamConfig.merge_frame_still_m): a
+            # parked agent re-matching the same scan carries near-zero
+            # new information, and repeated false matches ratchet
+            still = frame.ax * frame.ax + frame.ay * frame.ay < \
+                cfg.slam.merge_frame_still_m ** 2
+            sdamp = jnp.where(still, cfg.slam.merge_frame_still_damp,
+                              1.0)
+            inc_dx = inc_dx * sdamp
+            inc_dy = inc_dy * sdamp
+            inc_dth = inc_dth * sdamp
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
@@ -488,7 +493,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         if cfg.slam.merge_frame_gain > 0.0:
             from swarm_tpu.slam.livemerge import frame_add, frame_innovate
             frame = frame_add(frame, frame_innovate(
-                frame, gate_yaw, m, upd, inc_dx, inc_dy, cfg))
+                frame, gate_yaw, m, upd, inc_dx, inc_dy, cfg,
+                recovered=rec))
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)

@@ -360,17 +360,22 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             lambda _: (merge_zero(n_loc), jnp.zeros((n_loc,), bool),
                        jnp.zeros((n_loc,), bool)), None)
         upd = m.ok & alive
-        if cfg.slam.merge_frame_gain > 0.0:
-            # stationarity gate (mirrors engine.sim._ingest_batched)
-            upd = upd & (frame_loc.ax * frame_loc.ax +
-                         frame_loc.ay * frame_loc.ay >=
-                         cfg.slam.merge_frame_still_m ** 2)
         # full correction to THIS step's raster; damped fraction persists
         # (mirrors engine.sim._ingest_batched: FULL correction to this
         # step's raster insert, only the persistent increment is clamped
         # — see the ghost-wall note there)
         fdx, fdy, fdth, cdx, cdy, cdth = merge_increments(
             m, upd, rec, cfg)
+        if cfg.slam.merge_frame_gain > 0.0:
+            # stationarity damping (mirrors engine.sim._ingest_batched)
+            still = frame_loc.ax * frame_loc.ax + \
+                frame_loc.ay * frame_loc.ay < \
+                cfg.slam.merge_frame_still_m ** 2
+            sdamp = jnp.where(still, cfg.slam.merge_frame_still_damp,
+                              1.0)
+            cdx = cdx * sdamp
+            cdy = cdy * sdamp
+            cdth = cdth * sdamp
         rx = rx + fdx
         ry = ry + fdy
         ryaw = ryaw + fdth
@@ -389,7 +394,7 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
             # so decompositions stay bit-equal)
             from swarm_tpu.slam.livemerge import frame_innovate
             inno_d = frame_innovate(frame_loc, gate_yaw, m, upd,
-                                    cdx, cdy, cfg)
+                                    cdx, cdy, cfg, recovered=rec)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
         merge_ok_loc = upd

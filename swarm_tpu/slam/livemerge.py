@@ -266,16 +266,43 @@ def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
     need = jnp.any(esc & attempted & alive & ~m.ok)
 
     def wide(_):
-        return scan_merge_chunked(
-            match_map, rx, ry, ryaw, scan_dist, alive, cfg, event=event,
-            n_global=n_global, id0=id0, band_row0=band_row0,
-            band_col0=band_col0, win_bounds=win_bounds,
-            n_theta=slam.merge_recover_angles,
-            theta_range=slam.merge_recover_angle_range,
-            theta_prior_scale=slam.merge_recover_theta_prior_scale)
+        # multi-hypothesis placement: the centre window plus a ring of
+        # translation offsets (merge_recover_offset_m) — matching "as
+        # if the agent were there" and folding the offset back into the
+        # returned correction. Window placement still clamps into
+        # win_bounds (the agent's room box), so the sharded containment
+        # proofs are unaffected; the effective translation capture
+        # grows to offset + merge_search_cells.
+        offs = [(0.0, 0.0)]
+        r_off = slam.merge_recover_offset_m
+        if r_off > 0.0:
+            offs += [(r_off, 0.0), (-r_off, 0.0), (0.0, r_off),
+                     (0.0, -r_off), (r_off, r_off), (r_off, -r_off),
+                     (-r_off, r_off), (-r_off, -r_off)]
+        best = None
+        for ox, oy in offs:
+            mk = scan_merge_chunked(
+                match_map, rx + ox, ry + oy, ryaw, scan_dist, alive,
+                cfg, event=event, n_global=n_global, id0=id0,
+                band_row0=band_row0, band_col0=band_col0,
+                win_bounds=win_bounds,
+                n_theta=slam.merge_recover_angles,
+                theta_range=slam.merge_recover_angle_range,
+                theta_prior_scale=slam.merge_recover_theta_prior_scale)
+            mk = mk._replace(ddx=mk.ddx + ox, ddy=mk.ddy + oy)
+            if best is None:
+                best = mk
+            else:
+                sc_b = jnp.where(best.ok, best.fitness, -1.0)
+                sc_k = jnp.where(mk.ok, mk.fitness, -1.0)
+                sel = sc_k > sc_b
+                best = WindowMatch(*(jnp.where(sel, nk, nb) for nk, nb
+                                     in zip(mk, best)))
+        return best
 
     mw = jax.lax.cond(need, wide, lambda _: merge_zero(n_loc), None)
-    take = esc & ~m.ok & mw.ok & alive
+    take = esc & ~m.ok & mw.ok & alive & \
+        (mw.fitness >= slam.merge_recover_fit_min)
     rail = m.ok & ((jnp.abs(m.ddx) > slam.merge_max_step_m) |
                    (jnp.abs(m.ddy) > slam.merge_max_step_m) |
                    (jnp.abs(m.ddtheta) > slam.merge_max_step_rad))
@@ -511,7 +538,8 @@ def frame_advance(fs: FrameState, raw_x, raw_y, alive,
 
 
 def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
-                   inc_dx, inc_dy, cfg: SwarmConfig) -> FrameState:
+                   inc_dx, inc_dy, cfg: SwarmConfig,
+                   recovered=None) -> FrameState:
     """Event-time innovation for the frame tracker. Returns DELTAS.
 
     With a = the corrected path accumulated since the last verified
@@ -562,6 +590,11 @@ def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
     sub_ok = upd & straight & \
         (a2 >= slam.merge_frame_min_path_m ** 2) & \
         (m.fitness >= slam.merge_frame_fit_min)
+    if recovered is not None:
+        # a re-acquisition residual is a LEVEL jump, not drift accrued
+        # over this window — it must re-baseline (upd path below) but
+        # never enter the drift estimate
+        sub_ok = sub_ok & ~recovered
     nacc = fs.nacc + jnp.where(sub_ok, -(fs.ax * ry - fs.ay * rx), 0.0)
     sacc = fs.sacc + jnp.where(sub_ok, fs.ax * rx + fs.ay * ry, 0.0)
     dacc = fs.dacc + jnp.where(sub_ok, a2, 0.0)
