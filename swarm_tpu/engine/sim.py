@@ -794,8 +794,13 @@ def sim_step(state: SimState, cfg: SwarmConfig, walls, params: AgentParams,
                 "trace-time constants (close over numpy arrays, don't "
                 "pass them as jit arguments)")
         from swarm_tpu.geom.world import agent_room_boxes
-        room_boxes = jnp.asarray(
-            agent_room_boxes(walls_grouped, room_of_agent))
+        # MUST stay host numpy: inside a jit/scan trace jnp.asarray
+        # stages the constant as a tracer, and greedy_assign_rooms
+        # needs the CONCRETE boxes for its host-side room grouping
+        # (measured: bench.py --frontiers at 1024 agents — above
+        # assign_rooms_min_agents — raised TracerArrayConversionError;
+        # the 16-agent CI path uses plain greedy_assign and never hit it)
+        room_boxes = agent_room_boxes(walls_grouped, room_of_agent)
 
     # Per-agent counter-based RNG streams: fold the step key by GLOBAL agent
     # id, so results are identical under any agent sharding (SURVEY §7

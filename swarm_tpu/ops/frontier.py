@@ -86,50 +86,103 @@ def frontier_targets_coarse(grid, cfg: GridConfig = GridConfig(),
     s = grid.shape[0]
     nb = s // block
     k_max = coord.max_frontiers
-    mask = frontier_mask(grid, cfg).astype(jnp.float32)
+    # int8 dx-weights below bound the per-row-segment offset sum by
+    # block*(block-1)/2 <= 120
+    assert block <= 16, "int8 pooling bound"
 
-    m = mask[:nb * block, :nb * block].reshape(nb, block, nb, block)
-    counts = m.sum(axis=(1, 3))                                   # [nb, nb]
-    gx = jnp.arange(s, dtype=jnp.float32)
-    sum_x = (mask * gx[None, :])[:nb * block, :nb * block] \
-        .reshape(nb, block, nb, block).sum(axis=(1, 3))
-    sum_y = (mask * gx[:, None])[:nb * block, :nb * block] \
-        .reshape(nb, block, nb, block).sum(axis=(1, 3))
+    # Block pooling as int8 MXU matmuls (r4): the natural
+    # reshape(nb, b, nb, b).sum((1, 3)) lowers to a strided cross-lane
+    # reduce that costs 11 ms to MATERIALIZE at 4096 grids (it only
+    # looks cheap when XLA fuses it into a downstream scalar reduce).
+    # Pooling with block-indicator matrices rides the MXU instead:
+    # R = mask @ [B | Bdx] pools columns (counts and within-block
+    # x-offset sums), then B^T @ R pools rows — 1.05 ms measured for
+    # the whole tri+mask+pool stage, BIT-EQUAL stats (small-integer
+    # arithmetic throughout). Global coordinate sums come back from the
+    # block base: sum_x = block*bx*count + sum(dx), likewise sum_y.
+    s_c = nb * block
+    mask8 = frontier_mask(grid, cfg)[:s_c, :s_c].astype(jnp.int8)
+    ii = jnp.arange(s_c, dtype=jnp.int32)
+    sel_b = ii[:, None] // block == jnp.arange(nb, dtype=jnp.int32)[None, :]
+    b8 = sel_b.astype(jnp.int8)                              # [s_c, nb]
+    bdx8 = (sel_b * (ii % block)[:, None]).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    rcat = jax.lax.dot_general(
+        mask8, jnp.concatenate([b8, bdx8], axis=1), dn,
+        preferred_element_type=jnp.int32)                    # [s_c, 2 nb]
+    r8 = rcat.astype(jnp.int8)          # <= block*(block-1)/2 = 28
+    counts_i = jax.lax.dot_general(b8.T, r8[:, :nb], dn,
+                                   preferred_element_type=jnp.int32)
+    sdx = jax.lax.dot_general(b8.T, r8[:, nb:], dn,
+                              preferred_element_type=jnp.int32)
+    sdy = jax.lax.dot_general(bdx8.T, r8[:, :nb], dn,
+                              preferred_element_type=jnp.int32)
+    counts = counts_i.astype(jnp.float32)
+    base = jnp.arange(nb, dtype=jnp.float32) * block
+    sum_x = counts * base[None, :] + sdx.astype(jnp.float32)
+    sum_y = counts * base[:, None] + sdy.astype(jnp.float32)
 
     sep_blocks = max(1, int(round(coord.frontier_separation_m /
                                   (cfg.resolution * block))))
 
-    # One top_k prefilter, then greedy NMS over the CANDIDATE LIST: the
-    # original scan ran k_max sequential argmax+mask passes over the
-    # full [nb, nb] density (64 latency-bound reductions — ~20 ms of
-    # the frontier cadence at 4096 grids). Each pick suppresses at most
-    # (2*sep+1)^2 blocks, so every possible pick lies within the top
-    # k_max*(2*sep+1)^2 blocks by count — the candidate NMS is EXACTLY
-    # equivalent (top_k and argmax share the lowest-index tie-break).
-    cand = min(nb * nb, k_max * (2 * sep_blocks + 1) ** 2)
-    vals, idx = jax.lax.top_k(counts.reshape(-1), cand)
-    cby = idx // nb
-    cbx = idx % nb
-    csx = sum_x.reshape(-1)[idx]
-    csy = sum_y.reshape(-1)[idx]
+    # Data-parallel PEAK NMS (r4): a block is a target iff it is the
+    # unique lexicographic maximum — (count, lowest-flat-index) — of its
+    # (2 sep+1)^2 neighborhood and count >= frontier_min_cluster.
+    # Pairwise separation is preserved EXACTLY (two blocks within each
+    # other's window have ordered keys, so only one can be a peak); the
+    # one semantic divergence from the former sequential greedy is on
+    # long frontier "ridges", where greedy's cascading suppression could
+    # surface a runner-up that is not a local maximum — bounded by the
+    # exact-vs-coarse divergence test on engine maps.
+    #
+    # NO top_k anywhere: lax.top_k over the [nb^2]=262k block keys is a
+    # full bitonic sort on TPU — measured 3.5 ms for k=64 and ~9 ms for
+    # the k_max*(2 sep+1)^2 candidate prefilter at 4096 grids, i.e. the
+    # whole former cost of the 3 s coordination tick (the r2
+    # sequential-greedy scan + gathers were another ~16 ms). Instead:
+    # peaks via a separable shifted-slice window max (XLA fuses the
+    # (4 sep+2) 1 MB slice maxes), then compaction of the <= k_max
+    # surviving peaks in ROW-MAJOR order with a cumsum + one-hot matmul
+    # that rides the MXU. Row-major capping matches the exact path:
+    # frontier_clusters also truncates to the k_max LOWEST root ids
+    # (discovery order), so both tiers share cap semantics.
+    flat = jnp.arange(nb * nb, dtype=jnp.int32).reshape(nb, nb)
+    # counts <= block^2 (64): key fits i32 comfortably
+    key = counts_i * (nb * nb) + (nb * nb - 1 - flat)
+    lowest = jnp.int32(-(2 ** 31) + 1)
+    padk = jnp.pad(key, sep_blocks, constant_values=lowest)
+    rowm = padk[:, sep_blocks:sep_blocks + nb]
+    for d in range(1, sep_blocks + 1):
+        rowm = jnp.maximum(rowm, jnp.maximum(
+            padk[:, sep_blocks - d:sep_blocks - d + nb],
+            padk[:, sep_blocks + d:sep_blocks + d + nb]))
+    neigh = rowm[sep_blocks:sep_blocks + nb, :]
+    for d in range(1, sep_blocks + 1):
+        neigh = jnp.maximum(neigh, jnp.maximum(
+            rowm[sep_blocks - d:sep_blocks - d + nb, :],
+            rowm[sep_blocks + d:sep_blocks + d + nb, :]))
+    peak = (key == neigh) & (counts >= coord.frontier_min_cluster)
 
-    def pick(v, _):
-        j = jnp.argmax(v)
-        cnt = v[j]
-        ok = cnt >= coord.frontier_min_cluster
-        cx = csx[j] / jnp.maximum(cnt, 1.0)
-        cy = csy[j] / jnp.maximum(cnt, 1.0)
-        sup = (jnp.abs(cby - cby[j]) <= sep_blocks) & \
-              (jnp.abs(cbx - cbx[j]) <= sep_blocks)
-        return jnp.where(sup, 0.0, v), (cx, cy, cnt, ok)
-
-    _, (cxs, cys, cnts, oks) = jax.lax.scan(
-        pick, vals, None, length=k_max)
+    pk = peak.reshape(-1)
+    pki = pk.astype(jnp.int32)
+    pos = jnp.cumsum(pki) - pki                    # exclusive prefix
+    slot = jnp.where(pk & (pos < k_max), pos, k_max)
+    onehot = (slot[None, :] ==
+              jnp.arange(k_max, dtype=jnp.int32)[:, None])
+    vals = jnp.stack([counts.reshape(-1), sum_x.reshape(-1),
+                      sum_y.reshape(-1)], axis=-1)         # [nb^2, 3]
+    sel = jnp.matmul(onehot.astype(jnp.float32), vals,
+                     preferred_element_type=jnp.float32)   # [K, 3]
+    n_found = jnp.minimum(jnp.sum(pki), k_max)
+    oks = jnp.arange(k_max) < n_found
+    cnts = sel[:, 0]
+    cxs = sel[:, 1] / jnp.maximum(cnts, 1.0)
+    cys = sel[:, 2] / jnp.maximum(cnts, 1.0)
     wx, wy = grid_to_world(cxs, cys, cfg)
     centroids = jnp.stack([jnp.where(oks, wx, 0.0),
                            jnp.where(oks, wy, 0.0)], axis=-1)
     sizes = jnp.where(oks, cnts, 0.0).astype(jnp.int32)
-    return centroids, sizes, jnp.sum(oks.astype(jnp.int32))
+    return centroids, sizes, n_found
 
 
 def frontier_clusters(grid, cfg: GridConfig = GridConfig(),

@@ -1001,8 +1001,9 @@ def make_sharded_sim_step(cfg: SwarmConfig, walls, params: AgentParams, mesh,
         # same reachability restriction as the fused engine (sim_step):
         # frontier targets only from the agent's own room
         from swarm_tpu.geom.world import agent_room_boxes
-        room_boxes = jnp.asarray(
-            agent_room_boxes(walls_grouped, room_of_agent))
+        # host numpy, NOT jnp: greedy_assign_rooms needs concrete boxes
+        # for its host-side room grouping (see engine.sim.sim_step)
+        room_boxes = agent_room_boxes(walls_grouped, room_of_agent)
     body = functools.partial(
         _sharded_step_body, cfg=cfg, walls=walls, params=params,
         faults=faults, enable_targets=enable_targets, axis=axis,

@@ -122,7 +122,11 @@ def test_exact_vs_coarse_divergence_on_engine_map():
     # clusters closer than the separation radius by design)
     d = np.hypot(cc[None, :, 0] - ce[:, None, 0],
                  cc[None, :, 1] - ce[:, None, 1]).min(axis=1)
-    assert (d <= 2.0 * coord.frontier_separation_m).all(), d.max()
+    # peak NMS surfaces one target per local-max basin; on a long
+    # frontier ridge the nearest peak can sit up to the suppression
+    # window radius away, plus the block quantization — hence the
+    # separation + half-window + block-diagonal bound
+    assert (d <= 2.0 * coord.frontier_separation_m + 0.6).all(), d.max()
     # and the assignment built from coarse targets sends every assigned
     # agent toward real frontier
     axy = jnp.stack([final.odom.x_est + params.x_offset,
@@ -136,10 +140,15 @@ def test_exact_vs_coarse_divergence_on_engine_map():
         assert np.hypot(*(fw - t).T).min() <= 0.5, t
 
 
-def test_candidate_nms_equals_full_grid_nms():
-    """The top-k candidate NMS must pick the same blocks as a full-grid
-    greedy NMS (numpy oracle) on random density fields — the r2
-    optimization's exactness claim."""
+def test_peak_nms_equals_numpy_oracle():
+    """frontier_targets_coarse's data-parallel peak NMS must match a
+    straightforward numpy implementation of its spec exactly: a block is
+    a target iff it is the unique lexicographic (count, lowest-index)
+    maximum of its (2 sep+1)^2 neighborhood and count >= min_cluster;
+    targets come out in ROW-MAJOR block order capped at max_frontiers
+    (the same cap semantics as the exact tier: frontier_clusters
+    truncates to the k_max lowest root ids), and are pairwise separated
+    by more than the suppression radius."""
     from swarm_tpu.config import CoordConfig, GridConfig
     from swarm_tpu.ops.frontier import frontier_targets_coarse
 
@@ -148,7 +157,6 @@ def test_candidate_nms_equals_full_grid_nms():
     coord = CoordConfig(max_frontiers=16)
     for trial in range(3):
         grid = np.full((512, 512), -1, np.int8)
-        # random free blobs bordered by unknown -> messy frontier field
         for _ in range(40):
             y, x = rng.integers(20, 480, 2)
             h, w = rng.integers(4, 30, 2)
@@ -157,7 +165,6 @@ def test_candidate_nms_equals_full_grid_nms():
         c, s, n = frontier_targets_coarse(g, cfg, coord)
         c, s, n = np.asarray(c), np.asarray(s), int(n)
 
-        # numpy oracle: full-grid greedy NMS on the same pooled stats
         from swarm_tpu.ops.frontier import frontier_mask
         mask = np.asarray(frontier_mask(g, cfg)).astype(np.float64)
         nb = 512 // 8
@@ -167,21 +174,34 @@ def test_candidate_nms_equals_full_grid_nms():
         sum_x = (mask * gx[None, :]).reshape(nb, 8, nb, 8).sum(axis=(1, 3))
         sum_y = (mask * gx[:, None]).reshape(nb, 8, nb, 8).sum(axis=(1, 3))
         sep = max(1, round(coord.frontier_separation_m / (0.05 * 8)))
-        cc = counts.copy()
-        got = []
-        for _ in range(coord.max_frontiers):
-            flat = int(np.argmax(cc))
-            by, bx = flat // nb, flat % nb
-            cnt = cc[by, bx]
-            if cnt >= coord.frontier_min_cluster:
-                got.append((sum_x[by, bx] / cnt, sum_y[by, bx] / cnt, cnt))
-            y0, y1 = max(0, by - sep), min(nb, by + sep + 1)
-            x0, x1 = max(0, bx - sep), min(nb, bx + sep + 1)
-            cc[y0:y1, x0:x1] = 0.0
+
+        flat = np.arange(nb * nb).reshape(nb, nb)
+        key = counts.astype(np.int64) * (nb * nb) + (nb * nb - 1 - flat)
+        neigh = np.full((nb, nb), -1, np.int64)
+        for dy in range(-sep, sep + 1):
+            for dx in range(-sep, sep + 1):
+                sh = np.full((nb, nb), -1, np.int64)
+                ys = slice(max(0, dy), nb + min(0, dy))
+                yd = slice(max(0, -dy), nb + min(0, -dy))
+                xs = slice(max(0, dx), nb + min(0, dx))
+                xd = slice(max(0, -dx), nb + min(0, -dx))
+                sh[yd, xd] = key[ys, xs]
+                neigh = np.maximum(neigh, sh)
+        peak = (key == neigh) & (counts >= coord.frontier_min_cluster)
+        py, px = np.nonzero(peak)          # row-major order by construction
+        got = [(sum_x[y, x] / counts[y, x], sum_y[y, x] / counts[y, x],
+                counts[y, x]) for y, x in
+               zip(py[:coord.max_frontiers], px[:coord.max_frontiers])]
         assert n == len(got), (trial, n, len(got))
         for k, (ox, oy, ocnt) in enumerate(got):
             wx = cfg.origin_x + (ox + 0.5) * cfg.resolution
             wy = cfg.origin_y + (oy + 0.5) * cfg.resolution
-            # picks come out in the same greedy order
             assert abs(s[k] - ocnt) < 0.5, (trial, k)
             assert abs(c[k, 0] - wx) < 1e-3 and abs(c[k, 1] - wy) < 1e-3
+        # the real guarantee: pairwise block-metric separation
+        if n > 1:
+            cb = (c[:n] - [cfg.origin_x, cfg.origin_y]) / (0.05 * 8)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    assert max(abs(cb[i, 0] - cb[j, 0]),
+                               abs(cb[i, 1] - cb[j, 1])) > sep - 1.0
