@@ -40,6 +40,10 @@ def main():
                          "inverse sensor model (Pallas fast path)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="beam mode via the XLA reference implementation")
+    ap.add_argument("--pack8", action="store_true",
+                    help="per-beam range table as 8-bit quads (4 beams/"
+                         "int32): halves the gather cost that dominates "
+                         "the VPU-bound kernel at 1/4-cell quantization")
     ap.add_argument("--exact-endpoints", action="store_true",
                     help="endpoint hits via the exact sparse scatter "
                          "instead of in-kernel ring painting")
@@ -109,6 +113,7 @@ def main():
             cfg.engine,
             beam_groups=args.beam_groups,
             kernel_endpoints=not args.exact_endpoints,
+            beam_pack8=args.pack8,
             # scan variant maps with the lidar only (faithful to the
             # esp32 scan firmware); 4-way raster when no scan
             raster_4way=(args.scan_rays == 0)))
@@ -294,6 +299,7 @@ def main():
             "beam_groups": args.beam_groups,
             "carve": ("per_beam_exact" if args.beam_groups <= 0
                       else "group_min_turbo"),
+            "pack8": args.pack8,
             "frontiers": args.frontiers,
             "room_kernel": bool(args.room_kernel and use_pallas),
             # line: actual scatter writes (reference per-ray semantics).

@@ -558,6 +558,13 @@ class EngineConfig:
     # fraction weighted): cheaper than the exact scatter, placement
     # blurred to the sector's nearest wall. Overrides endpoint_hits.
     kernel_endpoints: bool = False
+    # Per-beam kernel range table as 8-bit quads (4 beams/int32 word):
+    # halves the gather sweep cost that dominates the VPU-bound kernel
+    # (r4 roofline) at <= 1/8-cell (6 mm) range quantization vs the
+    # 16-bit default's 1/512 cell. Single-chip fused-engine knob; the
+    # sharded decompositions keep the 16-bit packing (their XLA-tier
+    # bit-equality contracts quantize at 1/256 cell).
+    beam_pack8: bool = False
     # In-engine merge cadence: every `merge_every` steps each agent's scan
     # is matched against the global map and the correction folded into its
     # ingest pose + this step's raster (slam/livemerge.py; reference runs

@@ -590,7 +590,8 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
                         n_groups=n_groups,
                         trusted=(tb if cfg.engine.kernel_endpoints
                                  else None), reach=reach,
-                        tail_weight=cfg.engine.beam_tail_weight)
+                        tail_weight=cfg.engine.beam_tail_weight,
+                        pack8=cfg.engine.beam_pack8)
                 if cfg.engine.kernel_endpoints:
                     # endpoint-ring cells are inside the in-kernel counter
                     w_ep = jnp.zeros((), jnp.int32)

@@ -56,11 +56,31 @@ REACH_CELLS = 26        # max beam reach: 1.2 m trust / 5 cm + ring margin
 RANGE_QUANT = 256.0
 RANGE_MAX_CELLS = 127.0 + 255.0 / 256.0
 
+# 8-bit quad packing (EngineConfig.beam_pack8): 7-bit ranges in 1/4-cell
+# fixed point (<= 1/8-cell = 6 mm quantization error vs the 0.5-cell
+# carve margin) + trusted flag in bit 7, FOUR beams per int32 word — the
+# gather select tree covers 32 beams per 9-op sweep instead of 16,
+# halving the dominant per-cell cost of the per-beam kernel (the r4
+# roofline measured the kernel AT the VPU elementwise ceiling with the
+# gather at 64 % of per-cell ops). 1/4 cell is an exact multiple of the
+# 1/256-cell shared quant, so pre-quantizing ranges with
+# quantize_ranges_cells8 and feeding the XLA tier reproduces the packed
+# kernel bit-exactly (tests/test_beam_raster.py::test_pack8_*).
+RANGE_QUANT8 = 4.0
+RANGE_MAX_CELLS8 = 31.0 + 3.0 / 4.0
+
 
 def quantize_ranges_cells(ranges_cells):
     """Quantize beam ranges (cells) to the shared fast-tier fixed point."""
     return jnp.round(jnp.clip(ranges_cells, 0.0, RANGE_MAX_CELLS)
                      * RANGE_QUANT) * jnp.float32(1.0 / RANGE_QUANT)
+
+
+def quantize_ranges_cells8(ranges_cells):
+    """Quantize beam ranges (cells) to the 8-bit quad-packed fixed point
+    (1/4 cell, clipped to < 32 cells — covers the 28-cell scan reach)."""
+    return jnp.round(jnp.clip(ranges_cells, 0.0, RANGE_MAX_CELLS8)
+                     * RANGE_QUANT8) * jnp.float32(1.0 / RANGE_QUANT8)
 
 
 @dataclasses.dataclass(frozen=True)

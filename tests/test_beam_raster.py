@@ -200,3 +200,90 @@ def test_bfloat16_grid_tristate_equivalent():
     agree = (a == b) & explored
     assert agree.sum() / max(explored.sum(), 1) > 0.98, \
         (explored.sum(), (a != b).sum())
+
+
+def test_pack8_window_kernel_bit_exact():
+    """The 8-bit quad-packed per-beam kernel (EngineConfig.beam_pack8) is
+    BIT-EXACT vs the XLA tier fed 1/4-cell-quantized ranges
+    (quantize_ranges_cells8): 1/4 cell is an exact multiple of the shared
+    1/256-cell quant, so the reference's own re-quantization is identity.
+    Covers the quad select tree + byte-lane unpack on window, row-band,
+    and grid-edge tile windows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swarm_tpu.config import GridConfig
+    from swarm_tpu.ops.beam_raster import (BeamSpec, free_raster_reference,
+                                           quantize_ranges_cells8)
+    from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+
+    grid = GridConfig(size=512, origin_x=0.0, origin_y=0.0)
+    spec = BeamSpec.scan(61)
+    key = jax.random.PRNGKey(7)
+    pos_cells = jnp.asarray([[250.0, 120.0], [253.0, 253.0],
+                             [40.0, 300.0]])
+    xy = pos_cells[:, ::-1] * grid.resolution
+    yaw = jnp.asarray([0.3, -1.2, 2.0])
+    dist = jax.random.uniform(key, (3, 61), minval=0.15, maxval=1.19)
+    act = jnp.ones((3,), bool)
+    # the XLA tier sees the kernel's coarser fixed point explicitly
+    dist_q = quantize_ranges_cells8(dist / grid.resolution) \
+        * grid.resolution
+
+    cases = [
+        (None, None),                                       # full grid
+        ((jnp.int32(96), 256), None),                       # row band
+        ((jnp.int32(-32), 320), (jnp.int32(-128), 512)),    # grid-edge
+    ]
+    for band, band_cols in cases:
+        tgt = (band[1] if band else grid.size,
+               band_cols[1] if band_cols else grid.size)
+        ref, w = free_raster_reference(
+            jnp.zeros(tgt), xy, yaw, dist_q, act, spec, grid,
+            n_groups=spec.n_beams, reach=26, band=band,
+            band_cols=band_cols, tail_weight=0.0)
+        ker, kw = free_raster_pallas(
+            jnp.zeros(tgt), xy, yaw, dist, act, spec, grid,
+            n_groups=spec.n_beams, reach=26, band=band,
+            band_cols=band_cols, interpret=True, pack8=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+        assert float(w) > 0
+        np.testing.assert_allclose(float(jnp.sum(kw)), float(w), rtol=1e-6)
+
+
+def test_pack8_trusted_flag_matches_pack16():
+    """With in-kernel endpoint painting ON, the pack8 kernel's trusted
+    flag (bit 7) reproduces the 16-bit kernel's (bit 15) exactly: feed
+    both kernels ranges already at 1/4-cell fixed point (exact in both
+    formats) and require bit-equal maps and counters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swarm_tpu.config import GridConfig
+    from swarm_tpu.ops.beam_raster import (BeamSpec,
+                                           quantize_ranges_cells8)
+    from swarm_tpu.ops.beam_raster_pallas import free_raster_pallas
+
+    grid = GridConfig(size=512, origin_x=0.0, origin_y=0.0)
+    spec = BeamSpec.scan(61)
+    key = jax.random.PRNGKey(11)
+    xy = jnp.asarray([[6.0, 12.5], [12.6, 12.6]])
+    yaw = jnp.asarray([0.9, -2.1])
+    dist = jax.random.uniform(key, (2, 61), minval=0.15, maxval=1.19)
+    dist = quantize_ranges_cells8(dist / grid.resolution) * grid.resolution
+    trusted = jax.random.bernoulli(jax.random.PRNGKey(3), 0.7, (2, 61))
+    act = jnp.ones((2,), bool)
+
+    outs = {}
+    for pack8 in (False, True):
+        outs[pack8] = free_raster_pallas(
+            jnp.zeros((grid.size, grid.size)), xy, yaw, dist, act, spec,
+            grid, n_groups=spec.n_beams, reach=26, trusted=trusted,
+            interpret=True, pack8=pack8)
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_allclose(np.asarray(outs[False][1]),
+                               np.asarray(outs[True][1]), rtol=1e-6)
+    assert float(jnp.sum(outs[True][1])) > 0
