@@ -40,10 +40,14 @@ def main():
                          "inverse sensor model (Pallas fast path)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="beam mode via the XLA reference implementation")
-    ap.add_argument("--pack8", action="store_true",
+    ap.add_argument("--pack8", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="per-beam range table as 8-bit quads (4 beams/"
                          "int32): halves the gather cost that dominates "
-                         "the VPU-bound kernel at 1/4-cell quantization")
+                         "the VPU-bound kernel at 1/4-cell (6 mm) range "
+                         "quantization — 1.526e9 vs 1.350e9 applied "
+                         "cells/s measured at the 1024-agent default; "
+                         "--no-pack8 restores the 16-bit 1/256-cell table")
     ap.add_argument("--exact-endpoints", action="store_true",
                     help="endpoint hits via the exact sparse scatter "
                          "instead of in-kernel ring painting")

@@ -54,7 +54,9 @@ def main():
     exact, cfg, te = run({"raster_4way": False}, args.steps,
                          use_pallas=False)
     print(f"exact tier: {te:.0f}s", flush=True)
-    tiers = [("per-beam", {"raster_4way": False, "beam_groups": 0})]
+    tiers = [("per-beam", {"raster_4way": False, "beam_groups": 0}),
+             ("per-beam-pack8", {"raster_4way": False, "beam_groups": 0,
+                                 "beam_pack8": True})]
     if args.turbo:
         tiers.append(("turbo-g8", {"raster_4way": False, "beam_groups": 8,
                                    "kernel_endpoints": True}))
