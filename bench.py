@@ -44,8 +44,9 @@ def main():
                     default=True,
                     help="per-beam range table as 8-bit quads (4 beams/"
                          "int32): halves the gather cost that dominates "
-                         "the VPU-bound kernel at 1/4-cell (6 mm) range "
-                         "quantization — 1.526e9 vs 1.350e9 applied "
+                         "the VPU-bound kernel at a 1/4-cell (12.5 mm) "
+                         "quantization step (<= 6.25 mm rounding error) "
+                         "— 1.526e9 vs 1.350e9 applied "
                          "cells/s measured at the 1024-agent default; "
                          "--no-pack8 restores the 16-bit 1/256-cell table")
     ap.add_argument("--exact-endpoints", action="store_true",
@@ -301,7 +302,10 @@ def main():
             "raster": args.raster,
             "scan_rays": args.scan_rays,
             "beam_groups": args.beam_groups,
-            "carve": ("per_beam_exact" if args.beam_groups <= 0
+            # per_beam_exact_pack8: exact per-beam carve semantics at the
+            # 1/4-cell fixed point (vs 1/256-cell for per_beam_exact)
+            "carve": (("per_beam_exact_pack8" if args.pack8 and use_pallas
+                       else "per_beam_exact") if args.beam_groups <= 0
                       else "group_min_turbo"),
             "pack8": args.pack8,
             "frontiers": args.frontiers,

@@ -479,9 +479,13 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     Bit-equal to the XLA tier fed `quantize_ranges_cells8` ranges."""
     from swarm_tpu.ops.beam_raster import group_range_stats
 
-    if pack8:
-        assert reach <= 31, \
-            "pack8 range field (31.75 cells) cannot cover the beam reach"
+    if pack8 and reach > 31:
+        # hard error (not assert — must survive `python -O`): silently
+        # clipping ranges at 31.75 cells would under-carve free space
+        raise ValueError(
+            f"pack8 range field (31.75 cells) cannot cover the beam "
+            f"reach ({reach} cells); use --no-pack8 or a shorter "
+            f"sensors.max_range")
 
     n = agent_xy.shape[0]
     # bf16 grids tile VMEM sublanes by 16 — window rows/origins align to 16

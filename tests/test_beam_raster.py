@@ -208,7 +208,12 @@ def test_pack8_window_kernel_bit_exact():
     (quantize_ranges_cells8): 1/4 cell is an exact multiple of the shared
     1/256-cell quant, so the reference's own re-quantization is identity.
     Covers the quad select tree + byte-lane unpack on window, row-band,
-    and grid-edge tile windows."""
+    and grid-edge tile windows.
+
+    COVERAGE NOTE: CI runs this under interpret=True only (no TPU in the
+    CPU test lane), so Mosaic lowering of the int32 byte-lane shift/mask
+    ops is exercised by bench.py / tools/quality_onchip.py on real
+    hardware, not here."""
     import jax
     import jax.numpy as jnp
     import numpy as np
