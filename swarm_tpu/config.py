@@ -195,6 +195,21 @@ class SlamConfig:
     merge_chunk: int = 128
     merge_fitness_min: float = 0.6      # map_merger.py:52-56 rejection gate
     merge_min_points: int = 16          # trusted-hit floor (4-way can't merge)
+    # PEAK-DISTINCTNESS verification (r5, beyond the reference's fitness
+    # gate): a match is `distinct` only when its raw correlation peak
+    # beats every hypothesis >= merge_distinct_radius cells away
+    # (any rotation) by margin x n_points. The r4 forensics measured
+    # 21-31% of fitness-VERIFIED merge events to be false matches,
+    # clustering in symmetric rooms and wall-hugging scans — exactly the
+    # geometries where the translation score is flat or multi-modal, so
+    # fitness (inlier fraction) passes while the peak is ambiguous.
+    # `distinct` gates the FIX STREAM (frame-tracker innovations +
+    # logged merge_ok observations feeding offline calibration), never
+    # the bounded persistent increments — a false increment is clamped
+    # and recoverable, a false innovation/fix poisons the estimators.
+    # 0 = off (every verified match counts as distinct).
+    merge_distinct_margin: float = 0.0
+    merge_distinct_radius: int = 3
     merge_inlier_radius_cells: int = 2  # inlier radius for fitness
     merge_prior_weight: float = 0.15    # zero-motion prior (aperture fix +
     #                                     false-correction suppression)

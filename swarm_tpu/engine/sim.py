@@ -498,7 +498,12 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         n_merges = jnp.sum(upd.astype(jnp.int32))
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
-        merge_ok_agent = upd
+        # the LOGGED fix stream (merge_ok -> offline calibration unary
+        # observations) additionally requires peak distinctness — an
+        # ambiguous-peak "verified" event is the measured false-fix
+        # mechanism (NOTES_r4); the applied increments above keep plain
+        # `upd` (bounded + recoverable by design)
+        merge_ok_agent = upd & m.distinct
         merge_fit_agent = jnp.where(upd, m.fitness, 0.0)
 
     last_packet_t = jnp.where(alive, t, srv.last_packet_t)

@@ -397,7 +397,9 @@ def _sharded_step_body(state: SimState, cfg: SwarmConfig, walls,
                                     cdx, cdy, cfg, recovered=rec)
         n_merges_loc = jnp.sum(upd.astype(jnp.int32))
         merge_fitsum_loc = jnp.sum(jnp.where(upd, m.fitness, 0.0))
-        merge_ok_loc = upd
+        # logged fix stream gates on peak distinctness (mirrors
+        # engine.sim._ingest_batched — all-True when the gate is off)
+        merge_ok_loc = upd & m.distinct
         merge_fit_loc = jnp.where(upd, m.fitness, 0.0)
 
     angles = ryaw[:, None] + jnp.asarray(sens.angles, rx.dtype)[None, :]

@@ -35,14 +35,18 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("n_bias",))
-def _score_biases(xy, w_obs, z_xy, bias_lo, bias_hi, n_bias: int):
-    """SSE of every candidate yaw-rate bias for one agent batch.
+def _score_biases(xy, w_obs, z_xy, bias_lo, bias_hi, n_bias: int,
+                  inv_c2=0.0):
+    """Robustified SSE of every candidate yaw-rate bias per agent.
 
     xy    [N, T, 2] logged estimate positions
     w_obs [N, T]    observation weights (0 where no fix)
     z_xy  [N, T, 2] absolute fixes (ignored where w_obs == 0)
-    Returns (biases [B], sse [B, N], vlast [B, N, T, 2] is NOT kept —
-    recomputed for the winner by _reintegrate).
+    inv_c2: 1/c^2 of the Geman-McClure saturation rho(e2) = e2/(1 +
+      e2/c^2) — a fix more than ~c off the candidate chain contributes
+      a bounded ~c^2 instead of dominating the quadratic score (the
+      measured 21-31% false-fix fraction, NOTES_r4). 0 = plain SSE.
+    Returns (biases [B], score [B, N]).
     """
     biases = jnp.linspace(bias_lo, bias_hi, n_bias)
     d = jnp.diff(xy, axis=1)                          # [N, T-1, 2]
@@ -61,7 +65,8 @@ def _score_biases(xy, w_obs, z_xy, bias_lo, bias_hi, n_bias: int):
         py = xy[:, :1, 1] + jnp.concatenate(
             [jnp.zeros_like(ry[:, :1]), jnp.cumsum(ry, axis=1)], axis=1)
         e2 = (px - z_xy[..., 0]) ** 2 + (py - z_xy[..., 1]) ** 2
-        return jnp.sum(w_obs * e2, axis=1)            # [N]
+        rho = e2 / (1.0 + e2 * inv_c2)
+        return jnp.sum(w_obs * rho, axis=1)           # [N]
 
     return biases, jax.lax.map(sse_of, biases)
 
@@ -103,7 +108,8 @@ def _fit_scale(xy_cal, w_obs, z_xy):
 
 def calibrate_chains(ex, ey, eyaw, obs_mask, zx, zy,
                      bias_range: float = 0.015, n_bias: int = 61,
-                     scale_band: float = 0.01, min_obs: int = 5):
+                     scale_band: float = 0.01, min_obs: int = 5,
+                     robust_c: float = 0.0, irls_rounds: int = 0):
     """Fit (yaw-rate bias, translation scale) per agent and return the
     calibrated chains.
 
@@ -114,39 +120,54 @@ def calibrate_chains(ex, ey, eyaw, obs_mask, zx, zy,
     zx, zy [T, N]: the fix positions (server/anchor frame) at those
       steps — e.g. the logged post-match srv_x/srv_y.
 
+    robust_c (metres) + irls_rounds: robust estimation against false
+      fixes (the measured 21-31% false-verified merge rate, NOTES_r4).
+      The bias grid search scores with a Geman-McClure saturation at
+      scale c; after each of `irls_rounds` passes the fix weights are
+      re-derived from the calibrated chain's residuals (Cauchy IRLS,
+      w = 1/(1 + e^2/c^2)) and the fit repeats — outliers that pulled
+      the first fit get down-weighted out. 0/0 = the plain LS of r4.
+
     Returns dict with bias [N], scale [N], x/y/yaw [T, N] calibrated,
     n_obs [N]. Agents with fewer than min_obs fixes keep bias=0,
     scale=1 (nothing to calibrate against).
     """
     xy = jnp.stack([jnp.asarray(ex).T, jnp.asarray(ey).T], axis=-1)
     yaw = jnp.asarray(eyaw).T                             # [N, T]
-    w = jnp.asarray(obs_mask).T.astype(jnp.float32)       # [N, T]
+    w0 = jnp.asarray(obs_mask).T.astype(jnp.float32)      # [N, T]
     z = jnp.stack([jnp.asarray(zx).T, jnp.asarray(zy).T], axis=-1)
-    n_obs = jnp.sum(w, axis=1)
+    n_obs = jnp.sum(w0, axis=1)
+    inv_c2 = (1.0 / (robust_c * robust_c)) if robust_c > 0.0 else 0.0
 
-    biases, sse = _score_biases(xy, w, z, -bias_range, bias_range,
-                                n_bias)                   # [B], [B, N]
-    k = jnp.argmin(sse, axis=0)                           # [N]
-    # parabolic refinement around the grid minimum (same recipe as the
-    # scan matcher's sub-cell peak)
-    km = jnp.clip(k - 1, 0, n_bias - 1)
-    kp = jnp.clip(k + 1, 0, n_bias - 1)
-    ar = jnp.arange(sse.shape[1])
-    c0, cm, cp = sse[k, ar], sse[km, ar], sse[kp, ar]
-    denom = cm - 2 * c0 + cp
-    off = jnp.where(jnp.abs(denom) > 1e-12,
-                    0.5 * (cm - cp) / denom, 0.0)
-    off = jnp.where((k > 0) & (k < n_bias - 1),
-                    jnp.clip(off, -0.5, 0.5), 0.0)
-    step = biases[1] - biases[0]
-    bias = biases[k] + off * step
-    bias = jnp.where(n_obs >= min_obs, bias, 0.0)
+    w = w0
+    for irls in range(irls_rounds + 1):
+        biases, sse = _score_biases(xy, w, z, -bias_range, bias_range,
+                                    n_bias, inv_c2)       # [B], [B, N]
+        k = jnp.argmin(sse, axis=0)                       # [N]
+        # parabolic refinement around the grid minimum (same recipe as
+        # the scan matcher's sub-cell peak)
+        km = jnp.clip(k - 1, 0, n_bias - 1)
+        kp = jnp.clip(k + 1, 0, n_bias - 1)
+        ar = jnp.arange(sse.shape[1])
+        c0, cm, cp = sse[k, ar], sse[km, ar], sse[kp, ar]
+        denom = cm - 2 * c0 + cp
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (cm - cp) / denom, 0.0)
+        off = jnp.where((k > 0) & (k < n_bias - 1),
+                        jnp.clip(off, -0.5, 0.5), 0.0)
+        step = biases[1] - biases[0]
+        bias = biases[k] + off * step
+        bias = jnp.where(n_obs >= min_obs, bias, 0.0)
 
-    xy_b, yaw_b, _ = _reintegrate(xy, yaw, bias, jnp.ones_like(bias))
-    scale = jnp.clip(_fit_scale(xy_b, w, z),
-                     1.0 - scale_band, 1.0 + scale_band)
-    scale = jnp.where(n_obs >= min_obs, scale, 1.0)
-    xy_c, yaw_c, dist = _reintegrate(xy, yaw, bias, scale)
+        xy_b, yaw_b, _ = _reintegrate(xy, yaw, bias, jnp.ones_like(bias))
+        scale = jnp.clip(_fit_scale(xy_b, w, z),
+                         1.0 - scale_band, 1.0 + scale_band)
+        scale = jnp.where(n_obs >= min_obs, scale, 1.0)
+        xy_c, yaw_c, dist = _reintegrate(xy, yaw, bias, scale)
+
+        if irls < irls_rounds:
+            e2 = jnp.sum((xy_c - z) ** 2, axis=-1)        # [N, T]
+            w = w0 / (1.0 + e2 * inv_c2)
 
     return {"bias": np.asarray(bias), "scale": np.asarray(scale),
             "n_obs": np.asarray(n_obs, np.int64),
@@ -187,7 +208,10 @@ def relocalize_fixes(anchor_logodds, x, y, yaw, scans, cfg,
         m = scan_merge(match_map, rx, ry, ryaw, sd, alive, cfg,
                        n_theta=n_theta, theta_range=theta_range,
                        theta_prior_scale=theta_prior_scale)
-        return m.ok, rx + m.ddx, ry + m.ddy
+        # distinct: all-True unless cfg.slam.merge_distinct_margin > 0 —
+        # offline re-localization wants the ambiguous-peak filter ON
+        # (pass a cfg with the margin set)
+        return m.ok & m.distinct, rx + m.ddx, ry + m.ddy
 
     mask = np.zeros((t_steps, n), bool)
     zx = np.zeros((t_steps, n), np.float32)

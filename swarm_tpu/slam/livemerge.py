@@ -144,7 +144,9 @@ def scan_merge(logodds, rx, ry, ryaw, scan_dist, alive,
             prior_weight=slam.merge_prior_weight,
             theta_prior_scale=(slam.merge_theta_prior_scale
                                if theta_prior_scale is None
-                               else theta_prior_scale))
+                               else theta_prior_scale),
+            distinct_margin=slam.merge_distinct_margin,
+            distinct_radius=slam.merge_distinct_radius)
 
     return jax.vmap(one)(sx, sy, sxg, syg, gx, gy, off_x, off_y, valid)
 
@@ -217,14 +219,16 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
     return WindowMatch(ddx=put(m.ddx), ddy=put(m.ddy),
                        ddtheta=put(m.ddtheta), fitness=put(m.fitness),
                        ok=put(m.ok) & mask,
-                       ddtheta_meas=put(m.ddtheta_meas))
+                       ddtheta_meas=put(m.ddtheta_meas),
+                       distinct=put(m.distinct))
 
 
 def merge_zero(n: int) -> WindowMatch:
     """The no-op result for off-cadence steps (lax.cond partner)."""
     z = jnp.zeros((n,), jnp.float32)
     return WindowMatch(ddx=z, ddy=z, ddtheta=z, fitness=z,
-                       ok=jnp.zeros((n,), bool), ddtheta_meas=z)
+                       ok=jnp.zeros((n,), bool), ddtheta_meas=z,
+                       distinct=jnp.zeros((n,), bool))
 
 
 def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
@@ -313,7 +317,8 @@ def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
                     fitness=jnp.where(take, mw.fitness, m.fitness),
                     ok=m.ok | take,
                     ddtheta_meas=jnp.where(take, mw.ddtheta_meas,
-                                           m.ddtheta_meas))
+                                           m.ddtheta_meas),
+                    distinct=jnp.where(take, mw.distinct, m.distinct))
     return m, attempted, recovered
 
 
@@ -587,7 +592,10 @@ def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
     straight = (jnp.abs(wrap_pi(gate_yaw - fs.qy)) <=
                 slam.merge_frame_turn_gate) \
         if slam.merge_frame_turn_gate > 0.0 else jnp.ones_like(upd)
-    sub_ok = upd & straight & \
+    # m.distinct: peak-distinctness verdict (all-True when the gate is
+    # off) — ambiguous-peak matches (wall-hugging/symmetric-room false
+    # verifications) must not innovate the frame estimates
+    sub_ok = upd & straight & m.distinct & \
         (a2 >= slam.merge_frame_min_path_m ** 2) & \
         (m.fitness >= slam.merge_frame_fit_min)
     if recovered is not None:

@@ -214,6 +214,13 @@ class WindowMatch(NamedTuple):
     # residual rotations the correction path intentionally ignores.
     # Never fed back into the pose directly.
     ddtheta_meas: jnp.ndarray  # [] radians
+    # Peak-distinctness verdict (SlamConfig.merge_distinct_margin): the
+    # raw (prior-free) correlation peak beats every hypothesis at least
+    # `distinct_radius` translation cells away by margin x n_points.
+    # All-True when the margin is 0 (gate off). Consumed by the fix
+    # stream (frame-tracker innovations, logged merge_ok observations);
+    # the bounded persistent increments ignore it by design.
+    distinct: jnp.ndarray      # [] bool
 
 
 def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
@@ -224,7 +231,9 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
                       fitness_min: float = 0.6,
                       min_points: int = 16,
                       prior_weight: float = 0.05,
-                      theta_prior_scale: float = 0.1) -> WindowMatch:
+                      theta_prior_scale: float = 0.1,
+                      distinct_margin: float = 0.0,
+                      distinct_radius: int = 3) -> WindowMatch:
     """Correlative scan-to-map matching of ONE agent's current scan against
     a window of the global map — the continuously-running realignment the
     reference's merger performs on every incoming submap
@@ -340,6 +349,7 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     # never win, which is the point in steady state but defeats
     # re-acquisition after yaw drift has outrun the normal capture range.
     pen_t = (thetas / theta_prior_scale) ** 2
+    scores_raw = scores    # prior-free copy for the distinctness test
     scores = scores - prior_weight * n_pts * (
         pen_xy[None] + pen_t[:, None, None])
 
@@ -410,13 +420,34 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
     off_r = refine_t(ai_r, t_line)
     ddtheta_meas = thetas[ai_r] + off_r * dth_step
 
+    # Peak distinctness (SlamConfig.merge_distinct_margin): the chosen
+    # peak must beat every hypothesis >= `distinct_radius` translation
+    # cells away (Chebyshev, any rotation) by margin x n_pts — on the
+    # PRIOR-FREE scores (the zero-motion prior fabricates exactly the
+    # centre-favouring slope this test must not see). Wall-hugging scans
+    # (score flat along the wall — the aperture problem) and symmetric-
+    # room aliases (a second in-window peak within the margin) fail it;
+    # those are the measured false-verified geometries (NOTES_r4: 21-31%
+    # of fitness-verified events).
+    if distinct_margin > 0.0:
+        jj_g = jnp.arange(side, dtype=jnp.int32)
+        far = (jnp.abs(jj_g[:, None] - di) >= distinct_radius) | \
+            (jnp.abs(jj_g[None, :] - dj) >= distinct_radius)
+        ring_max = jnp.max(jnp.where(far[None, :, :], scores_raw,
+                                     -jnp.inf))
+        peak_raw = scores_raw[ai, di, dj]
+        distinct = (peak_raw - ring_max) >= distinct_margin * n_pts
+    else:
+        distinct = jnp.ones((), bool)
+
     return WindowMatch(
         ddx=dx_cells * resolution,
         ddy=dy_cells * resolution,
         ddtheta=ddtheta,
         fitness=fitness,
         ok=(fitness >= fitness_min) & (n_pts >= min_points),
-        ddtheta_meas=ddtheta_meas)
+        ddtheta_meas=ddtheta_meas,
+        distinct=distinct)
 
 
 def occupancy_mass(tri_grid, cfg: GridConfig = GridConfig()):

@@ -80,3 +80,35 @@ def test_few_fixes_leave_chain_untouched():
     np.testing.assert_allclose(out["bias"], 0.0)
     np.testing.assert_allclose(out["scale"], 1.0)
     np.testing.assert_allclose(out["x"], ex, atol=1e-5)
+
+
+def test_robust_irls_downweights_false_fixes():
+    """With ~30% of fixes corrupted by 0.5-1.5 m false-match offsets
+    (the NOTES_r4 measured false-verified regime), the robust
+    (Geman-McClure score + Cauchy IRLS) calibration still recovers the
+    drift parameters; the scale fit in particular must not rail at its
+    clip band the way plain LS does."""
+    t, n = 1500, 4
+    biases = np.array([0.008, -0.008, 0.008, -0.008])
+    scales = np.array([0.998, 1.002, 1.002, 0.998])
+    ex = np.zeros((t, n)); ey_ = np.zeros((t, n)); eyaw = np.zeros((t, n))
+    zx = np.zeros((t, n)); zy = np.zeros((t, n))
+    mask = np.zeros((t, n), bool)
+    for a in range(n):
+        p, e, yw = _drifted_chain(a, t, biases[a], scales[a], noise=0.002)
+        ex[:, a], ey_[:, a], eyaw[:, a] = e[:, 0], e[:, 1], yw
+        rng = np.random.default_rng(100 + a)
+        idx = np.arange(15, t, 16)
+        mask[idx, a] = True
+        zx[:, a] = p[:, 0] + 0.05 * rng.normal(size=t)
+        zy[:, a] = p[:, 1] + 0.05 * rng.normal(size=t)
+        bad = rng.random(len(idx)) < 0.30
+        bidx = idx[bad]
+        off = rng.uniform(0.5, 1.5, (len(bidx), 2)) * \
+            rng.choice([-1, 1], (len(bidx), 2))
+        zx[bidx, a] += off[:, 0]
+        zy[bidx, a] += off[:, 1]
+    out = calibrate_chains(ex, ey_, eyaw, mask, zx, zy,
+                           robust_c=0.25, irls_rounds=2)
+    np.testing.assert_allclose(out["bias"], -biases, atol=0.0015)
+    np.testing.assert_allclose(out["scale"], 1.0 / scales, atol=0.006)

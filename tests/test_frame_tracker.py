@@ -32,7 +32,8 @@ def _match(ddx, ddy, ok, fit=0.9):
     z = jnp.zeros_like(ddx)
     return WindowMatch(ddx=ddx, ddy=ddy, ddtheta=z,
                        fitness=jnp.where(ok, fit, 0.0), ok=ok,
-                       ddtheta_meas=z)
+                       ddtheta_meas=z,
+                       distinct=jnp.ones_like(ok, bool))
 
 
 def _drift_loop(cfg, steps=800, every=16, bias=(0.008, -0.008),

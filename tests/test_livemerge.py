@@ -379,7 +379,8 @@ def test_merge_fail_update_and_increments_semantics():
         ddtheta=jnp.array([0.0, 0.01, 0.0, 0.0, 0.20], jnp.float32),
         fitness=jnp.full((n,), 0.9, jnp.float32),
         ok=jnp.array([False, True, True, False, True]),
-        ddtheta_meas=jnp.zeros((n,), jnp.float32))
+        ddtheta_meas=jnp.zeros((n,), jnp.float32),
+        distinct=jnp.ones((n,), bool))
     attempted = jnp.array([True, True, True, False, True])
     recovered = jnp.array([False, False, False, False, True])
     alive = jnp.ones((n,), bool)
@@ -416,3 +417,47 @@ def test_merge_fail_update_and_increments_semantics():
         np.asarray(jdth),
         cfg0.slam.merge_yaw_damping * np.clip(np.asarray(fdth),
                                               -cmr, cmr))
+
+
+def test_distinct_gate_rejects_aperture_ambiguous_match():
+    """Peak-distinctness (SlamConfig.merge_distinct_margin): a scan that
+    sees only one straight wall scores flat along the wall (the aperture
+    problem) — fitness passes but `distinct` must be False; a corner
+    scan (two perpendicular walls) pins both axes and stays distinct.
+    These are exactly the measured false-verified geometries (NOTES_r4:
+    wall-hugging scans, 21-31% of verified events)."""
+    import numpy as np
+    from swarm_tpu.slam.scanmatch import match_scan_window
+
+    inner, search, res = 64, 8, 0.05
+    side = inner + 2 * search
+    ax = ay = inner / 2.0
+    r = 61
+
+    def run(case):
+        win = np.zeros((side, side), np.float32)
+        if case == "wall":
+            win[search + 40, :] = 1.0
+            px = np.linspace(-20, 20, r)
+            py = np.full(r, 40 - ay)
+        else:
+            win[search + 40, search:search + 45] = 1.0
+            win[search:search + 45, search + 44] = 1.0
+            px = np.concatenate([np.linspace(-20, 10, r // 2),
+                                 np.full(r - r // 2, 44 - ax)])
+            py = np.concatenate([np.full(r // 2, 40 - ay),
+                                 np.linspace(-20, 10, r - r // 2)])
+        m = match_scan_window(
+            jnp.asarray(px * res), jnp.asarray(py * res),
+            jnp.ones((r,), bool), jnp.asarray(win), (ax, ay), inner,
+            search, n_theta=11, theta_range=0.2, resolution=res,
+            distinct_margin=0.05, distinct_radius=3)
+        return m
+
+    wall = run("wall")
+    corner = run("corner")
+    assert bool(wall.ok) and not bool(wall.distinct)
+    assert bool(corner.ok) and bool(corner.distinct)
+    # gate off -> every match is distinct (r4 behavior preserved)
+    m_off = run("corner")._replace()  # corner again, margin on, sanity
+    assert bool(m_off.distinct)

@@ -217,6 +217,9 @@ def main():
                     help="x/y information weight of one anchored-merge "
                          "absolute observation in the offline GN")
     ap.add_argument("--unary-theta-weight", type=float, default=4.0)
+    ap.add_argument("--distinct", type=float, default=0.05,
+                    help="merge_distinct_margin for the online "
+                         "merge_anchored tier (0 = r4 behavior)")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -276,7 +279,11 @@ def main():
                                      min_poses_between=100 * args.agents,
                                      closure_scanmatch=True,
                                      closure_cross_radius_m=1.2,
-                                     closure_match_search=28),
+                                     closure_match_search=28,
+                                     # r5: ambiguous-peak filter on the
+                                     # fix stream (innovations + logged
+                                     # mok) — see merge_distinct_margin
+                                     merge_distinct_margin=args.distinct),
             engine=dataclasses.replace(base_cfg.engine, merge_every=16)),
         "ref_closures+merge": dict(
             slam=dataclasses.replace(base_cfg.slam,
@@ -445,18 +452,93 @@ def main():
           f"(|bias| mean {results['calibrated']['bias_hat_mean_abs']})",
           flush=True)
 
+    # ----- robust calibration (r5, VERDICT r4 item 1): the same fixes,
+    # Geman-McClure-scored bias search + Cauchy IRLS reweighting — the
+    # measured 21-31% false-fix fraction must not steer the quadratic.
+    cal_r = calibrate_chains(log_m["ex"] + x_off[None, :], log_m["ey"],
+                             log_m["eyaw"], log_m["mok"],
+                             log_m["sx"], log_m["sy"],
+                             robust_c=0.25, irls_rounds=2)
+    cal_r_dict = {a + 1: {"poses": np.stack(
+                              [cal_r["x"][:, a], cal_r["y"][:, a],
+                               cal_r["yaw"][:, a]], -1).astype(np.float32),
+                          "idx": np.arange(t_steps) * n + a}
+                  for a in range(n)}
+    a_mean, a_late = offline_ate(cal_r_dict, true_xm, true_ym)
+    results["calibrated_robust"] = {
+        "ate_mean_m": round(a_mean, 4), "ate_late_m": round(a_late, 4),
+        "merge_obs": n_obs, **tier_map_metrics(cal_r_dict)}
+    print(f"{'calibrated_robust':16s} ATE mean {a_mean:.3f} m | "
+          f"late {a_late:.3f} m | "
+          f"IoU {results['calibrated_robust']['wall_iou']}", flush=True)
+
+    # ----- re-localized calibration (r5): iterate calibrate -> re-match
+    # the logged scans from the CALIBRATED chain against the frozen
+    # anchor map -> re-calibrate. The online fixes are tether-biased
+    # (the matcher's capture window saturates once drift outruns it —
+    # the r4 oracle experiment showed perfect fixes reach -39%); second-
+    # round fixes from a near-truth chain are capture-unsaturated.
+    from swarm_tpu.slam.calibrate import calibrate_reloc
+    reloc_cfg = base_cfg.replace(slam=dataclasses.replace(
+        base_cfg.slam,
+        merge_search_cells=16,          # 0.8 m offline capture
+        merge_distinct_margin=0.05))    # ambiguous-peak filter ON
+    anchor_np = np.asarray(state_m.srv.anchor)
+    cal2, mask2, fx2, fy2 = calibrate_reloc(
+        log_m["ex"] + x_off[None, :], log_m["ey"], log_m["eyaw"],
+        log_m["mok"], log_m["sx"], log_m["sy"], anchor_np,
+        log_m["scan"], reloc_cfg, rounds=2, every=16,
+        robust_c=0.25, irls_rounds=2)
+    cal2_dict = {a + 1: {"poses": np.stack(
+                             [cal2["x"][:, a], cal2["y"][:, a],
+                              cal2["yaw"][:, a]], -1).astype(np.float32),
+                         "idx": np.arange(t_steps) * n + a}
+                 for a in range(n)}
+    a_mean, a_late = offline_ate(cal2_dict, true_xm, true_ym)
+    n_obs2 = int(mask2.sum())
+    results["calibrated_reloc"] = {
+        "ate_mean_m": round(a_mean, 4), "ate_late_m": round(a_late, 4),
+        "reloc_obs": n_obs2,
+        "bias_hat_mean_abs": round(float(np.abs(cal2["bias"]).mean()), 5),
+        **tier_map_metrics(cal2_dict)}
+    print(f"{'calibrated_reloc':16s} ATE mean {a_mean:.3f} m | "
+          f"late {a_late:.3f} m | "
+          f"IoU {results['calibrated_reloc']['wall_iou']} "
+          f"({n_obs2} reloc fixes)", flush=True)
+
+    # unary factors from the RELOC fix set (position only — reloc fixes
+    # carry no theta measurement)
+    uw2 = np.array([args.unary_weight, args.unary_weight, 0.0],
+                   np.float32)
+    unary2 = {}
+    for a in range(n):
+        idx = np.nonzero(mask2[:, a])[0]
+        if len(idx) == 0:
+            continue
+        z2 = np.stack([fx2[idx, a], fy2[idx, a],
+                       np.zeros(len(idx))], -1).astype(np.float32)
+        unary2[a + 1] = (idx.astype(np.int64), z2,
+                         np.tile(uw2, (len(idx), 1)))
+
+    session_r = dict(session_m,
+                     x=cal2["x"].reshape(-1).astype(np.float64),
+                     y=cal2["y"].reshape(-1).astype(np.float64),
+                     yaw_deg=np.degrees(cal2["yaw"].reshape(-1)))
+
     session_c = dict(session_m,
                      x=cal["x"].reshape(-1).astype(np.float64),
                      y=cal["y"].reshape(-1).astype(np.float64),
                      yaw_deg=np.degrees(cal["yaw"].reshape(-1)))
 
-    for tier_name, solver, sess in (
-            ("anchored_gn", refine_session, session_m),
-            ("anchored_joint", joint_refine_session, session_m),
-            ("calibrated_gn", refine_session, session_c),
-            ("calibrated_joint", joint_refine_session, session_c)):
+    for tier_name, solver, sess, un in (
+            ("anchored_gn", refine_session, session_m, unary),
+            ("anchored_joint", joint_refine_session, session_m, unary),
+            ("calibrated_gn", refine_session, session_c, unary),
+            ("calibrated_joint", joint_refine_session, session_c, unary),
+            ("reloc_gn", refine_session, session_r, unary2),
+            ("reloc_joint", joint_refine_session, session_r, unary2)):
         ref_t = solver(sess, closures=closures_m, cfg=base_cfg,
-                       unary=unary)
+                       unary=un)
         a_mean, a_late = offline_ate(ref_t, true_xm, true_ym)
         results[tier_name] = {"ate_mean_m": round(a_mean, 4),
                               "ate_late_m": round(a_late, 4),
