@@ -482,6 +482,24 @@ class SlamConfig:
     # closure_scanmatch (unverified cross edges would be ~radius-grade
     # noise). Batched path only.
     closure_cross_radius_m: float = 0.0
+    # PROXIMITY-PAIR rendezvous (r5, VERDICT r4 item 2). The landmark-
+    # coincidence rendezvous above yields ~14 verified edges per 64
+    # agents x 2000 steps — both agents must detect landmarks near the
+    # same spot AND clear the global min_poses_between cooldown, so the
+    # collaborative back-end starves. This mechanism needs no landmarks:
+    # each closure step, up to closure_pair_budget CLOSEST pairs of live
+    # agents within closure_cross_radius_m get their CURRENT scans
+    # matched scan-to-scan (slam/closurematch.py — agent j's sweep
+    # splatted as the window, agent i's matched into it), and a
+    # fitness-verified match logs a measured cross-agent edge between
+    # their current nodes. Same-time edges ARE informative: the agents'
+    # frames drift independently, so the SE(2) measurement couples their
+    # drifts directly. Per-agent rate limit: an agent participates in at
+    # most one attempted pair per closure_pair_cooldown node indices
+    # (~cooldown/N steps), keeping the log diverse and the match budget
+    # honest. 0 = off. Requires closure_scanmatch + cross radius.
+    closure_pair_budget: int = 0
+    closure_pair_cooldown: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -93,6 +93,9 @@ _MIGRATIONS = {
     **{f".srv.frame.{f}": "zero"
        for f in ("theta", "scale_dev", "rate", "px", "py", "ax", "ay",
                  "lx", "ly", "qy", "nacc", "dacc", "sacc")},
+    # r5 proximity-pair rendezvous cooldown (SlamConfig
+    # .closure_pair_budget): fresh init is -(1<<30) ("fire immediately")
+    ".srv.closure.last_pair_node": "template",
 }
 
 
@@ -123,7 +126,13 @@ def load_pytree(path: str, template, migrate: bool = True):
         t = np.asarray(tmpl)
         shim = shim_for(k)
         if k not in data.files:
-            # registered post-checkpoint leaf -> fresh fill
+            # registered post-checkpoint leaf -> fresh fill ("template"
+            # copies the freshly-initialised template leaf — for leaves
+            # whose reset value is not 0/-1, e.g. the pair-cooldown's
+            # far-negative "fire immediately" sentinel)
+            if shim == "template":
+                leaves.append(np.array(t, copy=True))
+                continue
             fill = -1 if shim == "neg_ones" else 0
             leaves.append(np.full(t.shape, fill, t.dtype))
             continue

@@ -65,6 +65,11 @@ class ClosureState(NamedTuple):
     cl_my: jnp.ndarray        # [C]
     cl_mth: jnp.ndarray       # [C]
     cl_fit: jnp.ndarray       # [C] match fitness, -1 = unmeasured
+    # Proximity-pair rendezvous rate limiter (SlamConfig
+    # .closure_pair_budget): node index of each agent's last ATTEMPTED
+    # pair match — an agent re-pairs only after closure_pair_cooldown
+    # more nodes. Init far negative so the first pairs fire immediately.
+    last_pair_node: jnp.ndarray   # [N] int32
 
 
 def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
@@ -88,7 +93,8 @@ def closure_init(n_agents: int, cfg: SlamConfig = SlamConfig(),
         lm_yaw=zf((L,), jnp.float32), lm_scan=zf((L, R), jnp.float32),
         cl_mx=zf((C,), jnp.float32), cl_my=zf((C,), jnp.float32),
         cl_mth=zf((C,), jnp.float32),
-        cl_fit=jnp.full((C,), -1.0, jnp.float32))
+        cl_fit=jnp.full((C,), -1.0, jnp.float32),
+        last_pair_node=jnp.full((n_agents,), -(1 << 30), jnp.int32))
 
 
 def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
@@ -189,7 +195,8 @@ def closure_add_pose(state: ClosureState, x, y, agent, lm_type,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
         cl_agent=cl_agent, cl_count=cl_count,
         lm_yaw=lm_yaw, lm_scan=lm_scan,
-        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit)
+        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit,
+        last_pair_node=state.last_pair_node)
     return new, any_match, cdx, cdy
 
 
@@ -340,6 +347,76 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
     cl_mth = state.cl_mth.at[cslot].set(mth_v, mode="drop")
     cl_fit = state.cl_fit.at[cslot].set(fit_v, mode="drop")
 
+    # --- proximity-pair rendezvous (SlamConfig.closure_pair_budget) ----
+    # Up to K closest pairs of live agents within the cross radius get
+    # their CURRENT scans matched scan-to-scan: agent j's sweep splats
+    # the window, agent i's matches into it (closurematch.py), and a
+    # verified match logs a measured cross edge (stored node = j's
+    # current node, frame of the measurement). Needs no landmarks and no
+    # global cooldown — the per-agent pair cooldown rate-limits instead.
+    # Detection-only (never snaps), like the landmark rendezvous above.
+    last_pair = state.last_pair_node
+    pair_on = (cfg.closure_pair_budget > 0 and measure_on
+               and cfg.closure_cross_radius_m > 0)
+    if pair_on:
+        K2 = min(cfg.closure_pair_budget, max(1, M // 2))
+        d2p = (xs[:, None] - xs[None, :]) ** 2 + \
+            (ys[:, None] - ys[None, :]) ** 2
+        cool = (idxs - last_pair[agents]) >= cfg.closure_pair_cooldown
+        lower = jnp.arange(M)[:, None] < jnp.arange(M)[None, :]   # i<j
+        cand = (valid[:, None] & valid[None, :] & cool[:, None] &
+                cool[None, :] & lower &
+                (d2p < cfg.closure_cross_radius_m ** 2))
+        neg_d2 = jnp.where(cand, -d2p, -jnp.inf)
+        top_v, top_i = jax.lax.top_k(neg_d2.reshape(-1), K2)
+        pi = top_i // M
+        pj = top_i % M
+        att2 = top_v > -jnp.inf                                  # [K2]
+
+        def run_pair(_):
+            from swarm_tpu.slam.closurematch import \
+                match_scan_pairs_batch
+            m2, meas2 = match_scan_pairs_batch(
+                scans[pi], (xs[pi], ys[pi], yaws[pi]),
+                scans[pj], (xs[pj], ys[pj], yaws[pj]),
+                cfg, grid, sens)
+            ok2 = m2.ok & m2.distinct & att2
+            return (ok2, meas2[:, 0], meas2[:, 1], meas2[:, 2],
+                    m2.fitness)
+
+        def skip_pair(_):
+            z2 = jnp.zeros((K2,), jnp.float32)
+            return jnp.zeros((K2,), bool), z2, z2, z2, z2
+
+        ok2, pmx, pmy, pmth, pfit = jax.lax.cond(
+            jnp.any(att2), run_pair, skip_pair, None)
+
+        # append verified pair edges after this step's regular edges
+        p_i32 = ok2.astype(jnp.int32)
+        ppos = cl_count + jnp.cumsum(p_i32) - p_i32
+        pslot = jnp.where(ok2, jnp.mod(ppos, C), C)
+        cl_lm_node = cl_lm_node.at[pslot].set(idxs[pj], mode="drop")
+        cl_node = cl_node.at[pslot].set(idxs[pi], mode="drop")
+        cl_dx = cl_dx.at[pslot].set(0.0, mode="drop")
+        cl_dy = cl_dy.at[pslot].set(0.0, mode="drop")
+        cl_agent = cl_agent.at[pslot].set(
+            agents[pi].astype(jnp.int32), mode="drop")
+        cl_mx = cl_mx.at[pslot].set(pmx, mode="drop")
+        cl_my = cl_my.at[pslot].set(pmy, mode="drop")
+        cl_mth = cl_mth.at[pslot].set(pmth, mode="drop")
+        cl_fit = cl_fit.at[pslot].set(
+            jnp.where(ok2, pfit, -1.0), mode="drop")
+        cl_count = cl_count + jnp.sum(p_i32)
+
+        # cooldown consumes on ATTEMPT (a failing stationary pair must
+        # not hog the budget every step); scatter-max keeps the newest
+        pa = jnp.concatenate([agents[pi], agents[pj]])
+        pn = jnp.concatenate([jnp.where(att2, idxs[pi], -(1 << 30)),
+                              jnp.where(att2, idxs[pj], -(1 << 30))])
+        psl = jnp.where(jnp.concatenate([att2, att2]), pa,
+                        last_pair.shape[0])
+        last_pair = last_pair.at[psl].max(pn, mode="drop")
+
     # --- landmark appends AFTER matching, packet order ----------------------
     hi = has_lm.astype(jnp.int32)
     lpos = state.lm_count + jnp.cumsum(hi) - hi
@@ -367,5 +444,6 @@ def closure_add_poses_batch(state: ClosureState, xs, ys, agents, lm_types,
         cl_lm_node=cl_lm_node, cl_node=cl_node, cl_dx=cl_dx, cl_dy=cl_dy,
         cl_agent=cl_agent, cl_count=cl_count,
         lm_yaw=lm_yaw, lm_scan=lm_scan,
-        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit)
+        cl_mx=cl_mx, cl_my=cl_my, cl_mth=cl_mth, cl_fit=cl_fit,
+        last_pair_node=last_pair)
     return new, closed, cdx, cdy

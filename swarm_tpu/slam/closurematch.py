@@ -132,7 +132,9 @@ def match_scan_pair(cur_dist, cur_pose, stored_dist, stored_pose,
         inlier_radius_cells=slam.closure_match_inlier_radius,
         fitness_min=slam.merge_fitness_min,
         min_points=min_pts,
-        prior_weight=slam.closure_match_prior_weight)
+        prior_weight=slam.closure_match_prior_weight,
+        distinct_margin=slam.merge_distinct_margin,
+        distinct_radius=slam.merge_distinct_radius)
 
     # ---- SE(2) edge measurement --------------------------------------
     dxw = (cx + m.ddx) - sx

@@ -252,3 +252,71 @@ def test_sharded_engine_runs_with_scanmatch():
     np.testing.assert_allclose(np.asarray(st_sh.srv.closure.lm_scan),
                                np.asarray(st_ref.srv.closure.lm_scan),
                                atol=1e-6)
+
+
+def test_proximity_pair_rendezvous_logs_measured_cross_edge():
+    """SlamConfig.closure_pair_budget (r5): two co-located agents'
+    CURRENT scans are matched scan-to-scan at the closure step and a
+    fitness-verified measured cross-agent edge lands in the log —
+    without either agent detecting a landmark. Far-away agents must not
+    pair, and the attempted agents' cooldown is consumed."""
+    import jax
+    import numpy as np
+    from swarm_tpu.config import (GridConfig, SensorConfig, SlamConfig)
+    from swarm_tpu.slam.closure import (closure_add_poses_batch,
+                                        closure_init)
+
+    slam = SlamConfig(closure_scanmatch=True, closure_cross_radius_m=1.2,
+                      closure_pair_budget=4, closure_pair_cooldown=8,
+                      closure_match_window=96, closure_match_search=12,
+                      closure_match_chunk=4)
+    grid = GridConfig(size=256, origin_x=-3.0, origin_y=-3.0)
+    sens = SensorConfig(max_range=3.0)
+    n, r = 4, 181
+    rel = np.linspace(-np.pi / 2, np.pi / 2, r)
+
+    def mkscan(x, y, yaw):
+        d = np.full(r, np.inf)
+        for i, a in enumerate(rel):
+            c, s = np.cos(yaw + a), np.sin(yaw + a)
+            if c > 1e-6:
+                d[i] = min(d[i], (2.0 - x) / c)
+            if s > 1e-6:
+                d[i] = min(d[i], (2.0 - y) / s)
+        d[~np.isfinite(d)] = 4.0
+        return np.clip(d, 0, 4.0).astype(np.float32)
+
+    # agents 0, 1 share a corner (walls x=2, y=2); 2, 3 are far away.
+    # agent 1 REPORTS a pose offset (0.15, -0.10) from where its scan
+    # was actually taken — the edge measurement must recover the truth.
+    xs_t = np.array([0.6, 1.0, 8.0, 12.0], np.float32)
+    ys_t = np.array([0.8, 0.5, 8.0, 12.0], np.float32)
+    yaws = np.array([0.3, 0.5, 0.0, 0.0], np.float32)
+    scans = np.stack([mkscan(xs_t[i], ys_t[i], yaws[i])
+                      for i in range(n)])
+    xs = xs_t.copy(); ys = ys_t.copy()
+    xs[1] += 0.15; ys[1] -= 0.10
+
+    st = closure_init(n, slam, scan_rays=r)
+    new, _, _, _ = jax.jit(lambda s: closure_add_poses_batch(
+        s, jnp.asarray(xs), jnp.asarray(ys),
+        jnp.arange(n, dtype=jnp.int32), jnp.zeros(n, jnp.int32), slam,
+        valid=jnp.ones(n, bool), yaws=jnp.asarray(yaws),
+        scans=jnp.asarray(scans), grid=grid, sens=sens))(st)
+
+    c = int(new.cl_count)
+    assert c == 1, c
+    # pair (0, 1): stored node = j=1's node, current = i=0's node
+    assert int(new.cl_lm_node[0]) == 1 and int(new.cl_node[0]) == 0
+    assert float(new.cl_fit[0]) >= 0.6
+    # measurement (frame of stored node 1): R(-yaw1) @ (p0 - p1_true)
+    ct, s_ = np.cos(yaws[1]), np.sin(yaws[1])
+    dx, dy = xs_t[0] - xs_t[1], ys_t[0] - ys_t[1]
+    exp = np.array([ct * dx + s_ * dy, -s_ * dx + ct * dy,
+                    yaws[0] - yaws[1]])
+    got = np.array([float(new.cl_mx[0]), float(new.cl_my[0]),
+                    float(new.cl_mth[0])])
+    np.testing.assert_allclose(got, exp, atol=0.08)
+    # cooldown consumed for 0 and 1 only
+    lp = np.asarray(new.last_pair_node)
+    assert lp[0] >= 0 and lp[1] >= 0 and lp[2] < 0 and lp[3] < 0

@@ -220,6 +220,10 @@ def main():
     ap.add_argument("--distinct", type=float, default=0.05,
                     help="merge_distinct_margin for the online "
                          "merge_anchored tier (0 = r4 behavior)")
+    ap.add_argument("--pair-budget", type=int, default=8,
+                    help="closure_pair_budget: closest co-located agent "
+                         "pairs scan-matched per step for cross-agent "
+                         "edges (0 = r4 behavior)")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -258,7 +262,8 @@ def main():
                         min_poses_between=100 * args.agents,
                         closure_scanmatch=True,
                         closure_cross_radius_m=1.2,
-                        closure_match_search=28),
+                        closure_match_search=28,
+                        closure_pair_budget=args.pair_budget),
                     engine=dataclasses.replace(base_cfg.engine,
                                                merge_every=0)),
         # the REFERENCE online mechanism: damped landmark position snap
@@ -280,6 +285,7 @@ def main():
                                      closure_scanmatch=True,
                                      closure_cross_radius_m=1.2,
                                      closure_match_search=28,
+                                     closure_pair_budget=args.pair_budget,
                                      # r5: ambiguous-peak filter on the
                                      # fix stream (innovations + logged
                                      # mok) — see merge_distinct_margin
