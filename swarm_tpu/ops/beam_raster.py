@@ -157,6 +157,40 @@ def patch_origin(ax_cell, ay_cell, size: int,
     return row0, col0
 
 
+def fan_bbox_cells(yaw, spec: BeamSpec, reach_r: float):
+    """Per-agent bounding box of every cell the fan can paint, relative
+    to the agent position, in cells (r5 window-overscan cut — the r4
+    roofline measured ~5x of the kernel's VPU work on masked cells: the
+    [rows, cols] window is the ALIGNED bounding box of a half-disc fan).
+
+    The paintable set is {0} ∪ {r·(cos t, sin t) : t ∈ [lo, hi],
+    r ≤ reach_r} where [lo, hi] is the fan's in_fan direction arc
+    (free/ring gating only shrinks it). The bbox of an arc at radius R
+    takes R at each cardinal direction the arc contains, else the arc
+    endpoints; union with the agent point. Returns (xmin, xmax, ymin,
+    ymax), each [N] float cells."""
+    yaw = jnp.asarray(yaw, jnp.float32)
+    if spec.wrap:
+        r = jnp.full_like(yaw, reach_r)
+        return -r, r, -r, r
+    lo = yaw + spec.theta0 - spec.dtheta / 2.0
+    arc = (spec.n_beams) * spec.dtheta          # hi - lo
+
+    def has(a):
+        return jnp.mod(a - lo, 2.0 * math.pi) <= arc
+
+    hi = lo + arc
+    cl, ch = jnp.cos(lo), jnp.cos(hi)
+    sl, sh = jnp.sin(lo), jnp.sin(hi)
+    xmax = jnp.where(has(0.0), 1.0, jnp.maximum(cl, ch))
+    xmin = jnp.where(has(math.pi), -1.0, jnp.minimum(cl, ch))
+    ymax = jnp.where(has(math.pi / 2), 1.0, jnp.maximum(sl, sh))
+    ymin = jnp.where(has(-math.pi / 2), -1.0, jnp.minimum(sl, sh))
+    z = jnp.zeros_like(yaw)
+    return (jnp.minimum(z, xmin * reach_r), jnp.maximum(z, xmax * reach_r),
+            jnp.minimum(z, ymin * reach_r), jnp.maximum(z, ymax * reach_r))
+
+
 def _patch_delta(ax, ay, yaw, ranges_cells, trusted, row0, col0,
                  spec: BeamSpec, hit: float, miss: float, max_range_cells,
                  rows_n: int = PATCH_ROWS, cols_n: int = PATCH_COLS):

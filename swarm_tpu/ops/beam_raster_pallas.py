@@ -303,7 +303,8 @@ def _kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref, patch,
 
 
 def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
-                 counts_ref, patch, sem_in, sem_out, *, spec: BeamSpec,
+                 counts_ref, patch, dscratch, acc_ref, sem_in, sem_out, *,
+                 spec: BeamSpec,
                  n_groups: int, group_dtheta: float, rows: int, cols: int,
                  miss: float, hit: float, clamp: float,
                  line_equivalent: bool, paint_hits: bool, dense: bool,
@@ -318,15 +319,38 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
     (`_hexadecet_gather_packed`): 9 vector ops per 16 beams — half the r2
     f32 octet tree's cost, which dominated the per-cell op count.
 
+    FAN-BBOX COLUMN-STRIP PREDICATION (r5, VERDICT r4 item 4): the
+    window is the ALIGNED bounding box of a half-disc fan, so most of
+    its cells are provably un-paintable for any given heading (the r4
+    roofline's named ~5x VPU overscan). The caller precomputes each
+    agent's fan bbox (beam_raster.fan_bbox_cells) as 128-col strip
+    bounds (origin_ref[i, 4:6] = cl, ch), and the per-cell math runs
+    only on full-height [rows, 128] strips intersecting it — cells
+    outside the bbox cannot satisfy in_fan & r <= reach, so skipping a
+    strip is bit-exact (its delta is identically zero and clamp is a
+    no-op on in-range values). Strip granularity is deliberate: the
+    fan bbox (~(reach·2+3)² ≈ 55x55 cells) is SMALLER than one minimal
+    Mosaic predication tile in the lane dim (128), so finer [16, 128]
+    tiles were measured 31 % SLOWER than no predication at the
+    1024-agent bench (1.05e9 vs 1.53e9 applied cells/s) — per-tile
+    branch + small-op overhead exceeds the ~38 % of cells they skip.
+    Column strips skip ~32 % of the window (mean 1.37 of 2 strips
+    active over uniform headings) for only two branches.
+
     counts_ref: the IN-KERNEL applied-write counter (VERDICT r2 item 1) —
     the sum of per-cell beam-crossing counts over every cell this program
     actually paints (free cells at full weight, tail cells at tail_weight,
     endpoint-ring cells at the trusted weight). This is the honest
     line-equivalent work the kernel performs, counted where the evidence
-    is computed, replacing the old analytic floor(db/res)-1 claim."""
+    is computed, replacing the old analytic floor(db/res)-1 claim.
+    Accumulated per strip in SMEM (acc_ref); per-strip partial sums
+    change f32 summation order vs one whole-window sum — the counter's
+    contract is per-agent totals, not a bit-pinned reduction order."""
     i = pl.program_id(0)
     r0 = pl.multiple_of(origin_ref[i, 0], row_align)
     c0 = pl.multiple_of(origin_ref[i, 1], 128)
+    t_cl = origin_ref[i, 4]     # fan-bbox col-strip bounds
+    t_ch = origin_ref[i, 5]     # strips [t_cl, t_ch) of cols // 128
 
     in_dma = pltpu.make_async_copy(
         out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], patch, sem_in)
@@ -336,110 +360,136 @@ def _free_kernel(origin_ref, meta_ref, table_ref, grid_ref, out_ref,
     ay = meta_ref[i, 1]
     yaw = meta_ref[i, 2]
     act = meta_ref[i, 3]
+    acc_ref[0, 0] = jnp.float32(0.0)
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    cy = (r0 + rr).astype(jnp.float32) + 0.5
-    cx = (c0 + cc).astype(jnp.float32) + 0.5
-    dx = cx - ax
-    dy = cy - ay
-    # r via rsqrt: one transcendental instead of sqrt + divide (the same
-    # rinv feeds the crossing count below)
-    r2 = dx * dx + dy * dy
-    rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
-    r = r2 * rinv
-    theta = _atan2_poly(dy, dx)
+    def tile_delta(cb: int):
+        """Evidence delta + painted count for the full-height
+        [rows, 128] strip at static strip index cb — the same math the
+        whole-window kernel ran, on a sub-window."""
+        shape = (rows, 128)
+        rr = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        cy = (r0 + rr).astype(jnp.float32) + 0.5
+        cx = (c0 + cb * 128 + cc).astype(jnp.float32) + 0.5
+        dx = cx - ax
+        dy = cy - ay
+        # r via rsqrt: one transcendental instead of sqrt + divide (the
+        # same rinv feeds the crossing count below)
+        r2 = dx * dx + dy * dy
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-6))
+        r = r2 * rinv
+        theta = _atan2_poly(dy, dx)
 
-    rel = theta - yaw - spec.theta0 - group_dtheta / 2.0 + spec.dtheta / 2.0
-    rel = _wrap_pi_cheap(rel)
-    g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
-    if spec.wrap:
-        g = jnp.mod(g, n_groups)
-        in_fan = jnp.ones((rows, cols), bool)
-    else:
-        in_fan = (rel >= -group_dtheta / 2.0) & \
-            (rel < (n_groups - 0.5) * group_dtheta)
-        g = jnp.clip(g, 0, n_groups - 1)
+        rel = theta - yaw - spec.theta0 - group_dtheta / 2.0 \
+            + spec.dtheta / 2.0
+        rel = _wrap_pi_cheap(rel)
+        g = jnp.floor(rel / group_dtheta + 0.5).astype(jnp.int32)
+        if spec.wrap:
+            g = jnp.mod(g, n_groups)
+            in_fan = jnp.ones(shape, bool)
+        else:
+            in_fan = (rel >= -group_dtheta / 2.0) & \
+                (rel < (n_groups - 0.5) * group_dtheta)
+            g = jnp.clip(g, 0, n_groups - 1)
 
-    if per_beam and pack8:
-        # quad-packed 8-bit gather: 9 select ops per 32 beams
-        v8 = _quad_gather_packed8(g, lambda k: table_ref[0, k, 0],
-                                  n_groups, (rows, cols))
-        rb, tf = _unpack_range8(v8, paint_hits, (rows, cols))
-        rt = rb                                    # tail statically off
-    elif per_beam:
-        # packed 16-bit pair gather via the hexadecet select tree
-        v16 = _hexadecet_gather_packed(g, lambda k: table_ref[0, k, 0],
-                                       n_groups, (rows, cols))
-        rb, tf = _unpack_range16(v16, paint_hits, (rows, cols))
-        rt = rb                                    # tail statically off
-    else:
-        def gather_group(k, carry):
-            # table block is [1, G_pad, 3]: k indexes SUBLANES (dynamic
-            # lane indexing is not supported by Mosaic)
-            rbk, tfk, rtk = carry
-            is_k = g == k
-            rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
-            if paint_hits:
-                tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
-            if tail_weight > 0:
-                rtk = jnp.where(is_k, table_ref[0, k, 2], rtk)
-            return rbk, tfk, rtk
+        if per_beam and pack8:
+            # quad-packed 8-bit gather: 9 select ops per 32 beams
+            v8 = _quad_gather_packed8(g, lambda k: table_ref[0, k, 0],
+                                      n_groups, shape)
+            rb, tf = _unpack_range8(v8, paint_hits, shape)
+            rt = rb                                # tail statically off
+        elif per_beam:
+            # packed 16-bit pair gather via the hexadecet select tree
+            v16 = _hexadecet_gather_packed(
+                g, lambda k: table_ref[0, k, 0], n_groups, shape)
+            rb, tf = _unpack_range16(v16, paint_hits, shape)
+            rt = rb                                # tail statically off
+        else:
+            def gather_group(k, carry):
+                # table block is [1, G_pad, 3]: k indexes SUBLANES
+                # (dynamic lane indexing is not supported by Mosaic)
+                rbk, tfk, rtk = carry
+                is_k = g == k
+                rbk = jnp.where(is_k, table_ref[0, k, 0], rbk)
+                if paint_hits:
+                    tfk = jnp.where(is_k, table_ref[0, k, 1], tfk)
+                if tail_weight > 0:
+                    rtk = jnp.where(is_k, table_ref[0, k, 2], rtk)
+                return rbk, tfk, rtk
 
-        rb, tf, rt = jax.lax.fori_loop(
-            0, n_groups, gather_group,
-            (jnp.zeros((rows, cols), jnp.float32),
-             jnp.zeros((rows, cols), jnp.float32),
-             jnp.zeros((rows, cols), jnp.float32)))
+            rb, tf, rt = jax.lax.fori_loop(
+                0, n_groups, gather_group,
+                (jnp.zeros(shape, jnp.float32),
+                 jnp.zeros(shape, jnp.float32),
+                 jnp.zeros(shape, jnp.float32)))
 
-    # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count) and
-    # sin(resid) ~ resid (resid <= group_dtheta/2) — <1 % error in range
-    if line_equivalent:
-        cnt = jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
-    else:
-        cnt = jnp.ones_like(r)
-    if dense:
-        # every reachable cell is crossed by >= 1 beam (_dense_fan): the
-        # on-beam test is constant TRUE wherever rb can gate evidence
-        base_ok = in_fan & (r2 > 1e-6)
-    else:
-        covered = rinv >= spec.dtheta * 0.999
-        resid = rel - g.astype(jnp.float32) * group_dtheta
-        on_any = covered | (jnp.abs(r * resid) <= 0.6)
-        base_ok = in_fan & on_any & (r2 > 1e-6)
-    if grid_guard:
-        # tile windows can extend past the GLOBAL grid at edge tiles —
-        # ghost cells are discarded by the halo merge, don't paint them
-        gy = cy + meta_ref[i, 4]
-        gx = cx + meta_ref[i, 5]
-        sz = jnp.float32(grid_guard)
-        base_ok = base_ok & (gy >= 0.0) & (gy < sz) & \
-            (gx >= 0.0) & (gx < sz)
-    free = base_ok & (r < rb - 0.5)
-    delta = jnp.where(free, miss * cnt, 0.0) * act
-    painted = jnp.where(free, cnt, 0.0)
-    if tail_weight > 0 and not per_beam:
-        # weak free evidence in the (group-min, group-mean) annulus — the
-        # quality fix for group-min under-carving (see
-        # beam_raster.free_raster_reference docstring); per-beam carve is
-        # exact, so the tail is statically skipped (rt == rb)
-        tail = base_ok & ~free & (r < rt - 0.5)
-        delta = delta + jnp.where(tail, miss * tail_weight * cnt,
-                                  0.0) * act
-        painted = painted + jnp.where(tail, tail_weight * cnt, 0.0)
-    if paint_hits:
-        # endpoint ring at the group's min range, weighted by the group's
-        # trusted fraction (in-kernel endpoints: placement blurred to the
-        # sector's NEAREST wall — the exact path uses the sparse scatter)
-        on_ring = base_ok & (jnp.abs(r - rb) <= 0.71)
-        delta = delta + jnp.where(on_ring, hit * cnt * tf, 0.0) * act
-        painted = painted + jnp.where(on_ring, cnt * tf, 0.0)
-    counts_ref[:] = jnp.full((1, 8, 128), jnp.sum(painted) * act,
+        # small-angle forms: 2*atan(0.5/r) ~ 1/r (crossing-beam count)
+        # and sin(resid) ~ resid — <1 % error in range
+        if line_equivalent:
+            cnt = jnp.maximum(1.0, jnp.round(rinv / spec.dtheta))
+        else:
+            cnt = jnp.ones_like(r)
+        if dense:
+            # every reachable cell is crossed by >= 1 beam (_dense_fan)
+            base_ok = in_fan & (r2 > 1e-6)
+        else:
+            covered = rinv >= spec.dtheta * 0.999
+            resid = rel - g.astype(jnp.float32) * group_dtheta
+            on_any = covered | (jnp.abs(r * resid) <= 0.6)
+            base_ok = in_fan & on_any & (r2 > 1e-6)
+        if grid_guard:
+            # tile windows can extend past the GLOBAL grid at edge
+            # tiles — ghost cells are discarded by the halo merge
+            gy = cy + meta_ref[i, 4]
+            gx = cx + meta_ref[i, 5]
+            sz = jnp.float32(grid_guard)
+            base_ok = base_ok & (gy >= 0.0) & (gy < sz) & \
+                (gx >= 0.0) & (gx < sz)
+        free = base_ok & (r < rb - 0.5)
+        delta = jnp.where(free, miss * cnt, 0.0) * act
+        painted = jnp.where(free, cnt, 0.0)
+        if tail_weight > 0 and not per_beam:
+            # weak free evidence in the (group-min, group-mean) annulus
+            # (beam_raster.free_raster_reference docstring); per-beam
+            # carve is exact, so the tail is statically skipped
+            tail = base_ok & ~free & (r < rt - 0.5)
+            delta = delta + jnp.where(tail, miss * tail_weight * cnt,
+                                      0.0) * act
+            painted = painted + jnp.where(tail, tail_weight * cnt, 0.0)
+        if paint_hits:
+            # endpoint ring at the group's min range, weighted by the
+            # group's trusted fraction
+            on_ring = base_ok & (jnp.abs(r - rb) <= 0.71)
+            delta = delta + jnp.where(on_ring, hit * cnt * tf, 0.0) * act
+            painted = painted + jnp.where(on_ring, cnt * tf, 0.0)
+        return delta, painted
+
+    # strip deltas land in dscratch BEFORE the window-DMA wait — the
+    # heavy per-cell math overlaps the in-flight HBM read, exactly as
+    # the r4 whole-window kernel did (moving compute after the wait
+    # measured ~0.3 ms/step slower at 1024 agents)
+    for cb in range(cols // 128):
+        on = (cb >= t_cl) & (cb < t_ch)
+
+        @pl.when(on)
+        def _compute(cb=cb):
+            delta, painted = tile_delta(cb)
+            acc_ref[0, 0] = acc_ref[0, 0] + jnp.sum(painted)
+            dscratch[:, pl.ds(cb * 128, 128)] = delta
+
+        @pl.when(jnp.logical_not(on))
+        def _zero(cb=cb):
+            # cheap: a vector store of zeros keeps the single fused
+            # whole-window apply below (a predicated per-strip apply
+            # after the wait measured ~3 % slower end-to-end)
+            dscratch[:, pl.ds(cb * 128, 128)] = jnp.zeros(
+                (rows, 128), jnp.float32)
+
+    counts_ref[:] = jnp.full((1, 8, 128), acc_ref[0, 0] * act,
                              jnp.float32)
-
     in_dma.wait()
     # accumulate in f32, store in the grid dtype (bf16 grids round here)
-    patch[:] = jnp.clip(patch[:].astype(jnp.float32) + delta,
+    patch[:] = jnp.clip(patch[:].astype(jnp.float32) + dscratch[:],
                         -clamp, clamp).astype(patch.dtype)
     out_dma = pltpu.make_async_copy(
         patch, out_ref.at[pl.ds(r0, rows), pl.ds(c0, cols)], sem_out)
@@ -511,7 +561,21 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         n_rows=None if band is None else band[1],
         n_cols=None if band_cols is None else band_cols[1],
         row_align=row_align)
-    origins = jnp.stack([row0, col0], axis=-1).astype(jnp.int32)
+    # fan-bbox col-strip predication (see _free_kernel): [rows x 128]
+    # strip bounds of the paintable set inside the window. reach + 1.5
+    # covers the endpoint ring (r <= rb + 0.71, rb <= reach) and the
+    # half-cell-centre offset; +-1.5 cells of slack absorbs the fan-edge
+    # bin rounding.
+    from swarm_tpu.ops.beam_raster import fan_bbox_cells
+    bxmin, bxmax, _bymin, _bymax = fan_bbox_cells(yaw, spec, reach + 1.5)
+    n_cb = cols // 128
+    t_cl = jnp.clip(jnp.floor((ax + bxmin - 1.5 - col0.astype(jnp.float32))
+                              / 128.0), 0, n_cb).astype(jnp.int32)
+    t_ch = jnp.clip(jnp.ceil((ax + bxmax + 1.5 - col0.astype(jnp.float32))
+                             / 128.0), 0, n_cb).astype(jnp.int32)
+    zi = jnp.zeros_like(t_cl)
+    origins = jnp.stack([row0, col0, zi, zi, t_cl, t_ch, zi, zi],
+                        axis=-1).astype(jnp.int32)
     if per_beam and pack8:
         # 8-bit quad packing: 7-bit 1/4-cell ranges (+ trusted flag bit 7)
         # packed FOUR per int32 word — one 9-op gather sweep per 32 beams
@@ -587,6 +651,8 @@ def free_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, cols), logodds.dtype),
+            pltpu.VMEM((rows, cols), jnp.float32),   # strip deltas
+            pltpu.SMEM((1, 1), jnp.float32),    # painted accumulator
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
