@@ -61,11 +61,3 @@ def cmd_vel_drive(linear_x, angular_z, last_cmd_age_s,
     z = jnp.zeros_like(left)
     return (jnp.where(alive, left, z).astype(jnp.int32),
             jnp.where(alive, right, z).astype(jnp.int32))
-
-
-def pwm_to_twist(pwm_left, pwm_right, pwm_to_mps: float = 0.0012,
-                 wheel_base: float = 0.3):
-    """Inverse map for the sim dynamics: wheel PWMs -> (v, omega)."""
-    vl = pwm_left * pwm_to_mps
-    vr = pwm_right * pwm_to_mps
-    return (vl + vr) / 2.0, (vr - vl) / wheel_base

@@ -349,15 +349,6 @@ ROT_TAIL_MARGIN = 1.5   # cells past the window max (~2 sigma of the
 #                         3.5 cm ultrasonic noise at 5 cm resolution)
 
 
-def crossing_count(r, dtheta: float):
-    """How many beams of a uniform fan cross a cell at radius r (cells):
-    the angular half-width a half-cell subtends is atan(0.5 / sqrt(r^2 -
-    0.25)); the line-raster writes a cell once per crossing beam, so
-    applying count * evidence in one FMA is the same total update."""
-    half = jnp.arctan2(0.5, jnp.sqrt(jnp.maximum(r * r - 0.25, 1e-6)))
-    return jnp.maximum(1.0, jnp.round(2.0 * half / dtheta))
-
-
 def free_raster_reference(logodds, agent_xy, yaw, dist_m, active,
                           spec: BeamSpec, cfg: GridConfig = GridConfig(),
                           n_groups: int = 16,

@@ -897,11 +897,6 @@ def room_raster_pallas(logodds, agent_xy, yaw, dist_m, active,
     return new_lo, counts[:, :, 0, 0]
 
 
-def group_min_ranges_import():
-    from swarm_tpu.ops.beam_raster import group_min_ranges
-    return group_min_ranges
-
-
 def beam_raster_pallas(logodds, agent_xy, yaw, dist_m, trusted, active,
                        spec: BeamSpec, cfg: GridConfig = GridConfig(),
                        interpret: bool = False):

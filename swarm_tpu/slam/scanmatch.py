@@ -454,28 +454,3 @@ def occupancy_mass(tri_grid, cfg: GridConfig = GridConfig()):
     """Tri-state grid -> occupancy mass in [0, 1] (OCCUPIED cells only,
     matching map_merger's > 50 threshold, map_merger.py:67)."""
     return (tri_grid == cfg.occupied).astype(jnp.float32)
-
-
-def merge_into_global(global_logodds, local_occ_points_xy, transform,
-                      cfg: GridConfig = GridConfig(),
-                      hit: float = None):
-    """Apply a match transform to a local map's occupied points and fold
-    them into the global log-odds accumulator (map_merger.py:87-127's
-    re-rasterisation, order-independent here)."""
-    if hit is None:
-        hit = cfg.logodds_hit
-    c = cfg.origin_x + cfg.size * cfg.resolution / 2.0, \
-        cfg.origin_y + cfg.size * cfg.resolution / 2.0
-    ct, st = jnp.cos(transform.dtheta), jnp.sin(transform.dtheta)
-    px = local_occ_points_xy[:, 0] - c[0]
-    py = local_occ_points_xy[:, 1] - c[1]
-    wx = c[0] + px * ct - py * st + transform.dx
-    wy = c[1] + px * st + py * ct + transform.dy
-    gx = ((wx - cfg.origin_x) / cfg.resolution).astype(jnp.int32)
-    gy = ((wy - cfg.origin_y) / cfg.resolution).astype(jnp.int32)
-    ok = (gx >= 0) & (gx < cfg.size) & (gy >= 0) & (gy < cfg.size)
-    flat = jnp.where(ok, gy * cfg.size + gx, cfg.size * cfg.size)
-    upd = global_logodds.reshape(-1).at[flat].add(
-        jnp.where(ok, hit, 0.0), mode="drop")
-    return jnp.clip(upd, -cfg.logodds_clamp,
-                    cfg.logodds_clamp).reshape(cfg.size, cfg.size)

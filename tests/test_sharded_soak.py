@@ -34,10 +34,15 @@ SOAK = os.environ.get("SWARM_SOAK", "") == "1"
 STEPS = int(os.environ.get("SWARM_SOAK_STEPS", "5000")) if SOAK else 300
 
 
-def _worlds(kind: str, n_dev: int):
+def _worlds(kind: str, n_dev: int, scan_rays: int = 37,
+            turn_gate: float = 0.0):
     """(cfg, walls, params, wg, roa, mesh, shard_kw) for a decomposition
     family. rows/replicated share the vertical-rooms world; tiles uses
-    the device-major tiled-blocks world (__graft_entry__ dryrun setup)."""
+    the device-major tiled-blocks world (__graft_entry__ dryrun setup).
+
+    scan_rays/turn_gate: the soak preset (37-ray fans, turn gate OFF —
+    see the SlamConfig note below) vs the DEPLOYABLE preset (181-ray
+    fans, the config.py default gate) for the density leg."""
     if kind == "tiles":
         from jax.sharding import Mesh
 
@@ -55,7 +60,7 @@ def _worlds(kind: str, n_dev: int):
             n_agents=n_agents,
             grid=GridConfig(size=size, origin_x=0.0, origin_y=0.0),
             engine=EngineConfig(parity_mode=False, compute_frontiers=False,
-                                raster_mode="beam", scan_rays=37,
+                                raster_mode="beam", scan_rays=scan_rays,
                                 raster_4way=False, use_pallas=False,
                                 kernel_endpoints=False, endpoint_hits=True,
                                 merge_every=16),
@@ -73,7 +78,7 @@ def _worlds(kind: str, n_dev: int):
             slam=SlamConfig(closure_same_agent_only=True,
                             closure_correction=0.0, merge_anchor=True,
                             merge_frame_gain=0.35,
-                            merge_frame_turn_gate=0.0))
+                            merge_frame_turn_gate=turn_gate))
         params = make_agent_params(n_agents, separation=2.0, cfg=cfg)
         params = params._replace(
             home_x=jnp.asarray(origins[room, 0] + np.where(i % 2, 5.5, 0.5),
@@ -102,8 +107,10 @@ def _worlds(kind: str, n_dev: int):
     return cfg, walls, params, wg, roa, mesh, kw
 
 
-def _soak(kind: str, grid_sharding: str, n_dev: int, steps: int):
-    cfg, walls, params, wg, roa, mesh, shard_kw = _worlds(kind, n_dev)
+def _soak(kind: str, grid_sharding: str, n_dev: int, steps: int,
+          scan_rays: int = 37, turn_gate: float = 0.0):
+    cfg, walls, params, wg, roa, mesh, shard_kw = _worlds(
+        kind, n_dev, scan_rays=scan_rays, turn_gate=turn_gate)
     step = make_sharded_sim_step(cfg, walls, params, mesh, donate=False,
                                  grid_sharding=grid_sharding,
                                  walls_grouped=wg, room_of_agent=roa)
@@ -147,6 +154,44 @@ def test_sharded_soak_band_containment(kind, sharding):
     # (measured at 5000 steps: escapes 0, max mean drift 0.72 m, vs
     # 319 escapes / 1.61 m without the tracker).
     assert escapes == 0, f"{sharding}: {escapes} band escapes"
+    np.testing.assert_array_equal(np.asarray(st.srv.logodds),
+                                  np.asarray(st_ref.srv.logodds))
+    assert max_err < 1.0, f"max drift {max_err:.3f} m >= 1.0 m budget"
+
+
+# deployable-density leg steps: the 181-ray fan is ~5x the 37-ray soak
+# preset's raster work, so the opt-in horizon defaults to 2000 (strict
+# contract bar from VERDICT r4 item 6) and CI runs a 150-step wiring pass
+DEPLOY_STEPS = (int(os.environ.get("SWARM_SOAK_DEPLOY_STEPS", "2000"))
+                if SOAK else 150)
+
+
+def test_sharded_soak_deployable_density():
+    """VERDICT r4 item 6: the strict soak contract at DEPLOYABLE scan
+    density — 181-ray servo fans with the frame tracker's turn gate at
+    its config.py default (the r4 soak record used 37-ray fans with the
+    gate disabled, so the long-horizon evidence did not cover the
+    preset actually shipped). Tiles decomposition + merge + closures ON;
+    asserts the same strict triple: zero band escapes, bit-equal map vs
+    the replicated decomposition, max drift under the 1.0 m budget.
+    Opt-in full horizon: SWARM_SOAK=1 (2000 steps, override via
+    SWARM_SOAK_DEPLOY_STEPS); CI default is a 150-step wiring pass.
+    Measured r5 record in NOTES_r5.md."""
+    from swarm_tpu.config import SlamConfig
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("needs 4 devices")
+    gate = SlamConfig().merge_frame_turn_gate   # deployable default
+    st, escapes, max_err, merges = _soak(
+        "tiles", "tiles", n_dev, DEPLOY_STEPS, scan_rays=181,
+        turn_gate=gate)
+    st_ref, _, _, _ = _soak(
+        "tiles", "replicated", n_dev, DEPLOY_STEPS, scan_rays=181,
+        turn_gate=gate)
+    assert merges > 0
+    print(f"[SOAK deploy-density] steps={DEPLOY_STEPS} escapes={escapes} "
+          f"merges={merges} max_mean_drift={max_err:.3f} m")
+    assert escapes == 0, f"deploy-density: {escapes} band escapes"
     np.testing.assert_array_equal(np.asarray(st.srv.logodds),
                                   np.asarray(st_ref.srv.logodds))
     assert max_err < 1.0, f"max drift {max_err:.3f} m >= 1.0 m budget"
