@@ -210,6 +210,15 @@ class SlamConfig:
     # 0 = off (every verified match counts as distinct).
     merge_distinct_margin: float = 0.0
     merge_distinct_radius: int = 3
+    # Separate margin for the LOGGED fix stream (merge_ok -> offline
+    # calibration observations), thresholding the same raw peak gap
+    # (WindowMatch.distinct_gap). 0 = log every verified event (the r4
+    # behavior). Kept independent of merge_distinct_margin because the
+    # r5 64-agent run measured the 0.05 tracker margin passing only
+    # 9/6449 events — correct for gating online innovations (ambiguous
+    # peaks must not steer the tracker) but starvation for the offline
+    # robust calibration, whose IRLS absorbs false fixes by design.
+    merge_distinct_log_margin: float = 0.0
     merge_inlier_radius_cells: int = 2  # inlier radius for fitness
     merge_prior_weight: float = 0.15    # zero-motion prior (aperture fix +
     #                                     false-correction suppression)

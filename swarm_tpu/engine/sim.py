@@ -499,11 +499,17 @@ def _ingest_batched(srv: MapState, est_x, est_y, est_yaw, dist4, lm_types,
         merge_fit = jnp.sum(jnp.where(upd, m.fitness, 0.0)) / \
             jnp.maximum(n_merges, 1).astype(jnp.float32)
         # the LOGGED fix stream (merge_ok -> offline calibration unary
-        # observations) additionally requires peak distinctness — an
-        # ambiguous-peak "verified" event is the measured false-fix
-        # mechanism (NOTES_r4); the applied increments above keep plain
-        # `upd` (bounded + recoverable by design)
-        merge_ok_agent = upd & m.distinct
+        # observations) thresholds the raw peak gap with its OWN margin
+        # (merge_distinct_log_margin, default 0 = log all verified
+        # events): the tracker's 0.05 margin passes ~0.1% of events at
+        # swarm density, starving the offline robust calibration whose
+        # IRLS absorbs the false fixes. The applied increments above
+        # keep plain `upd` (bounded + recoverable by design).
+        if cfg.slam.merge_distinct_log_margin > 0.0:
+            merge_ok_agent = upd & (m.distinct_gap >=
+                                    cfg.slam.merge_distinct_log_margin)
+        else:
+            merge_ok_agent = upd
         merge_fit_agent = jnp.where(upd, m.fitness, 0.0)
 
     last_packet_t = jnp.where(alive, t, srv.last_packet_t)

@@ -220,7 +220,8 @@ def scan_merge_chunked(logodds, rx, ry, ryaw, scan_dist, alive,
                        ddtheta=put(m.ddtheta), fitness=put(m.fitness),
                        ok=put(m.ok) & mask,
                        ddtheta_meas=put(m.ddtheta_meas),
-                       distinct=put(m.distinct))
+                       distinct=put(m.distinct),
+                       distinct_gap=put(m.distinct_gap))
 
 
 def merge_zero(n: int) -> WindowMatch:
@@ -228,7 +229,8 @@ def merge_zero(n: int) -> WindowMatch:
     z = jnp.zeros((n,), jnp.float32)
     return WindowMatch(ddx=z, ddy=z, ddtheta=z, fitness=z,
                        ok=jnp.zeros((n,), bool), ddtheta_meas=z,
-                       distinct=jnp.zeros((n,), bool))
+                       distinct=jnp.zeros((n,), bool),
+                       distinct_gap=z)
 
 
 def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
@@ -318,7 +320,9 @@ def scan_merge_recover(match_map, rx, ry, ryaw, scan_dist, alive,
                     ok=m.ok | take,
                     ddtheta_meas=jnp.where(take, mw.ddtheta_meas,
                                            m.ddtheta_meas),
-                    distinct=jnp.where(take, mw.distinct, m.distinct))
+                    distinct=jnp.where(take, mw.distinct, m.distinct),
+                    distinct_gap=jnp.where(take, mw.distinct_gap,
+                                           m.distinct_gap))
     return m, attempted, recovered
 
 

@@ -217,10 +217,18 @@ class WindowMatch(NamedTuple):
     # Peak-distinctness verdict (SlamConfig.merge_distinct_margin): the
     # raw (prior-free) correlation peak beats every hypothesis at least
     # `distinct_radius` translation cells away by margin x n_points.
-    # All-True when the margin is 0 (gate off). Consumed by the fix
-    # stream (frame-tracker innovations, logged merge_ok observations);
-    # the bounded persistent increments ignore it by design.
+    # All-True when the margin is 0 (gate off). Consumed by the
+    # frame-tracker innovation gate; the bounded persistent increments
+    # ignore it by design.
     distinct: jnp.ndarray      # [] bool
+    # The raw normalized peak gap the verdict thresholds:
+    # (peak_raw - ring_max) / n_pts. Lets downstream consumers apply
+    # their OWN margin (SlamConfig.merge_distinct_log_margin for the
+    # logged fix stream — the r5 64-agent run measured the 0.05 tracker
+    # margin passing only 9 of 6449 verified events, which starves the
+    # offline robust calibration that exists to absorb false fixes).
+    # +inf when the distinctness test is statically off.
+    distinct_gap: jnp.ndarray  # [] float32
 
 
 def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
@@ -436,8 +444,10 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
         ring_max = jnp.max(jnp.where(far[None, :, :], scores_raw,
                                      -jnp.inf))
         peak_raw = scores_raw[ai, di, dj]
-        distinct = (peak_raw - ring_max) >= distinct_margin * n_pts
+        gap = (peak_raw - ring_max) / jnp.maximum(n_pts, 1.0)
+        distinct = gap >= distinct_margin
     else:
+        gap = jnp.full((), jnp.inf, jnp.float32)
         distinct = jnp.ones((), bool)
 
     return WindowMatch(
@@ -447,7 +457,8 @@ def match_scan_window(off_x, off_y, valid, window_mass, agent_cell_xy,
         fitness=fitness,
         ok=(fitness >= fitness_min) & (n_pts >= min_points),
         ddtheta_meas=ddtheta_meas,
-        distinct=distinct)
+        distinct=distinct,
+        distinct_gap=gap)
 
 
 def occupancy_mass(tri_grid, cfg: GridConfig = GridConfig()):

@@ -33,7 +33,8 @@ def _match(ddx, ddy, ok, fit=0.9):
     return WindowMatch(ddx=ddx, ddy=ddy, ddtheta=z,
                        fitness=jnp.where(ok, fit, 0.0), ok=ok,
                        ddtheta_meas=z,
-                       distinct=jnp.ones_like(ok, bool))
+                       distinct=jnp.ones_like(ok, bool),
+                       distinct_gap=jnp.full_like(ddx, jnp.inf))
 
 
 def _drift_loop(cfg, steps=800, every=16, bias=(0.008, -0.008),

@@ -380,7 +380,8 @@ def test_merge_fail_update_and_increments_semantics():
         fitness=jnp.full((n,), 0.9, jnp.float32),
         ok=jnp.array([False, True, True, False, True]),
         ddtheta_meas=jnp.zeros((n,), jnp.float32),
-        distinct=jnp.ones((n,), bool))
+        distinct=jnp.ones((n,), bool),
+        distinct_gap=jnp.full((n,), jnp.inf, jnp.float32))
     attempted = jnp.array([True, True, True, False, True])
     recovered = jnp.array([False, False, False, False, True])
     alive = jnp.ones((n,), bool)
