@@ -217,18 +217,25 @@ def main():
                     help="x/y information weight of one anchored-merge "
                          "absolute observation in the offline GN")
     ap.add_argument("--unary-theta-weight", type=float, default=4.0)
-    ap.add_argument("--distinct", type=float, default=0.05,
+    ap.add_argument("--distinct", type=float, default=0.0,
                     help="merge_distinct_margin for the online "
-                         "merge_anchored tier's TRACKER innovations "
-                         "(0 = r4 behavior); the logged fix stream is "
-                         "ungated (merge_distinct_log_margin=0) — the "
-                         "0.05 margin passed 9/6449 events at 64 "
-                         "agents, starving offline calibration")
-    ap.add_argument("--reloc-distinct", type=float, default=0.02,
+                         "merge_anchored tier's TRACKER innovations. "
+                         "Default 0 (ungated): the r5 64-agent A/B "
+                         "measured 0.594 m online late ATE ungated vs "
+                         "0.644 at 0.05 (and 0.603 vs 0.649 offline "
+                         "calibrated_gn) — docs/bench_accuracy_r5*"
+                         ".json. The logged fix stream is separately "
+                         "ungated (merge_distinct_log_margin)")
+    ap.add_argument("--reloc-distinct", type=float, default=0.0,
                     help="merge_distinct_margin for the OFFLINE "
                          "re-localization pass (calibrate_reloc): "
-                         "milder than the tracker margin — IRLS absorbs "
-                         "residual false fixes")
+                         "0 = rely on IRLS alone (0.02 passed only "
+                         "23/8000 candidates — starvation)")
+    ap.add_argument("--log-distinct", type=float, default=0.0,
+                    help="merge_distinct_log_margin: milder gap "
+                         "threshold on the LOGGED fix stream feeding "
+                         "offline calibration (0 = log all verified "
+                         "events)")
     ap.add_argument("--pair-budget", type=int, default=8,
                     help="closure_pair_budget: closest co-located agent "
                          "pairs scan-matched per step for cross-agent "
@@ -296,9 +303,11 @@ def main():
                                      closure_match_search=28,
                                      closure_pair_budget=args.pair_budget,
                                      # r5: ambiguous-peak filter on the
-                                     # fix stream (innovations + logged
-                                     # mok) — see merge_distinct_margin
-                                     merge_distinct_margin=args.distinct),
+                                     # TRACKER innovations; the logged
+                                     # fix stream has its own margin
+                                     merge_distinct_margin=args.distinct,
+                                     merge_distinct_log_margin=(
+                                         args.log_distinct)),
             engine=dataclasses.replace(base_cfg.engine, merge_every=16)),
         "ref_closures+merge": dict(
             slam=dataclasses.replace(base_cfg.slam,
@@ -499,11 +508,14 @@ def main():
         merge_search_cells=16,          # 0.8 m offline capture
         merge_distinct_margin=args.reloc_distinct))
     anchor_np = np.asarray(state_m.srv.anchor)
+    # plain (non-robust) calibration inside the reloc loop: the r5 run
+    # measured Cauchy IRLS at c=0.25 UNDER-fitting the drift (0.723 vs
+    # 0.679 plain; 0.728 with reloc) — late-run residuals carry the
+    # bias signal and the reweighting crushes exactly those
     cal2, mask2, fx2, fy2 = calibrate_reloc(
         log_m["ex"] + x_off[None, :], log_m["ey"], log_m["eyaw"],
         log_m["mok"], log_m["sx"], log_m["sy"], anchor_np,
-        log_m["scan"], reloc_cfg, rounds=2, every=16,
-        robust_c=0.25, irls_rounds=2)
+        log_m["scan"], reloc_cfg, rounds=2, every=16)
     cal2_dict = {a + 1: {"poses": np.stack(
                              [cal2["x"][:, a], cal2["y"][:, a],
                               cal2["yaw"][:, a]], -1).astype(np.float32),
