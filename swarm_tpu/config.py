@@ -380,6 +380,17 @@ class SlamConfig:
     # drops the corrupted minority; the rate feed-forward carries the
     # estimate through them. (rad; 0 disables the gate)
     merge_frame_turn_gate: float = 0.01
+    # Starvation override for the turn gate (r5): accept a turn-gated
+    # window after this many CONSECUTIVE turn-gate discards. An agent
+    # that turns at nearly every merge window never passes the gate,
+    # accumulates no innovations, and eventually outruns the sharded
+    # evidence band (measured: the 181-ray 2000-step deployable-density
+    # soak logged 149 band escapes with the gate alone; the quantized-
+    # yaw spike the gate exists to drop is a bounded ~0.2 m residual,
+    # while unbounded starvation is a containment violation). One
+    # corrupted window per starve cycle is averaged down by the dacc
+    # lever. 0 = never override (pre-r5 behavior).
+    merge_frame_turn_starve: int = 4
     # second-order loop: per-meter frame-yaw RATE estimate (the drift
     # model's actual parameter, +/-0.008 rad/m) learned from the applied
     # theta steps, fed forward continuously (theta += rate x step

@@ -92,7 +92,7 @@ _MIGRATIONS = {
     # and rebases on the next step; a zeroed theta/rate just re-acquires.
     **{f".srv.frame.{f}": "zero"
        for f in ("theta", "scale_dev", "rate", "px", "py", "ax", "ay",
-                 "lx", "ly", "qy", "nacc", "dacc", "sacc")},
+                 "lx", "ly", "qy", "nacc", "dacc", "sacc", "gskip")},
     # r5 proximity-pair rendezvous cooldown (SlamConfig
     # .closure_pair_budget): fresh init is -(1<<30) ("fire immediately")
     ".srv.closure.last_pair_node": "template",

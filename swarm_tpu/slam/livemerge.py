@@ -464,6 +464,8 @@ class FrameState(NamedTuple):
     nacc: jnp.ndarray       # accumulated -cross(a, r) innovation numerator
     dacc: jnp.ndarray       # accumulated |a|^2 lever arm
     sacc: jnp.ndarray       # accumulated dot(a, r) scale numerator
+    gskip: jnp.ndarray      # consecutive turn-gate discards (starvation
+    #                         override, SlamConfig.merge_frame_turn_starve)
 
 
 def frame_init(n: int, px=None, py=None) -> FrameState:
@@ -472,7 +474,7 @@ def frame_init(n: int, px=None, py=None) -> FrameState:
         theta=z, scale_dev=z, rate=z,
         px=z if px is None else jnp.asarray(px, jnp.float32),
         py=z if py is None else jnp.asarray(py, jnp.float32),
-        ax=z, ay=z, lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z)
+        ax=z, ay=z, lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z, gskip=z)
 
 
 def frame_add(fs: FrameState, d: FrameState) -> FrameState:
@@ -542,7 +544,7 @@ def frame_advance(fs: FrameState, raw_x, raw_y, alive,
                         0.0),
         scale_dev=z, rate=z, px=dpx, py=dpy,
         ax=jnp.where(ok, cdx, 0.0), ay=jnp.where(ok, cdy, 0.0),
-        lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z)
+        lx=z, ly=z, qy=z, nacc=z, dacc=z, sacc=z, gskip=z)
     return add_x, add_y, deltas
 
 
@@ -593,9 +595,21 @@ def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
     rx = m.ddx - fs.lx
     ry = m.ddy - fs.ly
     a2 = fs.ax * fs.ax + fs.ay * fs.ay
-    straight = (jnp.abs(wrap_pi(gate_yaw - fs.qy)) <=
-                slam.merge_frame_turn_gate) \
-        if slam.merge_frame_turn_gate > 0.0 else jnp.ones_like(upd)
+    if slam.merge_frame_turn_gate > 0.0:
+        straight_raw = (jnp.abs(wrap_pi(gate_yaw - fs.qy)) <=
+                        slam.merge_frame_turn_gate)
+        if slam.merge_frame_turn_starve > 0:
+            # starvation override: an agent turning at nearly every
+            # window never passes the gate and outruns the evidence
+            # band (149 escapes measured in the 181-ray 2000-step
+            # soak) — accept one window per `turn_starve` consecutive
+            # discards; the dacc lever averages its ~0.2 m spike down
+            starved = fs.gskip >= slam.merge_frame_turn_starve
+            straight = straight_raw | starved
+        else:
+            straight = straight_raw
+    else:
+        straight_raw = straight = jnp.ones_like(upd)
     # m.distinct: peak-distinctness verdict (all-True when the gate is
     # off) — ambiguous-peak matches (wall-hugging/symmetric-room false
     # verifications) must not innovate the frame estimates
@@ -644,7 +658,12 @@ def frame_innovate(fs: FrameState, gate_yaw, m: WindowMatch, upd,
         dacc=jnp.where(fire, -fs.dacc, jnp.where(sub_ok, dacc - fs.dacc,
                                                  0.0)),
         sacc=jnp.where(fire, -fs.sacc, jnp.where(sub_ok, sacc - fs.sacc,
-                                                 0.0)))
+                                                 0.0)),
+        # turn-gate discard counter: +1 on a turn-discarded verified
+        # window, reset whenever the turn dimension passes (raw or via
+        # the override); other-gate failures leave it unchanged
+        gskip=jnp.where(upd & ~straight, 1.0,
+                        jnp.where(upd & straight, -fs.gskip, 0.0)))
 
 
 def merge_increments(m: WindowMatch, upd, recovered, cfg: SwarmConfig):

@@ -200,6 +200,48 @@ def test_frame_innovate_turn_gate():
     fd = frame_innovate(fs, 0.3 * one, m, ok, z, z, cfg)  # yaw moved
     assert float(fd.theta[0]) == 0.0
     assert float(fd.qy[0]) == pytest.approx(0.3)      # re-baselined
+    # the discard is COUNTED toward the starvation override
+    assert float(fd.gskip[0]) == 1.0
+
+
+def test_frame_innovate_turn_gate_starvation_override():
+    """SlamConfig.merge_frame_turn_starve (r5): an agent that turns at
+    every merge window never passes the turn gate, so after `starve`
+    consecutive turn-discards the next window is accepted anyway — the
+    measured alternative is unbounded drift and band escapes (149 in
+    the 181-ray 2000-step soak with the gate alone). The acceptance
+    resets the counter."""
+    import dataclasses
+    cfg = _cfg(gain=0.4, merge_frame_inno_path_m=0.5)
+    cfg = cfg.replace(slam=dataclasses.replace(
+        cfg.slam, merge_frame_turn_starve=3))
+    one = jnp.ones((1,), jnp.float32)
+    z = jnp.zeros((1,), jnp.float32)
+    ok = jnp.ones((1,), bool)
+    m = _match(z, -0.2 * one, ok)
+    fs = frame_init(1)._replace(ax=one)
+    from swarm_tpu.slam.livemerge import frame_add
+    for k in range(3):                       # three turn-discards
+        # the quantum re-baselines at every verified event, so the
+        # agent must keep turning for the gate to keep firing
+        fd = frame_innovate(fs, 0.3 * (k + 1) * one, m, ok, z, z, cfg)
+        assert float(fd.dacc[0]) == 0.0, k   # nothing accumulated
+        fs = frame_add(fs, fd)._replace(ax=one)   # next window's lever
+        assert float(fs.gskip[0]) == k + 1
+    # 4th consecutive turning window: starved -> accepted (the lever
+    # reaches inno_path immediately, so the estimate FIRES), counter
+    # reset. Fresh residual: the leftover carry has absorbed -0.2.
+    fd = frame_innovate(fs, 1.2 * one, _match(z, -0.5 * one, ok),
+                        ok, z, z, cfg)
+    assert float(fd.theta[0]) != 0.0         # innovation applied
+    fs = frame_add(fs, fd)
+    assert float(fs.gskip[0]) == 0.0
+    # with the override disabled (pre-r5), the 4th window still discards
+    cfg0 = cfg.replace(slam=dataclasses.replace(
+        cfg.slam, merge_frame_turn_starve=0))
+    fs0 = frame_init(1)._replace(ax=one, gskip=3 * one)
+    fd0 = frame_innovate(fs0, 0.3 * one, m, ok, z, z, cfg0)
+    assert float(fd0.dacc[0]) == 0.0
 
 
 def test_fused_engine_frame_tracker_reduces_drift():
