@@ -46,8 +46,9 @@ def main():
                          "int32): halves the gather cost that dominates "
                          "the VPU-bound kernel at a 1/4-cell (12.5 mm) "
                          "quantization step (<= 6.25 mm rounding error) "
-                         "— 1.526e9 vs 1.350e9 applied "
-                         "cells/s measured at the 1024-agent default; "
+                         "— 1.64e9 (with the r5 column-strip "
+                         "predication) vs 1.35e9 16-bit applied cells/s "
+                         "measured at the 1024-agent default; "
                          "--no-pack8 restores the 16-bit 1/256-cell table")
     ap.add_argument("--exact-endpoints", action="store_true",
                     help="endpoint hits via the exact sparse scatter "

@@ -383,14 +383,16 @@ class SlamConfig:
     # Starvation override for the turn gate (r5): accept a turn-gated
     # window after this many CONSECUTIVE turn-gate discards. An agent
     # that turns at nearly every merge window never passes the gate,
-    # accumulates no innovations, and eventually outruns the sharded
-    # evidence band (measured: the 181-ray 2000-step deployable-density
-    # soak logged 149 band escapes with the gate alone; the quantized-
-    # yaw spike the gate exists to drop is a bounded ~0.2 m residual,
-    # while unbounded starvation is a containment violation). One
-    # corrupted window per starve cycle is averaged down by the dacc
-    # lever. 0 = never override (pre-r5 behavior).
-    merge_frame_turn_starve: int = 4
+    # accumulates no innovations, and can outrun the sharded evidence
+    # band. Measured tradeoff at starve=4: the 181-ray 2000-step
+    # deployable-density soak drops 149 -> 126 band escapes, while the
+    # 64-agent accuracy preset pays ~0.02 m online late ATE (0.594 ->
+    # 0.617 — the accepted windows carry the quantized-yaw spike the
+    # gate exists to drop). Default 0 (accuracy-first; the escape
+    # envelope holds under 1% of agent-steps either way and the runtime
+    # guard drops out-of-band evidence loudly); containment-first
+    # deployments on banded/tiled grids set 3-5.
+    merge_frame_turn_starve: int = 0
     # second-order loop: per-meter frame-yaw RATE estimate (the drift
     # model's actual parameter, +/-0.008 rad/m) learned from the applied
     # theta steps, fed forward continuously (theta += rate x step
